@@ -1,0 +1,188 @@
+"""Relational operator layer — every batch operator the reference exercises,
+as named, documented, scale-aware functions (SURVEY.md section 2).
+
+Each function cites the reference occurrence it reproduces. All are thin by
+design: the point of a Spark-first engine is to *declare* the plan with
+DataFrame ops and let Catalyst pick the physical strategy (broadcast vs
+sort-merge joins, partial aggregation, pushdown). We add value where the
+reference's formulation has a semantic trap at scale:
+
+- surrogate keys: the reference uses ``monotonically_increasing_id`` which
+  is non-dense and partition-layout-dependent (gold_dim_branch.ipynb cell 27);
+  we use ``row_number`` over an explicit ordering — deterministic on any
+  cluster layout.
+- new/old row splits: the reference hand-rolls left-anti/left-semi with a
+  left join + isNull/isNotNull filter (gold_dim_branch.ipynb cells 14/17/20);
+  we expose both the literal formulation and the idiomatic
+  ``left_anti``/``left_semi`` joins (no null-extension columns to drop,
+  and Catalyst can skip materializing the right side's payload).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# projections / filters (SURVEY.md 2.2)
+# ---------------------------------------------------------------------------
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Named-column projection (ref gold_dim_branch.ipynb:78681 cell 29).
+
+    Catalyst prunes the scan to exactly these columns (check ReadSchema)."""
+    return df.select(*cols)
+
+
+def filter_is_null(df: DataFrame, col: str) -> DataFrame:
+    """New-rows split: rows whose join-extended key is NULL
+    (ref gold_dim_branch.ipynb:52656 cell 20)."""
+    return df.filter(F.col(col).isNull())
+
+
+def filter_is_not_null(df: DataFrame, col: str) -> DataFrame:
+    """Old-rows split (ref gold_dim_branch.ipynb:52524 cell 17)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def empty_like_sql(df: DataFrame) -> DataFrame:
+    """Schema-preserving empty relation — the reference's ``where 1=0``
+    stub (gold_dim_branch.ipynb:43071-43077 cell 11). Catalyst folds the
+    false predicate to an empty LocalRelation, so this costs nothing."""
+    return df.filter(F.lit(False))
+
+
+def derive_split_head(df: DataFrame, src: str, delim: str, out: str) -> DataFrame:
+    """Derived column: first element of a delimiter split — the silver
+    layer's ``model_category = split(Model_ID,'-')[0]`` (SURVEY.md 1.3,
+    inferred from gold_fact_sales.ipynb cell 2 output)."""
+    return df.withColumn(out, F.split(F.col(src), delim).getItem(0))
+
+
+def derive_ratio(df: DataFrame, num: str, den: str, out: str) -> DataFrame:
+    """Derived column: arithmetic ratio — silver's
+    ``RevPerUnit = Revenue/Units_Sold`` (SURVEY.md 1.3)."""
+    return df.withColumn(out, F.col(num) / F.col(den))
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY.md 2.3)
+# ---------------------------------------------------------------------------
+
+
+def left_join_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column | Sequence[str],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Left-outer equi join; the reference's change detector
+    (gold_dim_branch.ipynb:43210 cell 14). ``broadcast_right=True`` hints
+    a BroadcastHashJoin for small dims — at 100 TB the dims of a star
+    schema are usually << the 10 MB default, but hint explicitly when known."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, "left")
+
+
+def left_semi(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Idiomatic form of the reference's left-join + isNotNull split."""
+    return left.join(right, on, "left_semi")
+
+
+def left_anti(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Idiomatic form of the reference's left-join + isNull split."""
+    return left.join(right, on, "left_anti")
+
+
+def star_join(
+    fact_src: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column | Sequence[str]]],
+    select_cols: Sequence[str | Column],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Multi-way left-join chain building a fact from source + dims
+    (ref gold_fact_sales.ipynb:55996-56000 cell 8: silver left-joined to
+    4 dims on business keys, projecting measures + surrogate keys).
+
+    Dims are broadcast by default: at any scale a star schema's dims are
+    small relative to the fact, so the fact never shuffles — the single
+    most important plan property for a 100 TB fact build."""
+    out = fact_src
+    for dim_df, cond in dims:
+        d = F.broadcast(dim_df) if broadcast_dims else dim_df
+        out = out.join(d, cond, "left")
+    return out.select(*select_cols)
+
+
+# ---------------------------------------------------------------------------
+# aggregates / distinct / set ops (SURVEY.md 2.4, 2.5)
+# ---------------------------------------------------------------------------
+
+
+def distinct_projection(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """``SELECT DISTINCT c1, c2`` — dim-source dedup
+    (ref gold_dim_branch.ipynb:35568 cell 7). Compiles to a HashAggregate
+    with partial (map-side) aggregation, so the shuffle carries only
+    distinct pairs — this is the scalable formulation."""
+    return df.select(*cols).distinct()
+
+
+def max_global(df: DataFrame, col: str, alias: str = "max_value") -> DataFrame:
+    """Global MAX — surrogate-key high-water mark
+    (ref gold_dim_branch.ipynb:60158-60161 cell 24)."""
+    return df.agg(F.max(F.col(col)).alias(alias))
+
+
+def max_cast_int(df: DataFrame, col: str, alias: str = "max_value") -> DataFrame:
+    """MAX over a cast — ``max(cast(k as int))``
+    (ref gold_dim_date.ipynb:43850-43853 cell 23)."""
+    return df.agg(F.max(F.col(col).cast("int")).alias(alias))
+
+
+def union_all(a: DataFrame, b: DataFrame, by_name: bool = True) -> DataFrame:
+    """UNION ALL (ref gold_dim_branch.ipynb:78820 cell 31). The reference
+    uses positional ``union``; we default to ``unionByName`` — positional
+    union silently mis-binds when column orders drift."""
+    return a.unionByName(b) if by_name else a.union(b)
+
+
+# ---------------------------------------------------------------------------
+# surrogate keys (SURVEY.md 2.6 op 25 — the known semantic trap)
+# ---------------------------------------------------------------------------
+
+
+def with_surrogate_key(
+    df: DataFrame,
+    order_by: Sequence[str],
+    key_col: str,
+    start_at: int = 1,
+) -> DataFrame:
+    """Dense deterministic surrogate keys: ``row_number`` over an explicit
+    ordering, offset by the high-water mark.
+
+    The reference's ``max_value + monotonically_increasing_id()``
+    (gold_dim_branch.ipynb:60233 cell 27) only produced dense 1..N keys
+    because its data fit one partition; on a real cluster it leaves
+    2^33-sized gaps per partition. ``row_number`` is correct on any layout.
+
+    Scale note: an un-partitioned window is a single-reducer sort — fine
+    for dim tables (dims are small by definition), wrong for facts. For
+    billion-row key assignment use ``zipWithIndex``-style two-phase
+    numbering instead (not needed for reference parity)."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(key_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("long"))
+
+
+def high_water_mark(existing: DataFrame | None, key_col: str) -> int:
+    """Scalar max-key fetch (ref gold_dim_branch.ipynb:60154-60162 cell 24).
+
+    The only driver-side collect in the pipeline — a single scalar, which is
+    acceptable at any scale (the reference does the same via .collect()[0][0])."""
+    if existing is None:
+        return 0
+    row = existing.agg(F.max(F.col(key_col))).first()
+    v = row[0] if row is not None else None
+    return int(v) if v is not None else 0
