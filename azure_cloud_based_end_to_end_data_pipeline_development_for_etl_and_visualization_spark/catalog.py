@@ -375,6 +375,148 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text analysis over documents (north star, SURVEY.md 2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer, lowercased)."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.unique_token_count(F.col("text")).alias("n_unique_tokens"),
+    )
+
+
+def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode tokens -> count -> top 20."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: char length, alpha ratio, stopword ratio."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        TX.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        TX.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_detected"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family over documents (north star)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized fingerprint; keeps min doc_id per group."""
+    from .operators.dedup import dedup_exact_by_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact_by_fingerprint(docs, "text", "doc_id")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over word 3-gram shingles) — the
+    md5-based hashing makes signatures bit-identical to the SQL oracle."""
+    from .operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", k=8).orderBy("doc_id")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    from .operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard for doc pairs blocked by source within an id
+    window — deterministic near-dup scan (oracle-checked); the LSH pipeline
+    (q_minhash_lsh_pairs) is the at-scale path."""
+    from .operators.dedup import ngram_jaccard_windowed
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_windowed(docs, "doc_id", "text", "source", window=100)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->Jaccard-verify near-dup pipeline (rows-only:
+    the banding self-join uses engine-side xxhash64 buckets)."""
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (north star)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5.
+    sim values are bit-identical to the DuckDB oracle (double fold)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks, cosine >= 0.35."""
+    from .operators.similarity import threshold_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return threshold_pairs(emb, block_col="label", threshold=0.35).orderBy("a", "b")
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing (rows-only;
+    recall measured in tests/test_similarity.py)."""
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -404,7 +546,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_surrogate_key": q_surrogate_key,
     "q_window_rank": q_window_rank,
     "q_lag_lead": q_lag_lead,
+    "q_text_tokens": q_text_tokens,
+    "q_text_term_freq": q_text_term_freq,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_cosine_topk": q_cosine_topk,
+    "q_embed_neardup": q_embed_neardup,
+    "q_cosine_topk_lsh": q_cosine_topk_lsh,
 }
+
+# -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
+
+_DK_TOKENS = "string_split_regex(lower(text), '\\s+')"
+_DK_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(w)-2, 0)),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+_DK_HASH32 = "('0x' || substr(md5(s), 1, 8))::bigint"
+_DK_STOPLIST = "['" + "','".join(
+    ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on", "with", "as")
+) + "']"
+
+_DK_MINHASH_SQL = f"""
+    with t as (select doc_id, {_DK_TOKENS} as w from documents),
+    sh as (select doc_id, unnest({_DK_SHINGLES}) as s from t),
+    h as (select doc_id, {_DK_HASH32} as h from sh)
+    select doc_id,
+           {", ".join(f"min(({a}*h + {b}) % 4294967311) as mh{i}" for i, (a, b) in enumerate([(1000003, 12345), (999331, 67891), (777857, 23456), (650011, 78912), (524287, 34567), (402653, 89123), (301141, 45678), (218971, 91234)]))}
+    from h group by doc_id order by doc_id
+"""
+
+_DK_SIMHASH_SQL = f"""
+    with t as (select doc_id, unnest({_DK_TOKENS}) as s from documents),
+    h as (select doc_id, {_DK_HASH32} as h from t),
+    b as (select doc_id,
+          {", ".join(f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as s{i}" for i in range(32))}
+          from h group by doc_id)
+    select doc_id,
+           ({" + ".join(f"(case when s{i} > 0 then {2**i} else 0 end)" for i in range(32))})::bigint as simhash
+    from b order by doc_id
+"""
+
+_DK_COSINE = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i]::double * {b}[i]::double))"
+)
+
+
+def _dk_cosine(a: str, b: str) -> str:
+    dot = _DK_COSINE.format(a=a, b=b)
+    na = _DK_COSINE.format(a=a, b=a)
+    nb = _DK_COSINE.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
 
 #: DuckDB oracle twins. Omitted keys => driver records rows-only checks.
 ORACLES: dict[str, str] = {
@@ -509,5 +707,75 @@ ORACLES: dict[str, str] = {
                lag(value)  over (partition by user_id order by ts, event_id) as prev_value,
                lead(value) over (partition by user_id order by ts, event_id) as next_value
         from events
+    """,
+    "q_text_tokens": f"""
+        select doc_id,
+               len({_DK_TOKENS})::bigint as n_tokens,
+               len(list_distinct({_DK_TOKENS}))::bigint as n_unique_tokens
+        from documents
+    """,
+    "q_text_term_freq": f"""
+        select token, count(*) as cnt
+        from (select unnest({_DK_TOKENS}) as token from documents)
+        group by token order by cnt desc, token limit 20
+    """,
+    "q_text_quality": f"""
+        select doc_id,
+               length(text)::bigint as text_len,
+               length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::double
+                   / length(text) as alpha_ratio,
+               len(list_filter({_DK_TOKENS}, t -> list_contains({_DK_STOPLIST}, t)))::double
+                   / len({_DK_TOKENS}) as stopword_ratio
+        from documents
+    """,
+    "q_lang_id": f"""
+        select doc_id,
+               case when len(list_intersect(list_distinct({_DK_TOKENS}), {_DK_STOPLIST})) >= 1
+                    then 'en' else 'unk' end as lang_detected
+        from documents
+    """,
+    "q_doc_fingerprint": """
+        select doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fingerprint
+        from documents
+    """,
+    "q_dedup_exact": """
+        select md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fingerprint,
+               min(doc_id) as doc_id, count(*) as n_copies
+        from documents group by 1
+    """,
+    "q_dedup_minhash": _DK_MINHASH_SQL,
+    "q_dedup_simhash": _DK_SIMHASH_SQL,
+    "q_ngram_jaccard": f"""
+        with t as (
+            select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+            from (select doc_id, source, {_DK_TOKENS} as w from documents)
+        )
+        select a.doc_id as a, b.doc_id as b,
+               len(list_distinct(list_intersect(a.sh, b.sh)))::double
+                   / len(list_distinct(a.sh || b.sh)) as jaccard
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id and b.doc_id - a.doc_id <= 100
+    """,
+    "q_cosine_topk": f"""
+        with p as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   {_dk_cosine('q.embedding', 'c.embedding')} as sim
+            from embeddings q, embeddings c
+            where q.vec_id < 5 and c.vec_id != q.vec_id
+        )
+        select query_id, neighbor_id, rank, sim from (
+            select *, row_number() over (
+                partition by query_id order by sim desc, neighbor_id
+            ) as rank from p
+        ) where rank <= 10 order by query_id, rank
+    """,
+    "q_embed_neardup": f"""
+        select a.label as label, a.vec_id as a, b.vec_id as b,
+               {_dk_cosine('a.embedding', 'b.embedding')} as sim
+        from embeddings a join embeddings b
+          on a.label = b.label and a.vec_id < b.vec_id
+        where {_dk_cosine('a.embedding', 'b.embedding')} >= 0.35
+        order by a, b
     """,
 }

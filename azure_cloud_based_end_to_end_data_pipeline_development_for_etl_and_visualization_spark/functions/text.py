@@ -1,0 +1,107 @@
+"""Text-analysis column expressions for the ``documents`` table.
+
+North-star extensions (SURVEY.md 2.8): tokenization, token counting,
+language-ID heuristic, quality scoring, document fingerprinting, shingling.
+All JVM-side built-ins — no Python UDFs in any hot path — so they run inside
+whole-stage codegen and scale linearly with executors.
+
+Cross-engine determinism (for the DuckDB oracles): tokenization is regex
+``\\s+`` split of lowercased text (identical in DuckDB's
+``string_split_regex``); hashes are md5-based (identical hex in both
+engines), converted to integers via hex parsing — so MinHash/SimHash
+signatures are *bit-identical* across engines, not just statistically alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny English stopword list for the language-ID heuristic
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on", "with", "as",
+)
+
+#: MinHash universal-hash parameters: h_i(x) = (A_i * x + B_i) mod P.
+#: P is the smallest prime > 2^32; A/B fixed so signatures are reproducible.
+MINHASH_PRIME = 4294967311
+MINHASH_COEFFS = [
+    (1000003, 12345),
+    (999331, 67891),
+    (777857, 23456),
+    (650011, 78912),
+    (524287, 34567),
+    (402653, 89123),
+    (301141, 45678),
+    (218971, 91234),
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are ascii letters or space — a
+    junk-detection quality signal."""
+    clean = F.length(F.regexp_replace(F.lower(col), "[^a-z ]", ""))
+    return clean.cast("double") / F.length(col)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (count includes repeats)."""
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(tokens(col), lambda t: F.array_contains(stop_arr, t)))
+    return n_stop.cast("double") / F.size(tokens(col))
+
+
+def lang_id(col: Column, min_overlap: int = 1) -> Column:
+    """N-gram-free language-ID heuristic: 'en' when enough distinct tokens
+    hit the English stoplist, else 'unk'. (A real pipeline swaps in a
+    fastText-style model via pandas_udf; the Spark plumbing is identical.)"""
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    overlap = F.size(F.array_intersect(F.array_distinct(tokens(col)), stop_arr))
+    return F.when(overlap >= min_overlap, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized
+    (lowercased, whitespace-collapsed) text."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long — the cross-engine
+    base hash for MinHash/SimHash (DuckDB: ('0x'||substr(md5(x),1,8))::bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+    Documents shorter than n tokens yield an empty array."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(F.size(toks) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(
+                      " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                  ))).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_exprs(shingle_hash_col: str, k: int = 8) -> list[Column]:
+    """Per-shingle universal-hash columns; MIN-aggregate each to get the
+    k-wide MinHash signature. Exact modular arithmetic in bigint (A*h < 2^63)."""
+    h = F.col(shingle_hash_col)
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    ]

@@ -1,0 +1,270 @@
+"""Deduplication operator family over document tables.
+
+North-star extensions (SURVEY.md 2.8 / BASELINE.json north star): exact
+dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard. All are expressed as
+DataFrame pipelines over JVM built-ins (explode -> hash -> groupBy -> join);
+no Python UDFs, so every stage is whole-stage-codegen'd and shuffles only on
+compact keys.
+
+Scale design (the 100 TB story):
+
+- exact dedup = hash-groupBy on a fingerprint: shuffles 16-byte digests,
+  not documents.
+- MinHash: one explode over shingles, ONE shuffle (groupBy doc) producing a
+  k-integer signature per doc; LSH banding turns all-pairs comparison into
+  equality self-joins on band buckets — candidate pairs only, never n^2.
+- SimHash: 32 conditional sums per doc in a single aggregation pass;
+  near-pair detection via band-equality join + popcount(xor) filter.
+- verification joins (true Jaccard) run only on the candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the minimum-id row per duplicate group.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row per group and is therefore not oracle-checkable).
+    Returns ``on`` + ``id_col`` (the kept id) + ``n_copies``."""
+    return df.groupBy(*on).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def dedup_exact_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on a normalized md5 fingerprint — at scale this shuffles
+    digests instead of full documents."""
+    fp = df.select(
+        F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-wide MinHash signature per document over word n-gram shingles.
+
+    Pipeline: shingle (array expr) -> explode -> md5-based 32-bit hash ->
+    k universal hashes -> MIN-aggregate. One shuffle, on ``id_col``.
+    Documents with fewer than ``shingle_n`` tokens are dropped (no shingles,
+    no signature) — callers union them back via exact dedup if needed."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(TX.word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    hashed = shingled.select(
+        id_col, TX.hash32(F.col("shingle")).alias("h")
+    ).select(id_col, *TX.minhash_exprs("h", k))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` bands of
+    ``k // bands`` rows; documents agreeing on *all* rows of any band become
+    a candidate pair.
+
+    Physical shape: unpivot to (band_id, bucket, doc) — bucket is a hash of
+    the band's values — then a self-equi-join per bucket. The join key is
+    (band_id, bucket), so Spark shuffles only small tuples and never
+    compares documents across different buckets. Output: distinct
+    ``(a, b)`` with a < b."""
+    r = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("bucket"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band_id", "bb.bucket")
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+    )
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """True Jaccard similarity (distinct word n-gram shingles) for given
+    candidate ``(a, b)`` pairs — the verification stage after LSH."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return joined.select(
+        "a", "b",
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> Jaccard verify
+    -> pairs above threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
+    verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n=shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit weighted sums of token hashes.
+
+    bit_i(doc) = 1 iff sum over tokens of (+1 if bit i of hash32(token) else -1) > 0.
+    Single aggregation pass: 32 conditional SUMs, all codegen'd."""
+    toks = df.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, TX.hash32(F.col("tok")).alias("h"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-pairs by SimHash: band the 32-bit hash into ``chunks`` 8-bit
+    chunks (pigeonhole: hamming <= chunks-1 implies an equal chunk), join on
+    chunk equality, verify with popcount(xor) <= max_hamming."""
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(mask).alias("chunk"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select(id_col, "simhash", "cc.chunk_id", "cc.chunk")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# bounded-window n-gram Jaccard (oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_windowed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    window: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Jaccard over word n-grams for pairs within a blocking column and a
+    bounded id distance — a deterministic, SQL-expressible near-dup scan
+    (the driver oracle covers this one; the LSH pipeline above is the
+    at-scale path for unblocked corpora)."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.array_distinct(TX.word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sets_df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("a"), F.col("sh").alias("sh_a")
+    )
+    b = sets_df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("b"), F.col("sh").alias("sh_b")
+    )
+    joined = a.join(b, "blk").filter(
+        (F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= window)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return joined.select(
+        "a", "b", (inter.cast("double") / union).alias("jaccard")
+    )

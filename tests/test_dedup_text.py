@@ -1,0 +1,119 @@
+"""Tests for the dedup family and text-analysis functions — including
+near-duplicate recall on synthetic perturbed documents (the driver testdata
+has no true near-dups, so we manufacture them here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.functions import (
+    text as TX,
+)
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators import (
+    dedup as D,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """12 docs: 0/1 identical, 2/3 near-dup (1 word of 12 changed),
+    4/5 unrelated, rest filler."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base + " today"),
+        (3, base + " tonite"),
+        (4, "completely different words about spark query engines and joins"),
+        (5, "another unrelated document mentioning parquet files and shuffles"),
+    ]
+    rows += [(i, f"filler document number {i} with some extra words appended here okay") for i in range(6, 12)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(spark, near_dup_docs):
+    out = D.dedup_exact_by_fingerprint(near_dup_docs, "text", "doc_id")
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert 1 not in rows
+    assert out.count() == 11
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world "), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_minhash_identical_docs_identical_signatures(spark, near_dup_docs):
+    sigs = D.minhash_signatures(near_dup_docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in sigs}
+    assert by_id[0] == by_id[1]  # identical docs
+    shared = sum(a == b for a, b in zip(by_id[2], by_id[3]))
+    assert shared >= 4  # near-dups agree on most hashes
+    shared_unrelated = sum(a == b for a, b in zip(by_id[4], by_id[5]))
+    assert shared_unrelated <= 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
+    pairs = D.minhash_near_duplicates(
+        near_dup_docs, "doc_id", "text", threshold=0.5
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in found  # identical
+    assert (2, 3) in found  # near-dup above threshold
+    assert (4, 5) not in found  # unrelated
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+
+
+def test_simhash_hamming_close_for_near_dups(spark, near_dup_docs):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(
+        near_dup_docs, "doc_id", "text").collect()}
+    assert sims[0] == sims[1]
+    ham_near = bin(sims[2] ^ sims[3]).count("1")
+    ham_far = bin(sims[4] ^ sims[5]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["a"], r["b"]) for r in D.simhash_near_pairs(
+        D.simhash(near_dup_docs, "doc_id", "text"), "doc_id", max_hamming=3
+    ).collect()}
+    assert (0, 1) in pairs
+
+
+def test_jaccard_pairs_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = D.jaccard_pairs(df, pairs, "doc_id", "text").collect()
+    # shingles: {a b c, b c d} vs {a b c, b c e} -> jaccard = 1/3
+    assert abs(out[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "xyzzy plugh frobozz qux")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.token_count(F.col("text")).alias("n"),
+        TX.alpha_ratio(F.col("text")).alias("alpha"),
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "unk"
+    assert out[1]["n"] == 6
+    assert out[1]["alpha"] == 1.0
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    out = df.select(TX.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0]["sh"] == []

@@ -1,0 +1,78 @@
+"""Similarity-search tests: exact top-k correctness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators import (
+    similarity as S,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _numpy_topk(emb_pd, query_ids, k=10):
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb_pd.itertuples()}
+    out = {}
+    for q in query_ids:
+        qv = vecs[q]
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            sims.append((float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), vid))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [vid for _, vid in sims[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = S.cosine_topk(emb, queries, k=10).collect()
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = _numpy_topk(emb.toPandas(), [0, 1, 2], k=10)
+    assert got_by_q == expected
+
+
+def test_cosine_topk_sim_bounds(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    rows = S.cosine_topk(emb, queries, k=5).collect()
+    assert all(-1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9 for r in rows)
+    for q in {r["query_id"] for r in rows}:
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucketing_deterministic_and_recall(spark, emb):
+    b1 = S.lsh_bucket(emb).select("vec_id", "lsh_bucket").collect()
+    b2 = S.lsh_bucket(emb).select("vec_id", "lsh_bucket").collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+
+    # recall vs exact on planted near-duplicates: a near-dup lands in the
+    # same bucket with high probability; measure on perturbed copies.
+    pdf = emb.limit(20).toPandas()
+    rng = np.random.default_rng(0)
+    rows = []
+    for r in pdf.itertuples():
+        v = np.array(r.embedding, dtype=np.float32)
+        rows.append((int(r.vec_id) + 100000, (v + rng.normal(0, 0.01, v.shape).astype(np.float32)).tolist(), int(r.label)))
+    perturbed = spark.createDataFrame(rows, emb.schema)
+    corpus = emb.unionByName(perturbed)
+    queries = perturbed.limit(10)
+    approx = S.cosine_topk_lsh(corpus, queries, k=1, n_planes=8)
+    hits = approx.filter(F.col("neighbor_id") == F.col("query_id") - 100000).count()
+    assert hits >= 7  # near-dup found in-bucket for most queries
+
+
+def test_threshold_pairs_symmetric_free(spark, emb):
+    pairs = S.threshold_pairs(emb, block_col="label", threshold=0.3).collect()
+    seen = {(r["a"], r["b"]) for r in pairs}
+    assert all(a < b for a, b in seen)  # no duplicates/self-pairs
+    assert len(seen) == len(pairs)
