@@ -40,6 +40,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds at epoch-nano magnitudes). DuckDB truncates ns->us the
     same way, so oracle comparisons line up."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # window bucketing/formatting must agree with the oracle's naive
+    # (UTC) timestamps regardless of the caller session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -375,6 +378,72 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event-time windows + JSON over events (north star, SURVEY.md 2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows per event_type (oracle: DuckDB time_bucket)."""
+    from .streaming.windows import tumbling_agg
+
+    ev = _events(spark, sf_dir)
+    return tumbling_agg(
+        ev, "ts", "6 hours", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("sum_value")],
+    ).select("window_start", "event_type", "n_events", "sum_value")
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-day windows every 12 hours (each event in 2 windows)."""
+    from .streaming.windows import sliding_agg
+
+    ev = _events(spark, sf_dir)
+    return sliding_agg(
+        ev, "ts", "1 day", "12 hours", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).select("window_start", "event_type", "n_events")
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (2-hour gap); oracle is the classic
+    gaps-and-islands SQL, so even session semantics are hash-checked."""
+    from .streaming.windows import session_agg
+
+    ev = _events(spark, sf_dir)
+    return session_agg(
+        ev, "ts", "2 hours", ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-water-mark incremental ingest (ADF-copy equivalent, rows-only):
+    seed the sink with events event_id < 5000, ingest the full source —
+    only newer rows append; re-ingest is a no-op (asserted in tests)."""
+    import tempfile
+
+    from .sources.ingest import ingest_batch_hwm
+
+    sink = os.path.join(tempfile.gettempdir(), "engine_incr_ingest")
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    ev = _events(spark, sf_dir)
+    ev.filter(F.col("event_id") < 5000).write.mode("overwrite").parquet(sink)
+    ingest_batch_hwm(spark, ev, sink, "event_id")
+    return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # text analysis over documents (north star, SURVEY.md 2.8)
 # ---------------------------------------------------------------------------
 
@@ -546,6 +615,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_surrogate_key": q_surrogate_key,
     "q_window_rank": q_window_rank,
     "q_lag_lead": q_lag_lead,
+    "q_window_tumbling": q_window_tumbling,
+    "q_window_sliding": q_window_sliding,
+    "q_window_session": q_window_session,
+    "q_json_extract": q_json_extract,
+    "q_incremental_ingest": q_incremental_ingest,
     "q_text_tokens": q_text_tokens,
     "q_text_term_freq": q_text_term_freq,
     "q_text_quality": q_text_quality,
@@ -707,6 +781,51 @@ ORACLES: dict[str, str] = {
                lag(value)  over (partition by user_id order by ts, event_id) as prev_value,
                lead(value) over (partition by user_id order by ts, event_id) as next_value
         from events
+    """,
+    "q_window_tumbling": """
+        select strftime(time_bucket(interval '6 hours', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+               event_type, count(*) as n_events,
+               cast(sum(cast(value as decimal(18,6))) as double) as sum_value
+        from events group by 1, 2
+    """,
+    "q_window_sliding": """
+        with b as (
+            select time_bucket(interval '12 hours', ts) as tb, event_type from events
+        ),
+        w as (
+            select event_type, tb - (o.k * interval '12 hours') as ws
+            from b cross join (values (0), (1)) as o(k)
+        )
+        select strftime(ws, '%Y-%m-%d %H:%M:%S') as window_start,
+               event_type, count(*) as n_events
+        from w group by 1, 2
+    """,
+    "q_window_session": """
+        with l as (
+            select user_id, ts,
+                   lag(ts) over (partition by user_id order by ts) as pts
+            from events
+        ),
+        f as (
+            select user_id, ts,
+                   case when pts is null or ts - pts > interval '2 hours'
+                        then 1 else 0 end as brk
+            from l
+        ),
+        g as (
+            select user_id, ts,
+                   sum(brk) over (partition by user_id order by ts
+                                  rows unbounded preceding) as grp
+            from f
+        )
+        select user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+               strftime(max(ts) + interval '2 hours', '%Y-%m-%d %H:%M:%S') as session_end,
+               count(*) as n_events
+        from g group by user_id, grp
+    """,
+    "q_json_extract": """
+        select event_id, cast(props->>'$.k' as bigint) as k_val from events
     """,
     "q_text_tokens": f"""
         select doc_id,

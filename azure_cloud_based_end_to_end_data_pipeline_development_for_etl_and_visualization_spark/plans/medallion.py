@@ -1,0 +1,160 @@
+"""End-to-end medallion pipeline: bronze -> silver -> gold star schema with
+SCD1 merges and incremental loads — the reference's whole architecture
+(README.md:8-14) as a plain importable library, generalized beyond
+car-sales.
+
+Reference stage mapping (SURVEY.md section 3):
+
+- ingest:  ADF copy CSV -> bronze parquet, dropping ``Product_Name``
+           (3.1; the drop happens at ingest, not silver — 1.3)
+- silver:  derived columns ``model_category = split(Model_ID,'-')[0]`` and
+           ``RevPerUnit = Revenue/Units_Sold`` (1.3 [inferred])
+- gold:    four dims + fact, each built then SCD1-merged on the surrogate
+           key (3.2/3.3); ``incremental`` parameter replaces the
+           ``dbutils.widgets`` incremental_flag (2.6 op 27)
+
+The pipeline is configuration-driven (``StarSchemaConfig``) so the same
+code runs the car-sales shape of the reference and any other star schema.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import read_csv, write_parquet
+from .scd import merge_scd1_path
+from .star import build_dim
+
+
+@dataclass
+class DimSpec:
+    name: str  # gold table name, e.g. "dim_branch"
+    business_keys: list[str]
+    attrs: list[str]
+    key_col: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.key_col:
+            self.key_col = f"{self.name}_key"
+
+
+@dataclass
+class StarSchemaConfig:
+    fact_name: str
+    measures: list[str]
+    dims: list[DimSpec] = field(default_factory=list)
+
+
+CARSALES = StarSchemaConfig(
+    fact_name="factsales",
+    measures=["Revenue", "Units_Sold", "RevPerUnit"],
+    dims=[
+        DimSpec("dim_branch", ["Branch_ID"], ["BranchName"]),
+        DimSpec("dim_dealer", ["Dealer_ID"], ["DealerName"]),
+        DimSpec("dim_model", ["Model_ID"], ["model_category"]),
+        DimSpec("dim_date", ["Date_ID"], []),
+    ],
+)
+
+
+def ingest_to_bronze(
+    spark: SparkSession, csv_path: str, lake_root: str, drop_cols: list[str]
+) -> DataFrame:
+    """CSV -> bronze parquet, dropping ingest-time columns (Product_Name)."""
+    df = read_csv(spark, csv_path).drop(*drop_cols)
+    write_parquet(df, os.path.join(lake_root, "bronze", "rawdata"))
+    return df
+
+
+def bronze_to_silver(spark: SparkSession, lake_root: str) -> DataFrame:
+    """Bronze -> silver with the reference's derived columns."""
+    bronze = spark.read.parquet(os.path.join(lake_root, "bronze", "rawdata"))
+    silver = bronze.withColumn(
+        "model_category", F.split(F.col("Model_ID"), "-").getItem(0)
+    ).withColumn("RevPerUnit", F.col("Revenue") / F.col("Units_Sold"))
+    write_parquet(silver, os.path.join(lake_root, "silver", "carsales"))
+    return silver
+
+
+def _gold_path(lake_root: str, table: str) -> str:
+    return os.path.join(lake_root, "gold", table)
+
+
+def build_gold(
+    spark: SparkSession,
+    lake_root: str,
+    config: StarSchemaConfig,
+    silver: DataFrame | None = None,
+) -> None:
+    """Build/merge every dim then the fact from the silver layer.
+
+    Initial run: surrogate keys 1..N, table created. Incremental run:
+    existing keys preserved, new business keys get max+1.., changed
+    attributes updated in place (SCD1), fact rows merged on the full
+    surrogate-key combination — reference semantics including the merge
+    keyed on surrogate keys (gold_fact_sales.ipynb:72819 cell 12)."""
+    if silver is None:
+        silver = spark.read.parquet(os.path.join(lake_root, "silver", "carsales"))
+
+    dim_frames: dict[str, DataFrame] = {}
+    for spec in config.dims:
+        path = _gold_path(lake_root, spec.name)
+        existing = spark.read.parquet(path) if os.path.exists(path) else None
+        nxt = build_dim(
+            silver, spec.business_keys, spec.attrs, spec.key_col, existing=existing
+        )
+        merge_scd1_path(spark, path, nxt, [spec.key_col])
+        dim_frames[spec.name] = spark.read.parquet(path)
+
+    fact_src = silver.alias("s")
+    select_cols: list[Column] = [F.col(f"s.{m}").alias(m) for m in config.measures]
+    for spec in config.dims:
+        d = dim_frames[spec.name].alias(spec.name)
+        cond = None
+        for k in spec.business_keys:
+            c = F.col(f"s.{k}") == F.col(f"{spec.name}.{k}")
+            cond = c if cond is None else (cond & c)
+        fact_src = fact_src.join(F.broadcast(d), cond, "left")
+        select_cols.append(F.col(f"{spec.name}.{spec.key_col}").alias(spec.key_col))
+    fact = fact_src.select(*select_cols)
+
+    key_cols = [spec.key_col for spec in config.dims]
+    merge_scd1_path(
+        spark,
+        _gold_path(lake_root, config.fact_name),
+        fact,
+        key_cols,
+        # the reference's fact grain allows duplicate key combos on initial
+        # load (one row per silver row) — SURVEY.md 3.3 documents the
+        # collision; we bypass the duplicate check to match its semantics
+        check_duplicate_source_keys=False,
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    csv_path: str,
+    lake_root: str,
+    config: StarSchemaConfig = CARSALES,
+    drop_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Full pipeline run (initial or incremental is decided per-table by
+    existence, like the reference's tableExists probe — op 9). Returns
+    per-table row counts for assertion/monitoring."""
+    ingest_to_bronze(
+        spark, csv_path, lake_root,
+        drop_cols if drop_cols is not None else ["Product_Name"],
+    )
+    silver = bronze_to_silver(spark, lake_root)
+    build_gold(spark, lake_root, config, silver=silver)
+    counts = {}
+    for spec in config.dims:
+        counts[spec.name] = spark.read.parquet(_gold_path(lake_root, spec.name)).count()
+    counts[config.fact_name] = spark.read.parquet(
+        _gold_path(lake_root, config.fact_name)
+    ).count()
+    return counts

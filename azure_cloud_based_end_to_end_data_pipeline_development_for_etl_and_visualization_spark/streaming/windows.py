@@ -1,0 +1,115 @@
+"""Event-time windowed aggregation: tumbling / sliding / session windows,
+usable identically over batch DataFrames and streaming DataFrames.
+
+The reference has zero streaming code — its "incremental loading" is batch
+re-runs with a flag (SURVEY.md 2.8, 3.3). These operators are the
+north-star streaming surface: the same ``F.window`` / ``F.session_window``
+expressions work on a batch frame (driver oracle checks) and on a
+``readStream`` frame with ``withWatermark`` (late-data handling, tested via
+``trigger(availableNow=True)`` micro-batches in tests/test_streaming.py).
+
+Scale: windowed aggregation shuffles on (window, keys) — partial
+aggregation runs map-side; watermarks bound state for unbounded streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt(col: Column, alias: str) -> Column:
+    """Window bounds as formatted UTC strings so results are comparable
+    across engines (and across pandas timestamp unit variations)."""
+    return F.date_format(col, TS_FMT).alias(alias)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Tumbling (fixed, non-overlapping) event-time windows."""
+    w = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.date_format(F.col("w.start"), TS_FMT))
+        .drop("w")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in
+    duration/slide windows."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        df.groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.date_format(F.col("w.start"), TS_FMT))
+        .drop("w")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge; the
+    window ends ``gap`` after the last event (Spark semantics:
+    start = min(ts), end = max(ts) + gap)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.date_format(F.col("w.start"), TS_FMT))
+        .withColumn("session_end", F.date_format(F.col("w.end"), TS_FMT))
+        .drop("w")
+    )
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    watermark: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Streaming variant: watermark bounds state and drops data later than
+    ``watermark`` behind the max observed event time."""
+    w = F.window(F.col(ts_col), duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.date_format(F.col("w.start"), TS_FMT))
+        .drop("w")
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key within the
+    watermark horizon (SURVEY.md 2.8)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -1,0 +1,199 @@
+"""Structured Streaming tests: checkpointed file ingest, windowed aggs with
+watermark, streaming dedup — all driven with trigger(availableNow=True)
+micro-batches so runs are finite and assertable (SURVEY.md section 5 plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.ingest import (
+    stream_ingest_files,
+    stream_to_memory,
+)
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.windows import (
+    streaming_dedup,
+    streaming_tumbling_agg,
+    tumbling_agg,
+)
+
+CSV_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+EV_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+def test_stream_ingest_discovers_only_new_files(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    sink = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "a.csv").write_text("id,name\n1,x\n2,y\n")
+    stream_ingest_files(spark, str(src), sink, ckpt, CSV_SCHEMA)
+    assert spark.read.parquet(sink).count() == 2
+
+    # second run: only the new file is ingested (checkpointed discovery)
+    (src / "b.csv").write_text("id,name\n3,z\n")
+    stream_ingest_files(spark, str(src), sink, ckpt, CSV_SCHEMA)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+
+    # third run with nothing new: no-op
+    stream_ingest_files(spark, str(src), sink, ckpt, CSV_SCHEMA)
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_stream_ingest_with_transform(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name\n1,x\n")
+    sink = str(tmp_path / "bronze")
+    stream_ingest_files(
+        spark, str(src), sink, str(tmp_path / "ck"), CSV_SCHEMA,
+        transform=lambda df: df.withColumn("name_upper", F.upper("name")),
+    )
+    row = spark.read.parquet(sink).collect()[0]
+    assert row["name_upper"] == "X"
+
+
+def _write_events(path, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"]).astype(
+        {"ts": "datetime64[us]"}
+    ).to_parquet(path)
+
+
+def test_streaming_window_agg_matches_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:05:00", 1, 10),
+        (2, "2024-01-01 00:55:00", 1, 20),
+        (3, "2024-01-01 01:10:00", 2, 30),
+        (4, "2024-01-01 02:20:00", 2, 40),
+    ]
+    _write_events(src / "p1.parquet", rows)
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+    agg = streaming_tumbling_agg(
+        stream, "ts", "1 hour", "10 minutes", [],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")],
+    )
+    stream_to_memory(agg, "win_out", output_mode="complete")
+    got = {
+        r["window_start"]: (r["n"], r["sv"])
+        for r in spark.table("win_out").collect()
+    }
+
+    batch = tumbling_agg(
+        spark.read.schema(EV_SCHEMA).parquet(str(src)), "ts", "1 hour", [],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")],
+    )
+    expected = {
+        r["window_start"]: (r["n"], r["sv"]) for r in batch.collect()
+    }
+    assert got == expected
+    assert got["2024-01-01 00:00:00"] == (2, 30)
+
+
+def test_streaming_watermark_drops_too_late_events(spark, tmp_path):
+    """Watermark semantics are one-sided: within a single availableNow run
+    late input may be admitted; on a NEW run the watermark is restored from
+    the checkpoint and input older than it is dropped. This test models the
+    realistic case: a late file arriving between two checkpointed runs."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected: list[tuple[int, dict]] = []
+
+    def sink(df, batch_id):
+        collected.append(
+            (batch_id, {r["window_start"]: r["n"] for r in df.collect()})
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+        agg = streaming_tumbling_agg(
+            stream, "ts", "1 hour", "1 hour", [],
+            [F.count(F.lit(1)).alias("n")],
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1 advances the checkpointed watermark to 09:00 (max 10:00 - 1h)
+    _write_events(src / "p1.parquet", [(1, "2024-01-01 09:00:00", 1, 1),
+                                       (2, "2024-01-01 10:00:00", 1, 1)])
+    run_once()
+    # run 2: one event 8h late (beyond watermark) + one on time
+    _write_events(src / "p2.parquet", [(3, "2024-01-01 01:00:00", 1, 1),
+                                       (4, "2024-01-01 10:30:00", 1, 1)])
+    q2 = run_once()
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the 01:00 event was discarded
+    run2_windows = {w for _, out in collected[2:] for w in out}
+    assert "2024-01-01 01:00:00" not in run2_windows
+    assert any(out.get("2024-01-01 10:00:00") == 2 for _, out in collected[2:])
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_events(src / "p1.parquet", [
+        (1, "2024-01-01 00:00:00", 1, 1),
+        (1, "2024-01-01 00:00:30", 1, 1),  # dup key within watermark
+        (2, "2024-01-01 00:01:00", 1, 1),
+    ])
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+    dd = streaming_dedup(stream, ["event_id"], "ts", "10 minutes")
+    stream_to_memory(dd, "dedup_out")
+    assert spark.table("dedup_out").count() == 2
+
+
+def test_incremental_ingest_idempotent(spark, tmp_path, sf_dir):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.sources.ingest import (
+        ingest_batch_hwm,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    sink = str(tmp_path / "sink")
+    ev.filter(F.col("o_orderkey") < 500).write.parquet(sink)
+    n0 = spark.read.parquet(sink).count()
+    appended = ingest_batch_hwm(spark, ev, sink, "o_orderkey")
+    assert appended == ev.count() - n0
+    assert ingest_batch_hwm(spark, ev, sink, "o_orderkey") == 0  # no-op re-run
+    assert spark.read.parquet(sink).count() == ev.count()
