@@ -330,6 +330,48 @@ def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting per group (the costly shuffle the approx
+    variant avoids — see q_approx_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
+    engine-specific). At 100 TB this replaces the exact two-level shuffle
+    with a constant-size mergeable sketch per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("n_supps_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (dim_date enrichment surface, SURVEY.md 2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2.6 surrogate keys
 # ---------------------------------------------------------------------------
@@ -612,6 +654,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_all": q_union_all,
     "q_groupby_agg": q_groupby_agg,
     "q_orderby_limit": q_orderby_limit,
+    "q_count_distinct": q_count_distinct,
+    "q_approx_distinct": q_approx_distinct,
+    "q_date_parts": q_date_parts,
     "q_surrogate_key": q_surrogate_key,
     "q_window_rank": q_window_rank,
     "q_lag_lead": q_lag_lead,
@@ -760,6 +805,20 @@ ORACLES: dict[str, str] = {
         group by o_custkey
         order by total_spent desc, o_custkey
         limit 10
+    """,
+    "q_count_distinct": """
+        select l_returnflag,
+               count(distinct l_partkey) as n_parts,
+               count(distinct l_suppkey) as n_supps
+        from lineitem group by l_returnflag order by l_returnflag
+    """,
+    "q_date_parts": """
+        select o_orderkey,
+               year(o_orderdate) as o_year,
+               month(o_orderdate) as o_month,
+               day(o_orderdate) as o_day,
+               strftime(o_orderdate, '%Y-%m-%d') as o_date_str
+        from orders
     """,
     "q_surrogate_key": """
         select row_number() over (order by n_nationkey) as nation_sk,

@@ -23,6 +23,7 @@ from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualiz
 )
 
 HEADLINE = [
+    # relational core
     "q_star_join",
     "q_groupby_agg",
     "q_orderby_limit",
@@ -31,6 +32,15 @@ HEADLINE = [
     "q_window_rank",
     "q_lag_lead",
     "q_arith_derive",
+    # event-time windows
+    "q_window_tumbling",
+    "q_window_session",
+    # training-data pipeline extensions
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_quality",
+    "q_ngram_jaccard",
+    "q_cosine_topk",
 ]
 
 
