@@ -372,6 +372,116 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (reporting surface over gold, SURVEY.md 2.4):
+    per (returnflag, linestatus), per returnflag, and grand total in one
+    pass — Spark expands grouping sets inside a single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum(F.col("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status x priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum(F.col("o_totalprice")).alias("sum_price"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-nation and per-segment customer stats
+    in one aggregation."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        select c_nationkey, c_mktsegment,
+               count(1) as n,
+               cast(sum(cast(c_acctbal as decimal(18,6))) as double) as sum_bal
+        from customer_gs
+        group by grouping sets ((c_nationkey), (c_mktsegment))
+        """
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: customer counts, nations x market segments. Explicit pivot
+    values keep the plan a single aggregate (no distinct-values pre-query)
+    — at 100 TB an unspecified value list would scan twice."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = _t(spark, sf_dir, "customer")
+    piv = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in segs],
+    ).orderBy("c_nationkey")
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by total spend within each market segment
+    (rank-in-partition — the per-group variant of q_orderby_limit)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        dec_sum(F.col("o_totalprice")).alias("total_spent")
+    )
+    j = spend.join(cust, spend.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_mktsegment", "total_spent"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spent").desc(), F.col("c_custkey")
+    )
+    return j.select(
+        "*", F.row_number().over(w).cast("long").alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance / correlation per group.
+
+    Spark's built-in stddev/corr use streaming moment updates whose double
+    rounding depends on partition order, so results are not reproducible
+    bit-for-bit across engines (or even runs). Here the moments come from
+    EXACT decimal power sums (order-independent) with the closed-form
+    combination done in doubles — the same expression the oracle runs, so
+    values are bit-identical. At scale this is also the cheaper plan: one
+    map-side partial aggregation of five sums, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    sx = F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+    sxx = F.sum((F.col("l_discount") * F.col("l_discount")).cast("decimal(28,8)")).cast("double")
+    sy = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+    syy = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,8)")).cast("double")
+    sxy = F.sum((F.col("l_discount") * F.col("l_quantity")).cast("decimal(28,8)")).cast("double")
+    var_x = (sxx - sx * sx / nd) / (nd - 1)
+    var_y = (syy - sy * sy / nd) / (nd - 1)
+    cov = (sxy - sx * sy / nd) / (nd - 1)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            (sx / nd).alias("mean_discount"),
+            var_x.alias("var_discount"),
+            F.sqrt(var_x).alias("stddev_discount"),
+            cov.alias("covar_qty_discount"),
+            (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2.6 surrogate keys
 # ---------------------------------------------------------------------------
@@ -483,6 +593,28 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") < 5000).write.mode("overwrite").parquet(sink)
     ingest_batch_hwm(spark, ev, sink, "event_id")
     return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    prior view (ts <= purchase ts). Union+window formulation — one shuffle,
+    no non-equi join (operators/asof.py); oracle: DuckDB ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = asof_join(purchases, views, on="user_id", right_cols=["value"], suffix="_view")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+        F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts_str"),
+        F.col("value_view").alias("view_value"),
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -628,6 +760,45 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal columns (north star) — opaque binary payloads + Arrow-batched
+# feature extraction; documents.text doubles as the payload source since the
+# driver testdata ships no media table
+# ---------------------------------------------------------------------------
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def q_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload digest + size through the Arrow-batched mapInPandas
+    path (multimodal/binary.py) — the oracle recomputes sha256 in SQL, so
+    this checks the Python-worker plumbing end to end."""
+    from .multimodal.binary import extract_features
+
+    feats = extract_features(_media_table(spark, sf_dir))
+    return feats.select("media_id", "content_digest", "n_bytes").orderBy("media_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature-extraction output incl. the 16-dim feature vector
+    (rows-only: the vector comes from the stubbed deterministic decoder)."""
+    from .multimodal.binary import extract_features
+
+    feats = extract_features(_media_table(spark, sf_dir))
+    return feats.orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -657,6 +828,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_distinct": q_count_distinct,
     "q_approx_distinct": q_approx_distinct,
     "q_date_parts": q_date_parts,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_grouping_sets": q_grouping_sets,
+    "q_pivot": q_pivot,
+    "q_topk_per_group": q_topk_per_group,
+    "q_stats_moments": q_stats_moments,
     "q_surrogate_key": q_surrogate_key,
     "q_window_rank": q_window_rank,
     "q_lag_lead": q_lag_lead,
@@ -665,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_session": q_window_session,
     "q_json_extract": q_json_extract,
     "q_incremental_ingest": q_incremental_ingest,
+    "q_asof_join": q_asof_join,
     "q_text_tokens": q_text_tokens,
     "q_text_term_freq": q_text_term_freq,
     "q_text_quality": q_text_quality,
@@ -678,6 +856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_embed_neardup": q_embed_neardup,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_multimodal_digest": q_multimodal_digest,
+    "q_multimodal_features": q_multimodal_features,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -819,6 +999,88 @@ ORACLES: dict[str, str] = {
                day(o_orderdate) as o_day,
                strftime(o_orderdate, '%Y-%m-%d') as o_date_str
         from orders
+    """,
+    "q_rollup": """
+        select l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(18,6))) as double) as sum_qty,
+               count(*) as n
+        from lineitem
+        group by rollup (l_returnflag, l_linestatus)
+    """,
+    "q_cube": """
+        select o_orderstatus, o_orderpriority,
+               cast(sum(cast(o_totalprice as decimal(18,6))) as double) as sum_price,
+               count(*) as n
+        from orders
+        group by cube (o_orderstatus, o_orderpriority)
+    """,
+    "q_grouping_sets": """
+        select c_nationkey, c_mktsegment,
+               count(*) as n,
+               cast(sum(cast(c_acctbal as decimal(18,6))) as double) as sum_bal
+        from customer
+        group by grouping sets ((c_nationkey), (c_mktsegment))
+    """,
+    "q_pivot": """
+        select c_nationkey,
+               count(*) filter (where c_mktsegment = 'AUTOMOBILE') as "AUTOMOBILE",
+               count(*) filter (where c_mktsegment = 'BUILDING')   as "BUILDING",
+               count(*) filter (where c_mktsegment = 'FURNITURE')  as "FURNITURE",
+               count(*) filter (where c_mktsegment = 'HOUSEHOLD')  as "HOUSEHOLD",
+               count(*) filter (where c_mktsegment = 'MACHINERY')  as "MACHINERY"
+        from customer group by c_nationkey order by c_nationkey
+    """,
+    "q_topk_per_group": """
+        with spend as (
+            select o_custkey,
+                   cast(sum(cast(o_totalprice as decimal(18,6))) as double) as total_spent
+            from orders group by o_custkey
+        )
+        select c_custkey, c_mktsegment, total_spent,
+               row_number() over (
+                   partition by c_mktsegment
+                   order by total_spent desc, c_custkey
+               ) as rk
+        from spend join customer on o_custkey = c_custkey
+        qualify rk <= 3
+    """,
+    "q_stats_moments": """
+        with s as (
+            select l_returnflag,
+                   count(*) as n,
+                   cast(sum(cast(l_discount as decimal(18,6))) as double) as sx,
+                   cast(sum(cast(l_discount * l_discount as decimal(28,8))) as double) as sxx,
+                   cast(sum(cast(l_quantity as decimal(18,6))) as double) as sy,
+                   cast(sum(cast(l_quantity * l_quantity as decimal(28,8))) as double) as syy,
+                   cast(sum(cast(l_discount * l_quantity as decimal(28,8))) as double) as sxy
+            from lineitem group by l_returnflag
+        )
+        select l_returnflag, n,
+               sx / n as mean_discount,
+               (sxx - sx * sx / n) / (n - 1) as var_discount,
+               sqrt((sxx - sx * sx / n) / (n - 1)) as stddev_discount,
+               (sxy - sx * sy / n) / (n - 1) as covar_qty_discount,
+               ((sxy - sx * sy / n) / (n - 1))
+                 / (sqrt((sxx - sx * sx / n) / (n - 1))
+                    * sqrt((syy - sy * sy / n) / (n - 1))) as corr_qty_discount
+        from s order by l_returnflag
+    """,
+    "q_asof_join": """
+        select p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') as ts_str,
+               p.value,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') as view_ts_str,
+               v.value as view_value
+        from (select * from events where event_type = 'purchase') p
+        asof left join (select * from events where event_type = 'view') v
+          on p.user_id = v.user_id and p.ts >= v.ts
+        order by p.event_id
+    """,
+    "q_multimodal_digest": """
+        select doc_id as media_id,
+               sha256(text) as content_digest,
+               octet_length(cast(text as blob)) as n_bytes
+        from documents order by doc_id
     """,
     "q_surrogate_key": """
         select row_number() over (order by n_nationkey) as nation_sk,

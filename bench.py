@@ -32,9 +32,14 @@ HEADLINE = [
     "q_window_rank",
     "q_lag_lead",
     "q_arith_derive",
-    # event-time windows
+    # reporting analytics
+    "q_rollup",
+    "q_topk_per_group",
+    "q_stats_moments",
+    # event-time windows + temporal joins
     "q_window_tumbling",
     "q_window_session",
+    "q_asof_join",
     # training-data pipeline extensions
     "q_dedup_exact",
     "q_dedup_minhash",
