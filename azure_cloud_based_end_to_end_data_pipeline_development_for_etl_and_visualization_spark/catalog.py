@@ -372,6 +372,67 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per group by rank selection (value at row
+    ceil(p*n) in sorted order). Interpolating percentile implementations
+    differ bit-wise across engines (a+(b-a)*f vs (1-f)*a+f*b), so the
+    engine exposes the selection form for cross-engine-deterministic
+    results; F.percentile/approx_percentile remain available."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def pick(p: float) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning — single map-side pass, no global
+    min/max pre-scan (which would cost a second full read at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0)).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (SURVEY.md 2.7: the engine exposes
+    pyspark.sql.functions wholesale; this pins the common ones against the
+    oracle's implementations)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowel"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (reporting surface over gold, SURVEY.md 2.4):
     per (returnflag, linestatus), per returnflag, and grand total in one
@@ -617,6 +678,76 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: label every event with its 1-based session
+    sequence per user (30-min gap). Complements q_window_session (which
+    returns per-session rollups, not per-event labels)."""
+    from .operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(
+        ev, "user_id", "ts", order_tiebreak="event_id", gap_seconds=1800.0
+    ).select("event_id", "user_id", F.col("session_seq").cast("long").alias("session_seq"))
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: clicks within 60 s after each error, via the
+    bucketized rewrite (operators/range_join.py) — hash join on bucket
+    keys, never the quadratic nested-loop a raw non-equi predicate plans."""
+    from .operators.range_join import range_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    j = range_join(errors, clicks, "err_ts", "click_ts", 0.0, 60.0)
+    return j.select("error_id", "click_id").orderBy("error_id", "click_id")
+
+
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) over the
+    events file read as a finite availableNow stream (rows-only: state-store
+    output, genuinely non-SQL-expressible)."""
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import running_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ckpt = os.path.join(tempfile.gettempdir(), "engine_stateful_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = running_totals(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("engine_running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = last emitted row per key
+    res = spark.table("engine_running_totals")
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        res.select("*", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("key").alias("user_id"), "n_events", "total")
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents (north star, SURVEY.md 2.8)
 # ---------------------------------------------------------------------------
@@ -834,6 +965,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot": q_pivot,
     "q_topk_per_group": q_topk_per_group,
     "q_stats_moments": q_stats_moments,
+    "q_percentile_rank": q_percentile_rank,
+    "q_histogram": q_histogram,
+    "q_string_funcs": q_string_funcs,
     "q_surrogate_key": q_surrogate_key,
     "q_window_rank": q_window_rank,
     "q_lag_lead": q_lag_lead,
@@ -843,6 +977,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_json_extract": q_json_extract,
     "q_incremental_ingest": q_incremental_ingest,
     "q_asof_join": q_asof_join,
+    "q_sessionize": q_sessionize,
+    "q_range_join": q_range_join,
+    "q_streaming_running_totals": q_streaming_running_totals,
     "q_text_tokens": q_text_tokens,
     "q_text_term_freq": q_text_term_freq,
     "q_text_quality": q_text_quality,
@@ -999,6 +1136,61 @@ ORACLES: dict[str, str] = {
                day(o_orderdate) as o_day,
                strftime(o_orderdate, '%Y-%m-%d') as o_date_str
         from orders
+    """,
+    "q_percentile_rank": """
+        with ranked as (
+            select l_returnflag, l_extendedprice,
+                   row_number() over (
+                       partition by l_returnflag
+                       order by l_extendedprice, l_orderkey, l_linenumber
+                   ) as rn,
+                   count(*) over (partition by l_returnflag) as n
+            from lineitem
+        )
+        select l_returnflag,
+               max(case when rn = ceil(0.5  * n) then l_extendedprice end) as p50,
+               max(case when rn = ceil(0.9  * n) then l_extendedprice end) as p90,
+               max(case when rn = ceil(0.99 * n) then l_extendedprice end) as p99
+        from ranked group by l_returnflag order by l_returnflag
+    """,
+    "q_histogram": """
+        select cast(floor(o_totalprice / 25000.0) as bigint) as bin,
+               count(*) as n
+        from orders group by bin order by bin
+    """,
+    "q_string_funcs": """
+        select p_partkey,
+               upper(p_name) as name_upper,
+               substr(p_type, 1, 5) as type_prefix,
+               concat_ws('|', p_brand, p_type) as brand_type,
+               regexp_replace(p_name, '[aeiou]', '', 'g') as name_novowel,
+               length(p_name) as name_len,
+               lpad(p_brand, 12, '*') as brand_padded
+        from part
+    """,
+    "q_sessionize": """
+        with flags as (
+            select event_id, user_id, ts,
+                   case when lag(ts) over w is null
+                          or epoch(ts) - epoch(lag(ts) over w) > 1800.0
+                        then 1 else 0 end as is_start
+            from events
+            window w as (partition by user_id order by ts, event_id)
+        )
+        select event_id, user_id,
+               cast(sum(is_start) over (
+                   partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row
+               ) as bigint) as session_seq
+        from flags
+    """,
+    "q_range_join": """
+        select e.event_id as error_id, c.event_id as click_id
+        from (select * from events where event_type = 'error') e
+        join (select * from events where event_type = 'click') c
+          on epoch(c.ts) >= epoch(e.ts) + 0.0
+         and epoch(c.ts) <  epoch(e.ts) + 60.0
+        order by error_id, click_id
     """,
     "q_rollup": """
         select l_returnflag, l_linestatus,

@@ -1,0 +1,98 @@
+"""Stateful streaming (applyInPandasWithState) and bucketized range join."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_running_totals_match_batch_sums(spark, sf_dir, tmp_path):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    q = (
+        running_totals(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("t_running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["key"]: (r["n_events"], r["total"])
+        for r in spark.table("t_running_totals")
+        .orderBy("n_events")  # later snapshots overwrite earlier ones
+        .collect()
+    }
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, total) in expected.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - total) < 1e-6
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        q_range_join,
+    )
+
+    df = q_range_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    """Bucketized rewrite == the naive non-equi join on a small slice."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        _events,
+    )
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.range_join import (
+        range_join,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    fast = {
+        (r["error_id"], r["click_id"])
+        for r in range_join(errors, clicks, "err_ts", "click_ts", 0.0, 120.0)
+        .select("error_id", "click_id")
+        .collect()
+    }
+    naive = {
+        (r["error_id"], r["click_id"])
+        for r in errors.join(
+            clicks,
+            (F.col("click_ts").cast("double") >= F.col("err_ts").cast("double"))
+            & (F.col("click_ts").cast("double") < F.col("err_ts").cast("double") + 120.0),
+        )
+        .select("error_id", "click_id")
+        .collect()
+    }
+    assert fast == naive and len(fast) > 0
