@@ -765,6 +765,19 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budgeting (functions/text.bpe_token_count) next to the
+    whitespace count — the LLM-token estimate training pipelines meter by."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency: explode tokens -> count -> top 20."""
     from .functions import text as TX
@@ -981,6 +994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join": q_range_join,
     "q_streaming_running_totals": q_streaming_running_totals,
     "q_text_tokens": q_text_tokens,
+    "q_token_count_bpe": q_token_count_bpe,
     "q_text_term_freq": q_text_term_freq,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
@@ -1339,6 +1353,13 @@ ORACLES: dict[str, str] = {
     """,
     "q_json_extract": """
         select event_id, cast(props->>'$.k' as bigint) as k_val from events
+    """,
+    "q_token_count_bpe": f"""
+        select doc_id,
+               len({_DK_TOKENS})::bigint as n_ws_tokens,
+               len(regexp_extract_all(lower(text),
+                   ' ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+'))::bigint as n_bpe_tokens
+        from documents
     """,
     "q_text_tokens": f"""
         select doc_id,

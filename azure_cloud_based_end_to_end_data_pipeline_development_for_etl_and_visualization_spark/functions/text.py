@@ -50,6 +50,19 @@ def unique_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("long")
 
 
+#: BPE-style pre-tokenizer pattern (GPT-2-family shape: letter runs, digit
+#: runs, punctuation runs, each optionally space-prefixed). Kept within the
+#: common subset of Java regex and RE2 so engines agree.
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate LLM-token count via the BPE pre-tokenizer split —
+    the budgeting signal training pipelines use (whitespace counts
+    undercount punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), 0)).cast("long")
+
+
 def alpha_ratio(col: Column) -> Column:
     """Fraction of characters that are ascii letters or space — a
     junk-detection quality signal."""

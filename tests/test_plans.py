@@ -1,0 +1,103 @@
+"""Plan-shape assertions: the 100-TB scale contract as executable checks.
+
+Correctness says a query returns the right rows; these tests pin HOW —
+broadcasts where a dim is small, filters/projections reaching the parquet
+scan, map-side partial aggregation, no row-at-a-time Python, no
+nested-loop joins. A regression here means a plan that still passes the
+oracle but would fall over at 1000x the data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
+    catalog,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(catalog.q_star_join(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_star_join_prunes_lineitem_columns(spark, sf_dir):
+    plan = plan_of(catalog.q_star_join(spark, sf_dir))
+    # the fact side must read only the 3 columns the query touches
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_star_join_aggregates_map_side(spark, sf_dir):
+    plan = plan_of(catalog.q_star_join(spark, sf_dir))
+    assert "partial_sum" in plan  # partial agg before the exchange
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(catalog.q_filter_isnotnull(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = plan_of(catalog.q_project(spark, sf_dir))
+    assert "c_acctbal" not in plan  # untouched column never read
+
+
+def test_empty_relation_folds_to_local(spark, sf_dir):
+    plan = plan_of(catalog.q_empty_relation(spark, sf_dir))
+    assert "LocalTableScan" in plan or "EmptyRelation" in plan
+    assert "FileScan" not in plan  # the 1=0 stub must not scan anything
+
+
+def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(catalog.q_orderby_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_star_join",
+        "q_groupby_agg",
+        "q_distinct",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_text_quality",
+        "q_lang_id",
+        "q_ngram_jaccard",
+        "q_cosine_topk",
+        "q_sessionize",
+        "q_asof_join",
+        "q_range_join",
+        "q_window_tumbling",
+        "q_stats_moments",
+        "q_percentile_rank",
+    ],
+)
+def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
+    """Batch operators must stay JVM-side: no row-at-a-time Python UDFs
+    (BatchEvalPython) and no Pandas UDFs (ArrowEvalPython) anywhere in the
+    relational/dedup/text/similarity plans. Python is allowed only at the
+    multimodal decode boundary (MapInPandas, tested separately)."""
+    plan = plan_of(catalog.QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["q_ngram_jaccard", "q_range_join", "q_embed_neardup"])
+def test_no_nested_loop_joins(spark, sf_dir, name):
+    plan = plan_of(catalog.QUERIES[name](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_uses_arrow_batches_not_pickling(spark, sf_dir):
+    plan = plan_of(catalog.q_multimodal_digest(spark, sf_dir))
+    assert "MapInPandas" in plan  # Arrow-batched
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
