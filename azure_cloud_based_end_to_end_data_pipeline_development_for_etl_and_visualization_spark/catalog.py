@@ -893,6 +893,19 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_pairs(emb, block_col="label", threshold=0.35).orderBy("a", "b")
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF-flat index (k-means cells, n_probe
+    nearest probed; rows-only — recall + exact-at-full-probe asserted in
+    tests/test_skew_ivf.py)."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing (rows-only;
     recall measured in tests/test_similarity.py)."""
@@ -1007,6 +1020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_embed_neardup": q_embed_neardup,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_multimodal_digest": q_multimodal_digest,
     "q_multimodal_features": q_multimodal_features,
 }

@@ -112,6 +112,128 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket.cast("long"))
 
 
+def _centroid_dots(vec_col: str, centroids: np.ndarray) -> "F.Column":
+    """Array of dot(vec, centroid_i) — pure JVM expression, centroids
+    compiled in as literals."""
+    return F.array(
+        *[
+            V.dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over the corpus, expressed in
+    DataFrame ops (no MLlib dependency, no Python in the per-row path).
+
+    Init: the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id)`` (a deterministic pseudo-random sample). Each
+    iteration: argmin-assign via a centroid-dot array literal (JVM
+    expression), then recompute means with posexplode + groupBy. Only
+    centroid-sized data (n_centroids x dim rows) ever reaches the driver
+    — corpus-size work stays distributed, so iterations scale to any
+    corpus the cluster can scan."""
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r["v"] for r in seeds], dtype=np.float64)
+    for _ in range(n_iters):
+        dots = _centroid_dots(vec_col, cents)
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
+        )
+        rows = (
+            assigned.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in rows:
+            new[int(r["cell"]), int(r["pos"])] = r["m"]
+        cents = new
+    return cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF-flat index: corpus vectors are
+    assigned to their nearest k-means cell once; each query probes only
+    its ``n_probe`` nearest cells. Same output shape as
+    :func:`cosine_topk`.
+
+    Scale shape: the cell id becomes the join key — an equality hash join
+    between (query, probed-cell) pairs and the cell-partitioned corpus —
+    so the compare count drops from |Q| x |C| to roughly
+    |Q| x |C| x n_probe / n_centroids. Recall is tunable via n_probe
+    (n_probe = n_centroids degrades gracefully to exact brute force)."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+
+    c_dots = _centroid_dots(vec_col, cents)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        (F.array_position(c_dots, F.array_max(c_dots)) - 1).alias("cell"),
+    )
+
+    # per-query probe list: indices of the n_probe largest centroid dots
+    q_dots = _centroid_dots(vec_col, cents)
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    q_dots, lambda d, i: F.struct((-d).alias("nd"), i.alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        n_probe,
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells).alias("cell"),
+    )
+
+    scored = (
+        cb.join(qb, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

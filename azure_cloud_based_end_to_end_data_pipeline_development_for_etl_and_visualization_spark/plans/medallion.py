@@ -47,6 +47,9 @@ class StarSchemaConfig:
     fact_name: str
     measures: list[str]
     dims: list[DimSpec] = field(default_factory=list)
+    #: silver columns carried into the fact as hive partition keys — the
+    #: 100-TB layout knob (prune "last month" scans to one partition)
+    fact_partition_cols: list[str] = field(default_factory=list)
 
 
 CARSALES = StarSchemaConfig(
@@ -112,6 +115,11 @@ def build_gold(
 
     fact_src = silver.alias("s")
     select_cols: list[Column] = [F.col(f"s.{m}").alias(m) for m in config.measures]
+    select_cols += [
+        F.col(f"s.{c}").alias(c)
+        for c in config.fact_partition_cols
+        if c not in config.measures
+    ]
     for spec in config.dims:
         d = dim_frames[spec.name].alias(spec.name)
         cond = None
@@ -132,6 +140,7 @@ def build_gold(
         # load (one row per silver row) — SURVEY.md 3.3 documents the
         # collision; we bypass the duplicate check to match its semantics
         check_duplicate_source_keys=False,
+        partition_by=config.fact_partition_cols or None,
     )
 
 

@@ -83,19 +83,27 @@ def merge_scd1_path(
     source: DataFrame,
     keys: Sequence[str],
     check_duplicate_source_keys: bool = True,
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """Merge into a parquet table at ``target_path``, atomically.
 
     Local/HDFS: write the merged relation to a side directory, then swap
     directories (readers never observe a half-written table). On an object
     store you would instead commit a new snapshot in a table format's log.
+
+    ``partition_by`` lays the merged table out hive-partitioned so
+    downstream scans get partition pruning — at 100 TB a date-partitioned
+    fact turns "last month's revenue" from a full scan into a 1% scan.
     """
     target = spark.read.parquet(target_path) if os.path.exists(target_path) else None
     merged = merge_scd1_df(
         target, source, keys, check_duplicate_source_keys=check_duplicate_source_keys
     )
     tmp = f"{target_path}.__tmp_{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(tmp)
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     if os.path.exists(target_path):
         old = f"{target_path}.__old_{uuid.uuid4().hex}"
         os.rename(target_path, old)
