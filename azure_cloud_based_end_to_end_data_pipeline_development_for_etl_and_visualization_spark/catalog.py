@@ -300,6 +300,58 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.unionByName(o)
 
 
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) — nations with customers in BOTH
+    segments; plans as a left-semi join over distincts."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.intersect(b)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — nations with AUTOMOBILE customers but no
+    high-balance BUILDING customer; plans as a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    b = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000.0)
+    ).select("c_nationkey")
+    return a.subtract(b)  # EXCEPT DISTINCT (exceptAll would be multiset)
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (uncorrelated subquery) — Catalyst rewrites to left-semi."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        select o_orderkey, o_custkey
+        from orders_sq
+        where o_custkey in (
+            select c_custkey from customer_sq where c_mktsegment = 'MACHINERY'
+        )
+        """
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS — customers who never placed a big-ticket
+    order (anti-join rewrite)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq2")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq2")
+    return spark.sql(
+        """
+        select c_custkey, c_name
+        from customer_sq2 c
+        where not exists (
+            select 1 from orders_sq2 o
+            where o.o_custkey = c.c_custkey and o.o_totalprice > 300000.0
+        )
+        """
+    )
+
+
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped aggregation (TPC-H Q1 shape) — the reporting surface gold
     exists to serve (SURVEY.md 2.4)."""
@@ -980,6 +1032,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_max_global": q_max_global,
     "q_cast_agg": q_cast_agg,
     "q_union_all": q_union_all,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_in_subquery": q_in_subquery,
+    "q_exists_subquery": q_exists_subquery,
     "q_groupby_agg": q_groupby_agg,
     "q_orderby_limit": q_orderby_limit,
     "q_count_distinct": q_count_distinct,
@@ -1164,6 +1220,30 @@ ORACLES: dict[str, str] = {
                day(o_orderdate) as o_day,
                strftime(o_orderdate, '%Y-%m-%d') as o_date_str
         from orders
+    """,
+    "q_intersect": """
+        select c_nationkey from customer where c_mktsegment = 'AUTOMOBILE'
+        intersect
+        select c_nationkey from customer where c_mktsegment = 'BUILDING'
+    """,
+    "q_except": """
+        select c_nationkey from customer where c_mktsegment = 'AUTOMOBILE'
+        except
+        select c_nationkey from customer
+        where c_mktsegment = 'BUILDING' and c_acctbal > 9000.0
+    """,
+    "q_in_subquery": """
+        select o_orderkey, o_custkey from orders
+        where o_custkey in (
+            select c_custkey from customer where c_mktsegment = 'MACHINERY'
+        )
+    """,
+    "q_exists_subquery": """
+        select c_custkey, c_name from customer c
+        where not exists (
+            select 1 from orders o
+            where o.o_custkey = c.c_custkey and o.o_totalprice > 300000.0
+        )
     """,
     "q_percentile_rank": """
         with ranked as (
