@@ -300,6 +300,54 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.unionByName(o)
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (absent from the reference; part of the complete
+    join surface). High-balance customers x big-ticket buyers."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 9000.0).select(
+        F.col("c_custkey").alias("a_key"), "c_acctbal"
+    )
+    b = (
+        orders.filter(F.col("o_totalprice") > 300000.0)
+        .groupBy(F.col("o_custkey").alias("b_key"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    return (
+        a.join(b, a.a_key == b.b_key, "full_outer")
+        .select(
+            F.coalesce(F.col("a_key"), F.col("b_key")).alias("custkey"),
+            "c_acctbal",
+            "n_big_orders",
+        )
+    )
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames: running total + 3-row moving sum per
+    customer over order history. Frame sums go through the decimal cast so
+    results are order-independent bit-for-bit (see module docstring)."""
+    orders = _t(spark, sf_dir, "orders")
+    order_spec = [F.col("o_orderdate"), F.col("o_orderkey")]
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    moving = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_spec)
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(running).cast("double").alias("running_total"),
+        F.sum(dec).over(moving).cast("double").alias("moving_sum3"),
+    )
+
+
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct set semantics) — nations with customers in BOTH
     segments; plans as a left-semi join over distincts."""
@@ -1032,6 +1080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_max_global": q_max_global,
     "q_cast_agg": q_cast_agg,
     "q_union_all": q_union_all,
+    "q_full_outer_join": q_full_outer_join,
+    "q_window_frame": q_window_frame,
     "q_intersect": q_intersect,
     "q_except": q_except,
     "q_in_subquery": q_in_subquery,
@@ -1219,6 +1269,29 @@ ORACLES: dict[str, str] = {
                month(o_orderdate) as o_month,
                day(o_orderdate) as o_day,
                strftime(o_orderdate, '%Y-%m-%d') as o_date_str
+        from orders
+    """,
+    "q_full_outer_join": """
+        with a as (
+            select c_custkey as a_key, c_acctbal from customer
+            where c_acctbal > 9000.0
+        ), b as (
+            select o_custkey as b_key, count(*) as n_big_orders from orders
+            where o_totalprice > 300000.0 group by o_custkey
+        )
+        select coalesce(a_key, b_key) as custkey, c_acctbal, n_big_orders
+        from a full outer join b on a_key = b_key
+    """,
+    "q_window_frame": """
+        select o_custkey, o_orderkey,
+               cast(sum(cast(o_totalprice as decimal(18,6))) over (
+                   partition by o_custkey order by o_orderdate, o_orderkey
+                   rows between unbounded preceding and current row
+               ) as double) as running_total,
+               cast(sum(cast(o_totalprice as decimal(18,6))) over (
+                   partition by o_custkey order by o_orderdate, o_orderkey
+                   rows between 2 preceding and current row
+               ) as double) as moving_sum3
         from orders
     """,
     "q_intersect": """
