@@ -865,6 +865,45 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY.md 2.7) over tokenized documents:
+    sort, distinct, slice, contains, join — emitted as scalars so the
+    cross-engine hash compares cleanly."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.concat_ws(" ", F.slice(F.array_sort("t"), 1, 3)).alias("first3_sorted"),
+        F.array_contains("t", "the").alias("has_the"),
+        F.element_at("t", 1).alias("first_token"),
+        F.element_at("t", -1).alias("last_token"),
+    )
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling / comparison scalar surface: coalesce, nullif,
+    greatest, least, conditional CASE."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount_or_null"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.col("l_tax")).alias(
+            "effective_rate"
+        ),
+        F.when(F.col("l_quantity") >= 25, F.lit("bulk"))
+        .when(F.col("l_quantity") >= 10, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token budgeting (functions/text.bpe_token_count) next to the
     whitespace count — the LLM-token estimate training pipelines meter by."""
@@ -1114,6 +1153,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_streaming_running_totals": q_streaming_running_totals,
     "q_text_tokens": q_text_tokens,
     "q_token_count_bpe": q_token_count_bpe,
+    "q_array_funcs": q_array_funcs,
+    "q_null_funcs": q_null_funcs,
     "q_text_term_freq": q_text_term_freq,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
@@ -1520,6 +1561,28 @@ ORACLES: dict[str, str] = {
     """,
     "q_json_extract": """
         select event_id, cast(props->>'$.k' as bigint) as k_val from events
+    """,
+    "q_array_funcs": f"""
+        with t as (select doc_id, {_DK_TOKENS} as t from documents)
+        select doc_id,
+               len(t)::bigint as n,
+               len(list_distinct(t))::bigint as n_distinct,
+               array_to_string(list_sort(t)[1:3], ' ') as first3_sorted,
+               list_contains(t, 'the') as has_the,
+               t[1] as first_token,
+               t[-1] as last_token
+        from t
+    """,
+    "q_null_funcs": """
+        select l_orderkey, l_linenumber,
+               greatest(l_tax, l_discount) as max_rate,
+               least(l_tax, l_discount) as min_rate,
+               nullif(l_discount, 0.0) as discount_or_null,
+               coalesce(nullif(l_discount, 0.0), l_tax) as effective_rate,
+               case when l_quantity >= 25 then 'bulk'
+                    when l_quantity >= 10 then 'mid'
+                    else 'small' end as size_class
+        from lineitem
     """,
     "q_token_count_bpe": f"""
         select doc_id,

@@ -1,0 +1,60 @@
+"""Driver-contract meta-tests: __spark_entry__ exposes exactly what the
+grading driver expects, and the whole catalog executes under a session
+with NO engine configs (the driver builds its own plain SparkSession —
+any query needing session state must set it itself)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    extra = set(oracles) - set(qs)
+    assert not extra, f"oracles without queries: {extra}"
+
+
+def test_rows_only_queries_are_the_documented_set():
+    """Every query SHOULD have an oracle; the rows-only remainder must be
+    exactly the genuinely non-SQL-expressible/engine-specific set."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "q_scan_csv",            # fixture CSV, no oracle table
+        "q_write_roundtrip",     # sink side-effect
+        "q_scd1_merge",          # merge pipeline (3-batch pytest scenario)
+        "q_incremental_ingest",  # sink side-effect
+        "q_streaming_running_totals",  # state-store output
+        "q_approx_distinct",     # HLL sketch estimates are engine-specific
+        "q_minhash_lsh_pairs",   # engine-side xxhash64 band buckets
+        "q_cosine_topk_lsh",     # approximate, recall tested in pytest
+        "q_cosine_topk_ivf",     # approximate, recall tested in pytest
+        "q_multimodal_features", # stubbed decoder feature vectors
+    }
+
+
+def test_entry_runs_on_plain_session(spark):
+    df = entry_mod.entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() > 0
+
+
+def test_every_query_executes(spark, sf_dir):
+    """Each catalog entry returns a non-degenerate DataFrame at sf0.001.
+    (Value correctness is tools/check_oracle.py's job; this guards against
+    a rename/regression making the driver's harness error out.)"""
+    failures = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            assert df.columns, f"{name}: no columns"
+            df.limit(1).collect()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {ex}")
+    assert not failures, "\n".join(failures)
