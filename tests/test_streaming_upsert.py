@@ -1,0 +1,62 @@
+"""Streaming SCD1 upsert (foreachBatch -> portable merge)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [StructField("k", LongType()), StructField("v", StringType())]
+)
+
+
+def _write_csv(path, rows):
+    path.write_text("k,v\n" + "\n".join(f"{k},{v}" for k, v in rows) + "\n")
+
+
+def test_stream_upsert_merges_batches_and_is_replay_safe(spark, tmp_path):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.upsert import (
+        stream_upsert_scd1,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    gold = str(tmp_path / "gold" / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(str(src))
+        )
+        stream_upsert_scd1(spark, stream, gold, ["k"], ckpt)
+
+    # batch 1: initial load
+    _write_csv(src / "b1.csv", [(1, "a"), (2, "b")])
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(gold).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+    # batch 2: one update, one insert — merged incrementally
+    _write_csv(src / "b2.csv", [(2, "b2"), (3, "c")])
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(gold).collect()} == {
+        (1, "a"),
+        (2, "b2"),
+        (3, "c"),
+    }
+
+    # re-run with no new files: checkpoint makes it a no-op
+    before = sorted(os.listdir(os.path.dirname(gold)))
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(gold).collect()} == {
+        (1, "a"),
+        (2, "b2"),
+        (3, "c"),
+    }
+    assert sorted(os.listdir(os.path.dirname(gold))) == before
