@@ -300,6 +300,41 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.unionByName(o)
 
 
+def q_filter_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped showcase: segment filter + date-range predicates
+    pushed to both scans, two joins, grouped revenue, top-10. The shape
+    that proves pushdown + broadcast + partial-agg compose (the date
+    filters land in PushedFilters on orders AND lineitem)."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (absent from the reference; part of the complete
     join surface). High-balance customers x big-ticket buyers."""
@@ -1119,6 +1154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_max_global": q_max_global,
     "q_cast_agg": q_cast_agg,
     "q_union_all": q_union_all,
+    "q_filter_join_topk": q_filter_join_topk,
     "q_full_outer_join": q_full_outer_join,
     "q_window_frame": q_window_frame,
     "q_intersect": q_intersect,
@@ -1311,6 +1347,22 @@ ORACLES: dict[str, str] = {
                day(o_orderdate) as o_day,
                strftime(o_orderdate, '%Y-%m-%d') as o_date_str
         from orders
+    """,
+    "q_filter_join_topk": """
+        select l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') as orderdate,
+               o_orderpriority,
+               cast(sum(cast(l_extendedprice * (1 - l_discount)
+                    as decimal(18,6))) as double) as revenue
+        from customer, orders, lineitem
+        where c_mktsegment = 'BUILDING'
+          and c_custkey = o_custkey
+          and l_orderkey = o_orderkey
+          and o_orderdate < timestamp '1998-06-01'
+          and l_shipdate > timestamp '1998-06-01'
+        group by l_orderkey, orderdate, o_orderpriority
+        order by revenue desc, l_orderkey
+        limit 10
     """,
     "q_full_outer_join": """
         with a as (

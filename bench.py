@@ -25,6 +25,7 @@ from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualiz
 HEADLINE = [
     # relational core
     "q_star_join",
+    "q_filter_join_topk",
     "q_groupby_agg",
     "q_orderby_limit",
     "q_distinct",

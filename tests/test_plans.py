@@ -38,6 +38,13 @@ def test_star_join_aggregates_map_side(spark, sf_dir):
     assert "partial_sum" in plan  # partial agg before the exchange
 
 
+def test_q3_shape_pushes_date_filters_to_both_scans(spark, sf_dir):
+    plan = plan_of(catalog.q_filter_join_topk(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = plan_of(catalog.q_filter_isnotnull(spark, sf_dir))
     assert "PushedFilters: [IsNotNull" in plan
