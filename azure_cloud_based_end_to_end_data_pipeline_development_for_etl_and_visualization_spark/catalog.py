@@ -995,6 +995,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (order-sensitive polynomial hash over the
+    token stream) — the incremental-friendly sibling of the md5 form."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.rolling_hash(F.col("text")).alias("rolling_fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family over documents (north star)
 # ---------------------------------------------------------------------------
@@ -1195,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_fingerprint_rolling": q_doc_fingerprint_rolling,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
@@ -1668,6 +1680,18 @@ ORACLES: dict[str, str] = {
                case when len(list_intersect(list_distinct({_DK_TOKENS}), {_DK_STOPLIST})) >= 1
                     then 'en' else 'unk' end as lang_detected
         from documents
+    """,
+    "q_doc_fingerprint_rolling": f"""
+        with t as (
+            select doc_id,
+                   list_transform({_DK_TOKENS},
+                       s -> ('0x' || substr(md5(s), 1, 8))::bigint) as h
+            from documents
+        )
+        select doc_id,
+               list_reduce(h, (acc, x) -> (acc * 31 + x) % 2147483647)
+                   as rolling_fp
+        from t
     """,
     "q_doc_fingerprint": """
         select doc_id,

@@ -123,6 +123,24 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return shingles_of(tokens(col), n)
 
 
+def rolling_hash(col: Column, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the token stream:
+    ``fp = ((h1*31 + h2) % m)*31 + h3 ...`` with md5-derived 32-bit token
+    hashes — an order-sensitive fingerprint (md5-of-normalized-text is
+    order-sensitive too but opaque; the rolling form supports incremental
+    extension and windowed variants). Pure JVM higher-order aggregate,
+    no UDF; the -1 sentinel reproduces reduce-without-init semantics so
+    the DuckDB ``list_reduce`` oracle is bit-identical."""
+    h = F.transform(tokens(col), lambda t: hash32(t))
+    return F.aggregate(
+        h,
+        F.lit(-1).cast("long"),
+        lambda acc, x: F.when(acc == -1, x).otherwise(
+            (acc * 31 + x) % F.lit(mod)
+        ),
+    )
+
+
 def minhash_exprs(shingle_hash_col: str, k: int = 8) -> list[Column]:
     """Per-shingle universal-hash columns; MIN-aggregate each to get the
     k-wide MinHash signature. Exact modular arithmetic in bigint (A*h < 2^63)."""
