@@ -1055,6 +1055,69 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy dedup: among exact duplicates (normalized fingerprint),
+    keep the LONGEST document (quality proxy), tie-broken by doc_id —
+    the keep-best policy real curation pipelines use instead of keep-min."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("text_len").desc(), F.col("doc_id")
+    )
+    return (
+        fp.select(
+            "*",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_dupes"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "fingerprint", "text_len", "n_dupes")
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite: quality-gate (alpha ratio, stopword
+    ratio, token budget) -> exact dedup -> per-source token accounting.
+    The one-query version of what a training-data run does to a crawl."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TX.alpha_ratio(F.col("text")).alias("ar"),
+        TX.stopword_ratio(F.col("text")).alias("sr"),
+        TX.bpe_token_count(F.col("text")).alias("n_tok"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    ).filter(
+        (F.col("ar") >= 0.5)
+        & (F.col("sr") >= 0.02)
+        & F.col("n_tok").between(10, 5000)
+    )
+    kept = (
+        scored.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_tok", "doc_id").alias("n_tok"),
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings (north star)
 # ---------------------------------------------------------------------------
@@ -1207,6 +1270,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_fingerprint_rolling": q_doc_fingerprint_rolling,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_curation_pipeline": q_curation_pipeline,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
@@ -1680,6 +1745,47 @@ ORACLES: dict[str, str] = {
                case when len(list_intersect(list_distinct({_DK_TOKENS}), {_DK_STOPLIST})) >= 1
                     then 'en' else 'unk' end as lang_detected
         from documents
+    """,
+    "q_dedup_keep_best": """
+        with fp as (
+            select doc_id, length(text)::bigint as text_len,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       as fingerprint
+            from documents
+        )
+        select doc_id, fingerprint, text_len,
+               count(*) over (partition by fingerprint) as n_dupes
+        from fp
+        qualify row_number() over (
+            partition by fingerprint order by text_len desc, doc_id
+        ) = 1
+    """,
+    "q_curation_pipeline": f"""
+        with scored as (
+            select doc_id, source,
+                   length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::double
+                       / length(text) as ar,
+                   len(list_filter({_DK_TOKENS},
+                       t -> list_contains({_DK_STOPLIST}, t)))::double
+                       / len({_DK_TOKENS}) as sr,
+                   len(regexp_extract_all(lower(text),
+                       ' ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+'))::bigint as n_tok,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fp
+            from documents
+        ),
+        filt as (
+            select * from scored
+            where ar >= 0.5 and sr >= 0.02 and n_tok between 10 and 5000
+        ),
+        kept as (
+            select fp, min(doc_id) as doc_id,
+                   arg_min(source, doc_id) as source,
+                   arg_min(n_tok, doc_id) as n_tok
+            from filt group by fp
+        )
+        select source, count(*) as n_docs,
+               sum(n_tok)::bigint as total_tokens
+        from kept group by source order by source
     """,
     "q_doc_fingerprint_rolling": f"""
         with t as (

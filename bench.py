@@ -47,6 +47,7 @@ HEADLINE = [
     "q_text_quality",
     "q_ngram_jaccard",
     "q_cosine_topk",
+    "q_curation_pipeline",
 ]
 
 
