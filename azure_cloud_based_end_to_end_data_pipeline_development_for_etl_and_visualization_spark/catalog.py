@@ -1055,6 +1055,45 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash (md5 bucket in [0,1000): <900 train, <950 val, else test).
+    Hash-based splits are reproducible across engines and stable under
+    re-partitioning — rand()-based sampling is neither."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 1000
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates (domain
+    up/down-weighting, the training-mix knob) via the same id-hash bucket.
+    Pure filter — no shuffle, no rand(), same sample on every run."""
+    from .functions import text as TX
+
+    rates = {"src0": 900, "src1": 700, "src2": 500, "src3": 100}  # per-mille
+    docs = _t(spark, sf_dir, "documents")
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 1000
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in rates.items()],
+        F.lit(300),
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "bucket")
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy dedup: among exact duplicates (normalized fingerprint),
     keep the LONGEST document (quality proxy), tie-broken by doc_id —
@@ -1270,6 +1309,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_fingerprint_rolling": q_doc_fingerprint_rolling,
+    "q_split_assign": q_split_assign,
+    "q_sample_stratified": q_sample_stratified,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_curation_pipeline": q_curation_pipeline,
     "q_dedup_exact": q_dedup_exact,
@@ -1745,6 +1786,31 @@ ORACLES: dict[str, str] = {
                case when len(list_intersect(list_distinct({_DK_TOKENS}), {_DK_STOPLIST})) >= 1
                     then 'en' else 'unk' end as lang_detected
         from documents
+    """,
+    "q_split_assign": """
+        with b as (
+            select doc_id,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000
+                       as bucket
+            from documents
+        )
+        select doc_id, bucket,
+               case when bucket < 900 then 'train'
+                    when bucket < 950 then 'val'
+                    else 'test' end as split
+        from b
+    """,
+    "q_sample_stratified": """
+        with b as (
+            select doc_id, source,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000
+                       as bucket,
+                   case source when 'src0' then 900 when 'src1' then 700
+                               when 'src2' then 500 when 'src3' then 100
+                               else 300 end as rate
+            from documents
+        )
+        select doc_id, source, bucket from b where bucket < rate
     """,
     "q_dedup_keep_best": """
         with fp as (
