@@ -852,6 +852,12 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import running_totals
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # state-store instances scale with shuffle partitions; a plain driver
+    # session defaults to 200 — cap for this bounded 150-key stream and
+    # restore afterwards (fresh checkpoint per call, so the width is free
+    # to differ between runs)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     ckpt = os.path.join(tempfile.gettempdir(), "engine_stateful_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
@@ -872,6 +878,7 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # final state per key = last emitted row per key
     res = spark.table("engine_running_totals")
     w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
