@@ -305,7 +305,9 @@ def q_filter_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to both scans, two joins, grouped revenue, top-10. The shape
     that proves pushdown + broadcast + partial-agg compose (the date
     filters land in PushedFilters on orders AND lineitem)."""
-    cutoff = F.lit("1998-06-01").cast("timestamp")
+    # orders/lineitem store TIMESTAMP_NTZ; an ntz literal keeps the
+    # comparison independent of the (driver's) session timezone
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
     cust = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
