@@ -541,6 +541,45 @@ def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (rows-only: KLL/GK sketch internals are
+    engine-specific) — the one-shuffle constant-state path SCALING.md
+    prescribes for fact-wide quantiles; q_percentile_rank is the exact
+    cross-engine-deterministic sibling."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+            ).alias("approx_pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_pcts")[0].alias("p50"),
+            F.col("approx_pcts")[1].alias("p90"),
+            F.col("approx_pcts")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    match each other instead of vanishing — the semantic trap plain equi
+    joins hide. Keys made nullable via nullif to exercise it."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(7)).alias("nk")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(7)).alias("nk2"), "n_name"
+    )
+    return (
+        cust.join(nat, F.col("nk").eqNullSafe(F.col("nk2")), "inner")
+        .select("c_custkey", "nk", "n_name")
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram binning — single map-side pass, no global
     min/max pre-scan (which would cost a second full read at 100 TB)."""
@@ -1295,6 +1334,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_per_group": q_topk_per_group,
     "q_stats_moments": q_stats_moments,
     "q_percentile_rank": q_percentile_rank,
+    "q_approx_percentile": q_approx_percentile,
+    "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
     "q_string_funcs": q_string_funcs,
     "q_surrogate_key": q_surrogate_key,
@@ -1553,6 +1594,12 @@ ORACLES: dict[str, str] = {
                max(case when rn = ceil(0.9  * n) then l_extendedprice end) as p90,
                max(case when rn = ceil(0.99 * n) then l_extendedprice end) as p99
         from ranked group by l_returnflag order by l_returnflag
+    """,
+    "q_null_safe_join": """
+        with c as (select c_custkey, nullif(c_nationkey, 7) as nk from customer),
+             n as (select nullif(n_nationkey, 7) as nk2, n_name from nation)
+        select c_custkey, nk, n_name
+        from c join n on nk is not distinct from nk2
     """,
     "q_histogram": """
         select cast(floor(o_totalprice / 25000.0) as bigint) as bin,
