@@ -854,6 +854,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: old = orders below a key cutoff, new = a
+    shifted window with every 10th price bumped — classifies rows as
+    inserted/deleted/changed/unchanged (operators/diff.py)."""
+    from .operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") < 12000)
+    new = orders.filter(F.col("o_orderkey") >= 2000).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: label every event with its 1-based session
     sequence per user (30-min gap). Complements q_window_session (which
@@ -1347,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_json_extract": q_json_extract,
     "q_incremental_ingest": q_incremental_ingest,
     "q_asof_join": q_asof_join,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
     "q_streaming_running_totals": q_streaming_running_totals,
@@ -1615,6 +1635,31 @@ ORACLES: dict[str, str] = {
                length(p_name) as name_len,
                lpad(p_brand, 12, '*') as brand_padded
         from part
+    """,
+    "q_snapshot_diff": """
+        with old as (
+            select o_orderkey, o_orderstatus, o_totalprice from orders
+            where o_orderkey < 12000
+        ),
+        new as (
+            select o_orderkey, o_orderstatus,
+                   case when o_orderkey % 10 = 0 then o_totalprice + 1.0
+                        else o_totalprice end as o_totalprice
+            from orders where o_orderkey >= 2000
+        )
+        select coalesce(old.o_orderkey, new.o_orderkey) as o_orderkey,
+               case when old.o_orderkey is null then 'inserted'
+                    when new.o_orderkey is null then 'deleted'
+                    when old.o_orderstatus is not distinct from new.o_orderstatus
+                     and old.o_totalprice is not distinct from new.o_totalprice
+                        then 'unchanged'
+                    else 'changed' end as change,
+               old.o_orderstatus as o_orderstatus_old,
+               old.o_totalprice as o_totalprice_old,
+               new.o_orderstatus as o_orderstatus_new,
+               new.o_totalprice as o_totalprice_new
+        from old full outer join new on old.o_orderkey = new.o_orderkey
+        order by o_orderkey
     """,
     "q_sessionize": """
         with flags as (
