@@ -134,6 +134,36 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.orderBy("dim_customer_key")
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-batch SCD Type-2 scenario (rows-only): the history-keeping
+    sibling of q_scd1_merge — changed names expire the current version
+    and insert a new one with validity intervals (plans/scd2.py).
+    Invariants (interval chaining, idempotence, as-of lookup) are pinned
+    in tests/test_scd2.py."""
+    import datetime as _dt
+
+    from .plans.scd2 import merge_scd2_df
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    b0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    b1 = cust.filter(F.col("c_custkey") % 10 == 0)
+    b2 = b1.withColumn("c_name", F.concat(F.col("c_name"), F.lit(" up")))
+
+    state = merge_scd2_df(None, b0, ["c_custkey"], _dt.datetime(2024, 1, 1))
+    state = merge_scd2_df(state, b1, ["c_custkey"], _dt.datetime(2024, 2, 1))
+    state = merge_scd2_df(state, b2, ["c_custkey"], _dt.datetime(2024, 3, 1))
+    # validity bounds as strings: the 9999-12-31 sentinel overflows
+    # pandas/Arrow nanosecond timestamps on collect
+    return state.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")
+
+
 # ---------------------------------------------------------------------------
 # 2.2 projections / filters / derivations
 # ---------------------------------------------------------------------------
@@ -1319,6 +1349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_csv": q_scan_csv,
     "q_write_roundtrip": q_write_roundtrip,
     "q_scd1_merge": q_scd1_merge,
+    "q_scd2_merge": q_scd2_merge,
     "q_project": q_project,
     "q_join_project_disambiguate": q_join_project_disambiguate,
     "q_filter_isnull": q_filter_isnull,

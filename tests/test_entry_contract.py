@@ -29,6 +29,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_scan_csv",            # fixture CSV, no oracle table
         "q_write_roundtrip",     # sink side-effect
         "q_scd1_merge",          # merge pipeline (3-batch pytest scenario)
+        "q_scd2_merge",          # history-keeping merge (pytest scenario)
         "q_incremental_ingest",  # sink side-effect
         "q_streaming_running_totals",  # state-store output
         "q_approx_distinct",     # HLL sketch estimates are engine-specific
