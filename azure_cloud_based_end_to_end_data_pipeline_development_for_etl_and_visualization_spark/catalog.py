@@ -884,6 +884,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check report over the warehouse (operators/quality.py):
+    uniqueness, not-null, range, and referential integrity as one
+    (check, violations) table — the promotion gate the reference's
+    display()-and-eyeball workflow lacks."""
+    from .operators.quality import (
+        check_in_range,
+        check_not_null,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return run_checks(
+        [
+            check_unique(orders, ["o_orderkey"]),
+            check_unique(li, ["l_orderkey", "l_linenumber"]),
+            check_not_null(orders, "o_custkey"),
+            check_in_range(li, "l_discount", 0.0, 1.0),
+            check_referential(orders, "o_custkey", cust, "c_custkey"),
+            check_referential(li, "l_orderkey", orders, "o_orderkey"),
+        ]
+    ).orderBy("check")
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: old = orders below a key cutoff, new = a
     shifted window with every 10th price bumped — classifies rows as
@@ -1397,6 +1425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_json_extract": q_json_extract,
     "q_incremental_ingest": q_incremental_ingest,
     "q_asof_join": q_asof_join,
+    "q_data_quality": q_data_quality,
     "q_snapshot_diff": q_snapshot_diff,
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
@@ -1666,6 +1695,35 @@ ORACLES: dict[str, str] = {
                length(p_name) as name_len,
                lpad(p_brand, 12, '*') as brand_padded
         from part
+    """,
+    "q_data_quality": """
+        select 'unique(o_orderkey)' as "check",
+               (select coalesce(sum(n - 1), 0) from (
+                   select count(*) as n from orders group by o_orderkey having count(*) > 1
+               ))::bigint as violations
+        union all
+        select 'unique(l_orderkey,l_linenumber)',
+               (select coalesce(sum(n - 1), 0) from (
+                   select count(*) as n from lineitem
+                   group by l_orderkey, l_linenumber having count(*) > 1
+               ))::bigint
+        union all
+        select 'not_null(o_custkey)',
+               (select count(*) - count(o_custkey) from orders)::bigint
+        union all
+        select 'in_range(l_discount,[0.0,1.0])',
+               (select sum(case when l_discount is null
+                                 or l_discount < 0.0 or l_discount > 1.0
+                                then 1 else 0 end) from lineitem)::bigint
+        union all
+        select 'fk(o_custkey->c_custkey)',
+               (select count(*) from orders
+                where o_custkey not in (select c_custkey from customer))::bigint
+        union all
+        select 'fk(l_orderkey->o_orderkey)',
+               (select count(*) from lineitem
+                where l_orderkey not in (select o_orderkey from orders))::bigint
+        order by "check"
     """,
     "q_snapshot_diff": """
         with old as (
