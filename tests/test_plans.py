@@ -85,6 +85,16 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_window_tumbling",
         "q_stats_moments",
         "q_percentile_rank",
+        "q_curation_pipeline",
+        "q_snapshot_diff",
+        "q_data_quality",
+        "q_split_assign",
+        "q_sample_stratified",
+        "q_doc_fingerprint_rolling",
+        "q_token_count_bpe",
+        "q_window_frame",
+        "q_null_safe_join",
+        "q_filter_join_topk",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
