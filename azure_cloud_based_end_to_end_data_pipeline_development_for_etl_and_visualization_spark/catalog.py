@@ -300,6 +300,44 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_star_join_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact scale variant of q_star_join: when orders is too big
+    to broadcast (true at 100 TB), pre-aggregate lineitem per orderkey
+    BEFORE the join — the join input shrinks from line items to orders,
+    and the shuffle moves to the smaller post-agg relation. Catalyst does
+    not push partial aggregates through joins itself; this encodes the
+    rewrite explicitly. Same result as q_star_join (decimal sums are
+    associative, so two-level summation is exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region")
+
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("order_rev"),
+        F.count(F.lit(1)).alias("order_items"),
+    )
+    joined = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left")
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name"), F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.sum("order_items").alias("n_items"),
+        )
+        .orderBy("r_name", "order_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2.4 / 2.5 aggregates, distinct, union, order/limit
 # ---------------------------------------------------------------------------
@@ -1389,6 +1427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_left_semi": q_left_semi,
     "q_left_anti": q_left_anti,
     "q_star_join": q_star_join,
+    "q_star_join_preagg": q_star_join_preagg,
     "q_distinct": q_distinct,
     "q_max_global": q_max_global,
     "q_cast_agg": q_cast_agg,
@@ -1542,6 +1581,24 @@ ORACLES: dict[str, str] = {
     "q_left_anti": """
         select c_custkey, c_name from customer
         where c_custkey not in (select o_custkey from orders where o_custkey is not null)
+    """,
+    "q_star_join_preagg": """
+        with per_order as (
+            select l_orderkey,
+                   sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))
+                       as order_rev,
+                   count(*) as order_items
+            from lineitem group by l_orderkey
+        )
+        select r.r_name, year(o.o_orderdate) as order_year,
+               cast(sum(order_rev) as double) as revenue,
+               sum(order_items)::bigint as n_items
+        from per_order p
+        left join orders o   on p.l_orderkey = o.o_orderkey
+        left join customer c on o.o_custkey = c.c_custkey
+        left join nation n   on c.c_nationkey = n.n_nationkey
+        left join region r   on n.n_regionkey = r.r_regionkey
+        group by 1, 2 order by 1, 2
     """,
     "q_star_join": """
         select r.r_name, year(o.o_orderdate) as order_year,
