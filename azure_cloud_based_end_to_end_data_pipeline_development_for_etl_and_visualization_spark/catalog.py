@@ -1320,6 +1320,31 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup clustering pipeline (rows-only: iterative label
+    propagation, non-SQL-expressible): LSH candidate pairs -> connected
+    components -> every doc mapped to its cluster representative.
+    Correctness vs a reference union-find is property-tested in
+    tests/test_components.py."""
+    from .operators.components import dedup_clusters
+    from .operators.dedup import minhash_near_duplicates
+
+    # the iterated label frames are tiny; a plain session's 200-wide
+    # shuffles would dominate each iteration — cap and restore
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        # connected_components runs eagerly (cache+count per iteration),
+        # so the capped width governs the iterative jobs; the lazy tail
+        # (final join) is label-sized and fine at any width
+        out = dedup_clusters(pairs, docs, "doc_id").orderBy("doc_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings (north star)
 # ---------------------------------------------------------------------------
@@ -1487,6 +1512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_cosine_topk": q_cosine_topk,
     "q_embed_neardup": q_embed_neardup,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,

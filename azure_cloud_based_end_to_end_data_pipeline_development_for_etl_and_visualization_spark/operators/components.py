@@ -1,0 +1,90 @@
+"""Connected components via label propagation — dedup clustering.
+
+Near-dup detection (MinHash/LSH, embedding thresholds) emits PAIRS; a
+curation pipeline needs CLUSTERS (keep one representative per group of
+mutual near-duplicates). Pairs→clusters is connected components — the
+canonical "iterative algorithm" the catalog's one non-SQL-expressible
+batch entry exercises.
+
+Algorithm: every node starts labeled with its own id; each iteration
+every node takes the MIN label over itself and its neighbors; stop when
+no label changes (or ``max_iter``). Converges in O(diameter) iterations —
+near-dup graphs are unions of small cliques, so 2–4 iterations in
+practice.
+
+Scale shape per iteration: one join (labels ⋈ edges, shuffle on node id)
++ one min-aggregate. Labels are ``(node, long)`` pairs — the iterated
+state is narrow no matter how wide the documents are. Each iteration's
+result is cached and the previous uncached to keep the lineage bounded
+(iterative DataFrame loops otherwise grow an unexecutable plan tree).
+Driver sees only the one-row convergence check per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return ``(node, component)`` where ``component`` is the minimum
+    node id reachable from ``node`` over the undirected edge set."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component")).cache()
+    labels.count()  # materialize
+
+    for _ in range(max_iter):
+        # candidate labels: own component + every neighbor's component
+        neighbor_labels = (
+            sym.join(labels, sym.v == labels.node)
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Cluster near-dup ``pairs`` and assign every document its cluster
+    representative (min id; singletons represent themselves). Keeping
+    ``cluster_rep == id`` rows implements cluster-level dedup."""
+    comps = connected_components(pairs, src, dst)
+    return (
+        all_ids.select(F.col(id_col))
+        .join(comps, all_ids[id_col] == comps.node, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_rep"),
+        )
+    )
