@@ -900,6 +900,48 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: per user, a dense 6-hour
+    grid from their first to last bucket, empty buckets carrying the last
+    observed mean forward. The gap-filling op feature pipelines need
+    before fixed-step models; grid generation is sequence-explode (no
+    driver loop), fill is last(ignorenulls) over one window."""
+    ev = _events(spark, sf_dir)
+    step = 6 * 3600
+    bucketed = (
+        ev.groupBy(
+            "user_id",
+            F.window("ts", "6 hours").start.alias("tb"),
+        )
+        .agg(dec_avg(F.col("value")).alias("mean_value"))
+    )
+    bounds = bucketed.groupBy("user_id").agg(
+        F.min("tb").alias("mn"), F.max("tb").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("mn").cast("long"),
+                F.col("mx").cast("long"),
+                F.lit(step),
+            )
+        ).alias("tb_sec"),
+    ).select("user_id", F.timestamp_seconds(F.col("tb_sec")).alias("tb"))
+    joined = grid.join(bucketed, ["user_id", "tb"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("tb", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.last("mean_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("mean_value").isNull().alias("was_gap"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event matched to the user's most recent
     prior view (ts <= purchase ts). Union+window formulation — one shuffle,
@@ -1488,6 +1530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_session": q_window_session,
     "q_json_extract": q_json_extract,
     "q_incremental_ingest": q_incremental_ingest,
+    "q_resample_ffill": q_resample_ffill,
     "q_asof_join": q_asof_join,
     "q_data_quality": q_data_quality,
     "q_snapshot_diff": q_snapshot_diff,
@@ -1921,6 +1964,30 @@ ORACLES: dict[str, str] = {
                  / (sqrt((sxx - sx * sx / n) / (n - 1))
                     * sqrt((syy - sy * sy / n) / (n - 1))) as corr_qty_discount
         from s order by l_returnflag
+    """,
+    "q_resample_ffill": """
+        with b as (
+            select user_id, time_bucket(interval 6 hours, ts) as tb,
+                   cast(sum(cast(value as decimal(18,6))) as double)
+                       / count(value) as mean_value
+            from events group by user_id, tb
+        ),
+        bounds as (
+            select user_id, min(tb) as mn, max(tb) as mx from b group by user_id
+        ),
+        grid as (
+            select user_id, unnest(generate_series(mn, mx, interval 6 hours)) as tb
+            from bounds
+        )
+        select g.user_id,
+               strftime(g.tb, '%Y-%m-%d %H:%M:%S') as bucket,
+               last_value(b.mean_value ignore nulls) over (
+                   partition by g.user_id order by g.tb
+                   rows between unbounded preceding and current row
+               ) as value_ffill,
+               b.mean_value is null as was_gap
+        from grid g
+        left join b on g.user_id = b.user_id and g.tb = b.tb
     """,
     "q_asof_join": """
         select p.event_id, p.user_id,
