@@ -1463,6 +1463,22 @@ def q_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "content_digest", "n_bytes").orderBy("media_id")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal/binary.frame_sample_plan):
+    documents stand in as videos (duration_ms = 10 x n_chars); each row
+    explodes into per-frame work items with deterministic keys — the
+    distributed fan-out a frame-decode stage consumes."""
+    from .multimodal.binary import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).orderBy("media_id", "frame_idx")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feature-extraction output incl. the 16-dim feature vector
     (rows-only: the vector comes from the stubbed deterministic decoder)."""
@@ -1561,6 +1577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_multimodal_digest": q_multimodal_digest,
+    "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_features": q_multimodal_features,
 }
 
@@ -1999,6 +2016,23 @@ ORACLES: dict[str, str] = {
         asof left join (select * from events where event_type = 'view') v
           on p.user_id = v.user_id and p.ts >= v.ts
         order by p.event_id
+    """,
+    "q_multimodal_frames": """
+        with m as (
+            select doc_id as media_id,
+                   cast(n_chars * 10 as bigint) as duration_ms
+            from documents
+        ),
+        f as (
+            select media_id,
+                   unnest(generate_series(0, greatest(duration_ms // 1000 - 1, 0)))
+                       as frame_idx
+            from m
+        )
+        select media_id, frame_idx,
+               frame_idx * 1000 as frame_ts_ms,
+               media_id::varchar || '_' || frame_idx::varchar as frame_key
+        from f order by media_id, frame_idx
     """,
     "q_multimodal_digest": """
         select doc_id as media_id,
