@@ -1216,6 +1216,27 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_text_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring over documents via an Arrow-vectorized @pandas_udf
+    (functions/scoring.py; rows-only — float transcendentals differ in
+    ulps across engines; exactness vs the numpy formula is pinned in
+    tests/test_scoring.py)."""
+    from .functions import text as TX
+    from .functions.scoring import quality_model_score
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        TX.alpha_ratio(F.col("text")).alias("ar"),
+        TX.stopword_ratio(F.col("text")).alias("sr"),
+        TX.token_count(F.col("text")).alias("nt"),
+    )
+    return feats.select(
+        "doc_id",
+        quality_model_score(F.col("ar"), F.col("sr"), F.col("nt")).alias("model_score"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized fingerprint; keeps min doc_id per group."""
     from .operators.dedup import dedup_exact_by_fingerprint
@@ -1566,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_stratified": q_sample_stratified,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_text_model_score": q_text_model_score,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
