@@ -453,6 +453,69 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average: discount-weighted mean quantity per returnflag —
+    sum(w*x)/sum(w) over exact decimal sums. (Magnitudes chosen so the
+    summed unscaled decimals stay below 2^53: decimal->double conversion
+    of larger sums is not identically rounded across engines — the same
+    bound SCALING.md documents for dec_sum.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    wx = F.sum(
+        (F.col("l_discount") * F.col("l_quantity")).cast("decimal(28,8)")
+    ).cast("double")
+    w = F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg((wx / w).alias("disc_weighted_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True) —
+    old-schema rows get nulls for columns added later (the medallion
+    reality when silver gains a column mid-history)."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") >= 5000).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+def q_sql_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL-text entry path: the same engine through spark.sql() over
+    registered views — segment revenue share per region (joins, CTE,
+    window, exact decimal aggregation all in one SQL string)."""
+    for t in ("customer", "orders", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sqlv")
+    return spark.sql(
+        """
+        with spend as (
+            select r.r_name, c.c_mktsegment,
+                   cast(sum(cast(o.o_totalprice as decimal(18,6))) as double)
+                       as revenue
+            from orders o
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n   on c.c_nationkey = n.n_nationkey
+            join region r   on n.n_regionkey = r.r_regionkey
+            group by r.r_name, c.c_mktsegment
+        )
+        select r_name, c_mktsegment, revenue,
+               revenue / cast(sum(cast(revenue as decimal(18,6)))
+                              over (partition by r_name) as double)
+                   as region_share
+        from spend
+        order by r_name, c_mktsegment
+        """.replace("orders o", "orders_sqlv o")
+        .replace("customer c", "customer_sqlv c")
+        .replace("nation n", "nation_sqlv n")
+        .replace("region r", "region_sqlv r")
+    )
+
+
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct set semantics) — nations with customers in BOTH
     segments; plans as a left-semi join over distincts."""
@@ -1539,6 +1602,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_join_topk": q_filter_join_topk,
     "q_full_outer_join": q_full_outer_join,
     "q_window_frame": q_window_frame,
+    "q_weighted_avg": q_weighted_avg,
+    "q_union_missing_cols": q_union_missing_cols,
+    "q_sql_analytics": q_sql_analytics,
     "q_intersect": q_intersect,
     "q_except": q_except,
     "q_in_subquery": q_in_subquery,
@@ -1799,6 +1865,38 @@ ORACLES: dict[str, str] = {
                    rows between 2 preceding and current row
                ) as double) as moving_sum3
         from orders
+    """,
+    "q_weighted_avg": """
+        select l_returnflag,
+               cast(sum(cast(l_discount * l_quantity as decimal(28,8))) as double)
+                   / cast(sum(cast(l_discount as decimal(18,6))) as double)
+                   as disc_weighted_qty
+        from lineitem group by l_returnflag order by l_returnflag
+    """,
+    "q_union_missing_cols": """
+        select o_orderkey, o_orderstatus, null as o_orderpriority
+        from orders where o_orderkey < 5000
+        union all by name
+        select o_orderkey, o_orderstatus, o_orderpriority
+        from orders where o_orderkey >= 5000
+    """,
+    "q_sql_analytics": """
+        with spend as (
+            select r.r_name, c.c_mktsegment,
+                   cast(sum(cast(o.o_totalprice as decimal(18,6))) as double)
+                       as revenue
+            from orders o
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n   on c.c_nationkey = n.n_nationkey
+            join region r   on n.n_regionkey = r.r_regionkey
+            group by r.r_name, c.c_mktsegment
+        )
+        select r_name, c_mktsegment, revenue,
+               revenue / cast(sum(cast(revenue as decimal(18,6)))
+                              over (partition by r_name) as double)
+                   as region_share
+        from spend
+        order by r_name, c_mktsegment
     """,
     "q_intersect": """
         select c_nationkey from customer where c_mktsegment = 'AUTOMOBILE'
