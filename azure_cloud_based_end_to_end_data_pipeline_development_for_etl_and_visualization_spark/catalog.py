@@ -453,6 +453,50 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of two small relations (the scaffold grid for
+    pivots/calendars). Deliberately dimension-sized — never fact x fact."""
+    reg = _t(spark, sf_dir, "region").select("r_name")
+    segs = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return reg.crossJoin(segs).orderBy("r_name", "c_mktsegment")
+
+
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by: the order whose price is extremal per status —
+    whole-row argmin/argmax without a self-join."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+                "priciest_order"
+            ),
+            F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+                "cheapest_order"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned read (rows-only: write side effect).
+    Writes orders partitioned by status, reads back one partition, and
+    asserts via the plan that only that partition's files are scanned —
+    the 100 TB layout knob exercised end to end."""
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "engine_part_prune")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, "partition pruning missing from plan"
+    return pruned.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
 def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted average: discount-weighted mean quantity per returnflag —
     sum(w*x)/sum(w) over exact decimal sums. (Magnitudes chosen so the
@@ -1602,6 +1646,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_join_topk": q_filter_join_topk,
     "q_full_outer_join": q_full_outer_join,
     "q_window_frame": q_window_frame,
+    "q_cross_join": q_cross_join,
+    "q_argminmax": q_argminmax,
+    "q_partitioned_prune": q_partitioned_prune,
     "q_weighted_avg": q_weighted_avg,
     "q_union_missing_cols": q_union_missing_cols,
     "q_sql_analytics": q_sql_analytics,
@@ -1865,6 +1912,25 @@ ORACLES: dict[str, str] = {
                    rows between 2 preceding and current row
                ) as double) as moving_sum3
         from orders
+    """,
+    "q_cross_join": """
+        select r_name, c_mktsegment
+        from region cross join (select distinct c_mktsegment from customer)
+        order by r_name, c_mktsegment
+    """,
+    "q_argminmax": """
+        with r as (
+            select o_orderstatus, o_orderkey,
+                   row_number() over (partition by o_orderstatus
+                       order by o_totalprice desc, o_orderkey desc) as rmax,
+                   row_number() over (partition by o_orderstatus
+                       order by o_totalprice asc, o_orderkey asc) as rmin
+            from orders
+        )
+        select o_orderstatus,
+               max(case when rmax = 1 then o_orderkey end) as priciest_order,
+               max(case when rmin = 1 then o_orderkey end) as cheapest_order
+        from r group by o_orderstatus order by o_orderstatus
     """,
     "q_weighted_avg": """
         select l_returnflag,

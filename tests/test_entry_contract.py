@@ -31,6 +31,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_scd1_merge",          # merge pipeline (3-batch pytest scenario)
         "q_scd2_merge",          # history-keeping merge (pytest scenario)
         "q_incremental_ingest",  # sink side-effect
+        "q_partitioned_prune",   # sink side-effect (plan-asserted pruning)
         "q_streaming_running_totals",  # state-store output
         "q_approx_distinct",     # HLL sketch estimates are engine-specific
         "q_approx_percentile",   # KLL/GK sketch estimates are engine-specific
