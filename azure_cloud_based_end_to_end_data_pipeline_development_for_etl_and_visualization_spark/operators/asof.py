@@ -71,9 +71,14 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
 
+    # Tiebreak: several right rows can share (key, ts); without a total
+    # order, last(ignorenulls) picks whichever row the shuffle happened to
+    # order last — nondeterministic across runs/layouts. Ordering by the
+    # carried payload columns as well makes the pick the MAX payload tuple,
+    # deterministically (mirrors sessionize's order_tiebreak).
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", _MARK)
+        .orderBy("__ts", _MARK, *[F.col(f"__r_{c}") for c in carried])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r).select(

@@ -69,9 +69,13 @@ def check_referential(
     name: str | None = None,
 ) -> DataFrame:
     nm = name or f"fk({child_key}->{parent_key})"
-    orphans = child.join(
+    # Conventional FK semantics (and SQL NOT IN): a NULL child key is not a
+    # violation — only non-null keys must resolve to a parent. Without this
+    # filter the anti join would count every null child row as an orphan.
+    non_null_children = child.filter(F.col(child_key).isNotNull())
+    orphans = non_null_children.join(
         F.broadcast(parent.select(parent_key).distinct()),
-        child[child_key] == parent[parent_key],
+        non_null_children[child_key] == parent[parent_key],
         "left_anti",
     )
     return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(

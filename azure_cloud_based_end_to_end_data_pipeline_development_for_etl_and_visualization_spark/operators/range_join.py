@@ -38,7 +38,19 @@ def range_join(
 ) -> DataFrame:
     """Join rows where ``left.ts + lower <= right.ts < left.ts + upper``.
     Columns from both sides survive (disambiguate beforehand). ``extra_on``
-    adds an equality conjunct (evaluated inside the same hash join)."""
+    adds an equality conjunct (evaluated inside the same hash join).
+
+    Only ``how='inner'`` is supported: the left side is exploded over its
+    candidate buckets, so any outer variant would emit one null-extended
+    row per *bucket* a left row misses in — duplicating unmatched rows —
+    rather than one per left row. Express left-outer semantics as
+    ``inner result ∪ (left anti-join matched)`` at the call site."""
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports only how='inner' (got {how!r}); the "
+            "bucket-exploded left side would duplicate unmatched rows "
+            "under outer semantics"
+        )
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
     width = float(bucket_seconds or (upper_seconds - lower_seconds))

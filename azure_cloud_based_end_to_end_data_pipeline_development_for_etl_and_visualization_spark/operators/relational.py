@@ -170,10 +170,63 @@ def with_surrogate_key(
 
     Scale note: an un-partitioned window is a single-reducer sort — fine
     for dim tables (dims are small by definition), wrong for facts. For
-    billion-row key assignment use ``zipWithIndex``-style two-phase
-    numbering instead (not needed for reference parity)."""
+    billion-row key assignment use :func:`with_surrogate_key_fact`."""
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(key_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("long"))
+
+
+def with_surrogate_key_fact(
+    df: DataFrame,
+    key_col: str,
+    start_at: int = 1,
+) -> DataFrame:
+    """Dense unique surrogate keys for FACT-scale tables: two-phase
+    ``zipWithIndex``-style assignment with **no global single-reducer
+    sort and no driver-side collect**.
+
+    Phase 1: count rows per input partition (map-side-combined aggregate —
+    the shuffle carries one ``(partition_id, count)`` long pair per input
+    partition). A cumulative window over those n_partitions rows yields
+    each partition's global starting offset; that window IS single-reducer
+    but over partition-count-sized data (100k rows at 100 TB), not the fact.
+
+    Phase 2: broadcast-join the offsets back on partition id and number
+    rows within each partition (``row_number`` partitioned by partition id,
+    ordered by ``monotonically_increasing_id`` — which is monotone within a
+    partition). The window's hash-by-pid exchange distributes groups across
+    all reducers, so the sort is per-input-partition, never global.
+
+    Keys are dense ``start_at .. start_at+N-1`` and unique on any layout.
+    Unlike the dim path they are NOT stable across different partitionings
+    of the same data (the zipWithIndex trade-off): use this for append-only
+    fact key minting, not for re-derivable dimension keys. ``df`` must come
+    from a deterministic source (a file scan), since the plan evaluates the
+    source twice — once for counts, once for assignment — and partition ids
+    must agree between the two evaluations.
+    """
+    pid, mid = "__sk_pid", "__sk_mid"
+    tagged = df.withColumn(pid, F.spark_partition_id()).withColumn(
+        mid, F.monotonically_increasing_id()
+    )
+    counts = tagged.groupBy(pid).agg(F.count(F.lit(1)).alias("__sk_n"))
+    w_ofs = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        pid,
+        F.coalesce(F.sum("__sk_n").over(w_ofs), F.lit(0)).alias("__sk_offset"),
+    )
+    w_rn = Window.partitionBy(pid).orderBy(mid)
+    return (
+        tagged.join(F.broadcast(offsets), pid)
+        .withColumn(
+            key_col,
+            (
+                F.row_number().over(w_rn)
+                + F.col("__sk_offset")
+                + F.lit(start_at - 1)
+            ).cast("long"),
+        )
+        .drop(pid, mid, "__sk_offset")
+    )
 
 
 def high_water_mark(existing: DataFrame | None, key_col: str) -> int:

@@ -61,6 +61,11 @@ CARSALES = StarSchemaConfig(
         DimSpec("dim_model", ["Model_ID"], ["model_category"]),
         DimSpec("dim_date", ["Date_ID"], []),
     ],
+    # Year-partitioned fact by default: a per-year report on a 100 TB fact
+    # then scans ~one partition instead of the table (pruning is asserted
+    # end-to-end in tests/test_medallion.py). The reference writes its gold
+    # fact unpartitioned — fine at notebook scale, not at ours.
+    fact_partition_cols=["Year"],
 )
 
 

@@ -85,11 +85,17 @@ def merge_scd1_path(
     check_duplicate_source_keys: bool = True,
     partition_by: Sequence[str] | None = None,
 ) -> None:
-    """Merge into a parquet table at ``target_path``, atomically.
+    """Merge into a parquet table at ``target_path`` via directory swap.
 
     Local/HDFS: write the merged relation to a side directory, then swap
-    directories (readers never observe a half-written table). On an object
-    store you would instead commit a new snapshot in a table format's log.
+    directories — readers never observe a *half-written* table, but the
+    swap itself is two renames, so there is a brief window in which
+    ``target_path`` does not exist. A crash between the renames leaves the
+    previous state intact in a ``<target>.__old_<uuid>`` sibling: recovery
+    is renaming that directory back. True single-op atomicity needs either
+    a symlink/pointer flip or a table format's transaction log (Delta/
+    Iceberg/Hudi) — on an object store you would commit a new snapshot in
+    the log instead of renaming.
 
     ``partition_by`` lays the merged table out hive-partitioned so
     downstream scans get partition pruning — at 100 TB a date-partitioned

@@ -3,13 +3,19 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is materialized via the noop sink (full execution, no
-driver-side collect, no sink IO cost) after a JVM+catalyst warmup pass.
-"""
+driver-side collect, no sink IO cost). Round-over-round comparability:
+each query gets one unmeasured warmup run (codegen + broadcast build),
+then REPEATS timed runs whose MEDIAN is reported — host-contention
+variance on a shared box is ±40% per single run (SURVEY.md §8), so
+single-shot numbers are noise. Per-query spread (max-min of the timed
+runs) is reported alongside for judging whether a delta is signal.
+Set $SPARK_GRAFT_BENCH_REPEATS to override (default 3)."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,15 +66,23 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warmup: JVM JIT + parquet footer caches, not measured
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    # global warmup: JVM JIT + parquet footer caches, not measured
     materialize(catalog.q_groupby_agg(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
-        t0 = time.time()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        materialize(fn(spark, sf_dir))  # per-query warmup, not measured
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     print(
         json.dumps(
@@ -77,6 +91,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

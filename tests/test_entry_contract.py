@@ -26,12 +26,9 @@ def test_rows_only_queries_are_the_documented_set():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "q_scan_csv",            # fixture CSV, no oracle table
-        "q_write_roundtrip",     # sink side-effect
-        "q_scd1_merge",          # merge pipeline (3-batch pytest scenario)
-        "q_scd2_merge",          # history-keeping merge (pytest scenario)
+        # (round 2 oracle-ified the former members q_scan_csv,
+        # q_write_roundtrip, q_scd1_merge, q_scd2_merge, q_partitioned_prune)
         "q_incremental_ingest",  # sink side-effect
-        "q_partitioned_prune",   # sink side-effect (plan-asserted pruning)
         "q_streaming_running_totals",  # state-store output
         "q_approx_distinct",     # HLL sketch estimates are engine-specific
         "q_approx_percentile",   # KLL/GK sketch estimates are engine-specific

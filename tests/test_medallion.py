@@ -147,6 +147,35 @@ def test_fact_joins_resolve_surrogate_keys(spark, tmp_path, lake):
     for spec in CARSALES.dims:
         assert fact.filter(F.col(spec.key_col).isNull()).count() == 0
     assert set(fact.columns) == {
-        "Revenue", "Units_Sold", "RevPerUnit",
+        "Revenue", "Units_Sold", "RevPerUnit", "Year",
         "dim_branch_key", "dim_dealer_key", "dim_model_key", "dim_date_key",
     }
+
+
+def test_fact_is_partitioned_and_pruned(spark, tmp_path, lake):
+    """CARSALES defaults to a Year-partitioned gold fact; a year-filtered
+    read must scan only that partition (PartitionFilters in the plan) —
+    end-to-end through merge_scd1_path(partition_by=...), including an
+    incremental merge preserving the layout."""
+    import os
+
+    csv = tmp_path / "batch.csv"
+    rows0 = make_batch0(100)
+    write_csv(csv, rows0)
+    run_pipeline(spark, str(csv), lake)
+
+    fact_dir = f"{lake}/gold/factsales"
+    part_dirs = [d for d in os.listdir(fact_dir) if d.startswith("Year=")]
+    years = {r[8] for r in rows0}
+    assert len(part_dirs) == len(years)  # hive layout, one dir per year
+
+    # incremental merge keeps the partitioned layout
+    write_csv(csv, make_batch1(rows0))
+    run_pipeline(spark, str(csv), lake)
+    assert any(d.startswith("Year=") for d in os.listdir(fact_dir))
+
+    pruned = spark.read.parquet(fact_dir).filter(F.col("Year") == 2019)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:80]
+    got_years = {r["Year"] for r in pruned.select("Year").distinct().collect()}
+    assert got_years <= {2019}

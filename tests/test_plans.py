@@ -118,3 +118,30 @@ def test_multimodal_uses_arrow_batches_not_pickling(spark, sf_dir):
     plan = plan_of(catalog.q_multimodal_digest(spark, sf_dir))
     assert "MapInPandas" in plan  # Arrow-batched
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_fact_surrogate_key_has_no_global_sort(spark, sf_dir):
+    """The fact-path key assignment must number rows with a window
+    partitioned by input-partition id (distributed sort). The only
+    single-partition exchange allowed is the one over the
+    n_partitions-row offsets side — never over the fact itself."""
+    import os
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.relational import (
+        with_surrogate_key_fact,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    plan = plan_of(with_surrogate_key_fact(li, "sk"))
+    # full-data numbering window is hash-distributed by partition id
+    assert "hashpartitioning(__sk_pid" in plan
+    # exactly one single-partition exchange: the tiny offsets cumsum.
+    # a global row_number over the fact would add a second one.
+    assert plan.count("SinglePartition") == 1
+
+
+def test_dim_surrogate_key_is_global_sort_by_design(spark, sf_dir):
+    """Contrast pin: the dim path accepts a single-reducer window (dims
+    are small); if this ever changes the docs/scale notes must follow."""
+    plan = plan_of(catalog.q_surrogate_key(spark, sf_dir))
+    assert "SinglePartition" in plan

@@ -101,3 +101,26 @@ def test_build_dim_preserves_existing_keys(spark, initial, extra):
     new_keys = [sk for bk, sk in mapping1.items() if bk not in mapping0]
     assert all(sk > hwm for sk in new_keys)
     assert len(set(mapping1.values())) == len(mapping1)  # unique
+
+
+@prop
+@given(
+    keys=st.sets(KEYS, min_size=1, max_size=15),
+    start=st.integers(1, 100),
+    n_parts=st.integers(1, 5),
+)
+def test_fact_surrogate_keys_dense_unique(spark, keys, start, n_parts):
+    """Two-phase fact-path keys are dense start..start+n-1 and unique on
+    any partition layout (including empty partitions when n_parts > n)."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.relational import (
+        with_surrogate_key_fact,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in sorted(keys)], "k long"
+    ).repartition(n_parts)
+    out = with_surrogate_key_fact(df, "sk", start_at=start)
+    got = sorted(r["sk"] for r in out.collect())
+    assert got == list(range(start, start + len(keys)))
+    # every input row survives with its payload intact
+    assert sorted(r["k"] for r in out.collect()) == sorted(keys)
