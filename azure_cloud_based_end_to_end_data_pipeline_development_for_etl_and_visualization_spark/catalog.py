@@ -1413,8 +1413,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash->LSH->Jaccard-verify near-dup pipeline (rows-only:
-    the banding self-join uses engine-side xxhash64 buckets)."""
+    """Full MinHash->LSH->Jaccard-verify near-dup pipeline. Banding
+    buckets on the band's VALUE VECTOR (collision-free), so the whole
+    pipeline — signatures, banding self-join, Jaccard verification,
+    threshold — is reproduced by the DuckDB oracle and hash-checked."""
     from .operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
@@ -1650,6 +1652,197 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-2 additions: distribution ranks, funnel analytics, text statistics,
+# skew/bucketed join verification (all oracle-twinned)
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket (ntile), percent_rank
+    and cume_dist over customer balances — the reporting trio beyond plain
+    rank. Total order includes the key as tiebreak so ties are stable."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics over the event stream: how many users progressed
+    view -> click -> purchase in strict timestamp order. One aggregation
+    pass (conditional MIN per step), one count — no self-joins, which is
+    the only formulation that survives a 100 TB event table."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("click_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    stage = (
+        F.when(
+            F.col("view_ts").isNotNull()
+            & (F.col("click_ts") > F.col("view_ts"))
+            & (F.col("purchase_ts") > F.col("click_ts")),
+            3,
+        )
+        .when(
+            F.col("view_ts").isNotNull() & (F.col("click_ts") > F.col("view_ts")), 2
+        )
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(stage.cast("long").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (Gopher-style quality filter):
+    token count, distinct-token count, and the most repeated token's
+    frequency — all integers, so the oracle is bit-exact. Docs with zero
+    tokens carry no signal and are excluded (same in the oracle)."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("tf").alias("max_term_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled TF-IDF: per (doc, term) score = tf * 1e6 div df
+    (floor division keeps the oracle bit-exact — float log-idf is not
+    identically rounded across engines), top-3 terms per doc with (score
+    desc, term asc) tiebreak. Shape: one explode + two map-side-combined
+    aggregates + a broadcastable df join + per-doc top-k window."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr("tf * 1000000 div df").alias("tfidf_scaled"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_scaled").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_scaled")
+        .orderBy("doc_id", F.col("tfidf_scaled").desc(), "term")
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex feature extraction: numeric id out of a formatted code column
+    (the log/URL-parsing workhorse). Simple character-class patterns only —
+    portable across regex dialects."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).alias("brand_num_str"),
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("long").alias("brand_num"),
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.salted_join): orders x customer
+    16-way salted, then aggregated per market segment. The oracle is the
+    PLAIN join — salting must be a pure physical rewrite with identical
+    results, and this query hash-verifies that."""
+    from .operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, ["custkey"], n_salts=16)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written CLUSTERED BY the join
+    key into the same bucket count, so the sort-merge join needs NO
+    exchange on either side — the layout investment that turns every
+    repeated big-big join on that key into a shuffle-free scan at 100 TB.
+    Plan-asserted here (raise, not assert); values oracle-checked against
+    the plain join."""
+    t_orders = f"orders_bkt_{_RUN_TAG}"
+    t_cust = f"customer_bkt_{_RUN_TAG}"
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_cust)
+    )
+    # hint('merge'): at test scale Catalyst would broadcast the small side
+    # (which ignores bucketing entirely); the point here is the big-big
+    # path, where bucketing makes the sort-merge join exchange-free
+    j = spark.table(t_orders).join(
+        spark.table(t_cust).hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    if "Exchange hashpartitioning" in plan:  # raise, not assert: survives -O
+        raise RuntimeError(
+            "bucketed sort-merge join still shuffles:\n" + plan
+        )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1760,6 +1953,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_percentile": q_approx_percentile,
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
+    # -- round-2 additions: behind this round's window (locally verified
+    #    via tools/check_oracle.py); promote into the window next round ----
+    "q_ntile_cume": q_ntile_cume,
+    "q_funnel_steps": q_funnel_steps,
+    "q_word_repetition": q_word_repetition,
+    "q_tfidf_topk": q_tfidf_topk,
+    "q_regex_extract": q_regex_extract,
+    "q_salted_join": q_salted_join,
+    "q_bucketed_join": q_bucketed_join,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2558,6 +2760,117 @@ ORACLES: dict[str, str] = {
     """,
     "q_dedup_minhash": _DK_MINHASH_SQL,
     "q_dedup_simhash": _DK_SIMHASH_SQL,
+    # same md5-based minhashes as q_dedup_minhash; bands of 2 rows bucket on
+    # the band's value pair (matches operators/dedup.lsh_candidate_pairs,
+    # which buckets on values, not an engine hash), then true-Jaccard verify
+    "q_minhash_lsh_pairs": f"""
+        with sig as ({_DK_MINHASH_SQL}),
+        bands as (
+            select doc_id, 0 as band_id, mh0 as v0, mh1 as v1 from sig
+            union all select doc_id, 1, mh2, mh3 from sig
+            union all select doc_id, 2, mh4, mh5 from sig
+            union all select doc_id, 3, mh6, mh7 from sig
+        ),
+        cand as (
+            select distinct l.doc_id as a, r.doc_id as b
+            from bands l join bands r
+              on l.band_id = r.band_id and l.v0 = r.v0 and l.v1 = r.v1
+             and l.doc_id < r.doc_id
+        ),
+        sh as (
+            select doc_id, list_distinct({_DK_SHINGLES}) as sh
+            from (select doc_id, {_DK_TOKENS} as w from documents)
+        )
+        select * from (
+            select c.a, c.b,
+                   len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+                       / len(list_distinct(sa.sh || sb.sh)) as jaccard
+            from cand c
+            join sh sa on sa.doc_id = c.a
+            join sh sb on sb.doc_id = c.b
+        ) where jaccard >= 0.5
+    """,
+    "q_ntile_cume": """
+        select c_custkey,
+               ntile(4) over w as quartile,
+               percent_rank() over w as pct_rank,
+               cume_dist() over w as cume
+        from customer
+        window w as (order by c_acctbal, c_custkey)
+    """,
+    "q_funnel_steps": """
+        with per_user as (
+            select user_id,
+                   min(case when event_type = 'view' then ts end) as view_ts,
+                   min(case when event_type = 'click' then ts end) as click_ts,
+                   min(case when event_type = 'purchase' then ts end) as purchase_ts
+            from events group by user_id
+        )
+        select funnel_stage, count(*) as n_users from (
+            select case
+                when view_ts is not null and click_ts > view_ts
+                     and purchase_ts > click_ts then 3
+                when view_ts is not null and click_ts > view_ts then 2
+                when view_ts is not null then 1
+                else 0 end as funnel_stage
+            from per_user
+        ) group by funnel_stage order by funnel_stage
+    """,
+    "q_word_repetition": f"""
+        with tf as (
+            select doc_id, tok, count(*) as tf
+            from (select doc_id, unnest({_DK_TOKENS}) as tok from documents)
+            group by doc_id, tok
+        )
+        select doc_id,
+               sum(tf)::bigint as n_tokens,
+               count(*)::bigint as n_distinct_tokens,
+               max(tf)::bigint as max_term_freq
+        from tf group by doc_id order by doc_id
+    """,
+    "q_tfidf_topk": f"""
+        with tf as (
+            select doc_id, term, count(*) as tf
+            from (select doc_id, unnest({_DK_TOKENS}) as term from documents)
+            group by doc_id, term
+        ),
+        dfreq as (select term, count(*) as df from tf group by term),
+        scored as (
+            select tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   tf.tf * 1000000 // dfreq.df as tfidf_scaled
+            from tf join dfreq using (term)
+        )
+        select doc_id, term, tf::bigint as tf, df::bigint as df,
+               tfidf_scaled::bigint as tfidf_scaled
+        from (
+            select *, row_number() over (
+                partition by doc_id order by tfidf_scaled desc, term
+            ) as rk from scored
+        ) where rk <= 3
+        order by doc_id, tfidf_scaled desc, term
+    """,
+    "q_regex_extract": """
+        select p_partkey,
+               regexp_extract(p_brand, '(\\d+)', 1) as brand_num_str,
+               regexp_extract(p_brand, '(\\d+)', 1)::bigint as brand_num
+        from part
+    """,
+    # the salted/bucketed rewrites must be invisible in the results: both
+    # oracles are the PLAIN join + aggregate
+    "q_salted_join": """
+        select c_mktsegment, count(*)::bigint as n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,6))) as double)
+                   as total_revenue
+        from orders join customer on o_custkey = c_custkey
+        group by c_mktsegment order by c_mktsegment
+    """,
+    "q_bucketed_join": """
+        select c_mktsegment, count(*)::bigint as n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,6))) as double)
+                   as total_revenue
+        from orders join customer on o_custkey = c_custkey
+        group by c_mktsegment order by c_mktsegment
+    """,
     "q_ngram_jaccard": f"""
         with t as (
             select doc_id, source, list_distinct({_DK_SHINGLES}) as sh

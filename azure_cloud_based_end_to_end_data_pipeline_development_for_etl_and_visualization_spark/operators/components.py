@@ -35,12 +35,15 @@ def connected_components(
     """Return ``(node, component)`` where ``component`` is the minimum
     node id reachable from ``node`` over the undirected edge set."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # cache the symmetric edge set: it is re-joined EVERY iteration, and
+    # upstream `edges` is typically an expensive near-dup pair pipeline
+    # (MinHash->LSH->Jaccard) that must not be recomputed per iteration
     sym = fwd.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    ).cache()
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component")).cache()
-    labels.count()  # materialize
+    labels.count()  # materialize (also materializes sym)
 
     for _ in range(max_iter):
         # candidate labels: own component + every neighbor's component
@@ -66,6 +69,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 

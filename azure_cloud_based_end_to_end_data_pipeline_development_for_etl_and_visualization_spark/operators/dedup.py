@@ -96,17 +96,20 @@ def lsh_candidate_pairs(
     ``k // bands`` rows; documents agreeing on *all* rows of any band become
     a candidate pair.
 
-    Physical shape: unpivot to (band_id, bucket, doc) — bucket is a hash of
-    the band's values — then a self-equi-join per bucket. The join key is
-    (band_id, bucket), so Spark shuffles only small tuples and never
-    compares documents across different buckets. Output: distinct
-    ``(a, b)`` with a < b."""
+    Physical shape: unpivot to (band_id, bucket, doc) — bucket is the
+    band's value vector itself — then a self-equi-join per bucket. The
+    join key is (band_id, bucket), so Spark shuffles only small tuples
+    (band_id + r longs) and never compares documents across different
+    buckets. Using the values rather than a hash of them keeps the
+    operator collision-free AND oracle-checkable: DuckDB reproduces the
+    same pairs from the same md5-based minhashes (catalog ORACLES
+    q_minhash_lsh_pairs). Output: distinct ``(a, b)`` with a < b."""
     r = k // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * r + i}") for i in range(r)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("bucket"))
+            F.struct(F.lit(b).alias("band_id"), F.array(*cols).alias("bucket"))
         )
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")

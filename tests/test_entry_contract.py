@@ -32,7 +32,8 @@ def test_rows_only_queries_are_the_documented_set():
         "q_streaming_running_totals",  # state-store output
         "q_approx_distinct",     # HLL sketch estimates are engine-specific
         "q_approx_percentile",   # KLL/GK sketch estimates are engine-specific
-        "q_minhash_lsh_pairs",   # engine-side xxhash64 band buckets
+        # (q_minhash_lsh_pairs left this set in round 2: banding now
+        # buckets on value vectors, reproducible in SQL)
         "q_dedup_clusters",      # iterative label propagation
         "q_cosine_topk_lsh",     # approximate, recall tested in pytest
         "q_cosine_topk_ivf",     # approximate, recall tested in pytest
