@@ -1773,6 +1773,71 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document overlap of distinct word
+    3-gram shingles against a benchmark set (stand-in: doc_id % 25 == 0),
+    flagging docs with >= 50% shingle overlap. The op that keeps eval sets
+    out of training data.
+
+    Scale shape: shingles are hashed to longs (md5-based, so the oracle
+    reproduces them) BEFORE the join — the contamination semi-join
+    shuffles (doc_id, long) pairs, never shingle strings; the benchmark
+    side is distinct-reduced and typically broadcastable. Integer counts
+    and an integer threshold comparison keep the oracle bit-exact."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3))
+            ).alias("s"),
+        )
+        .select("doc_id", TX.hash32(F.col("s")).alias("h"))
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 25 == 0).select("h").distinct()
+    probe = sh.filter(F.col("doc_id") % 25 != 0)
+    tot = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    cont = (
+        probe.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        tot.join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) * 2
+                >= F.col("n_shingles")
+            ).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram counts, top-20 with (count desc, bigram asc)
+    tiebreak — the n-gram LM / collocation statistics pass. One explode +
+    one map-side-combined count + TakeOrdered (never a global sort)."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(TX.shingles_of(TX.tokens(F.col("text")), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join (operators/skew.salted_join): orders x customer
     16-way salted, then aggregated per market segment. The oracle is the
@@ -1962,6 +2027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_regex_extract": q_regex_extract,
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
+    "q_decontaminate": q_decontaminate,
+    "q_bigram_counts": q_bigram_counts,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2854,6 +2921,38 @@ ORACLES: dict[str, str] = {
                regexp_extract(p_brand, '(\\d+)', 1) as brand_num_str,
                regexp_extract(p_brand, '(\\d+)', 1)::bigint as brand_num
         from part
+    """,
+    "q_decontaminate": f"""
+        with t as (select doc_id, {_DK_TOKENS} as w from documents),
+        sh as (
+            select distinct doc_id, {_DK_HASH32} as h
+            from (select doc_id, unnest({_DK_SHINGLES}) as s from t)
+        ),
+        bench as (select distinct h from sh where doc_id % 25 = 0),
+        probe as (select * from sh where doc_id % 25 <> 0),
+        tot as (select doc_id, count(*) as n_shingles from probe group by doc_id),
+        cont as (
+            select doc_id, count(*) as n_contaminated
+            from probe where h in (select h from bench) group by doc_id
+        )
+        select t.doc_id,
+               t.n_shingles::bigint as n_shingles,
+               coalesce(c.n_contaminated, 0)::bigint as n_contaminated,
+               (coalesce(c.n_contaminated, 0) * 2 >= t.n_shingles)
+                   as is_contaminated
+        from tot t left join cont c using (doc_id)
+        order by doc_id
+    """,
+    "q_bigram_counts": f"""
+        select bigram, count(*)::bigint as n
+        from (
+            select unnest(list_transform(
+                generate_series(1, greatest(len(w) - 1, 0)),
+                i -> w[i] || ' ' || w[i + 1]
+            )) as bigram
+            from (select {_DK_TOKENS} as w from documents)
+        )
+        group by bigram order by n desc, bigram limit 20
     """,
     # the salted/bucketed rewrites must be invisible in the results: both
     # oracles are the PLAIN join + aggregate
