@@ -1773,6 +1773,38 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a versioned table (plans/versioned): the
+    q_scd1_merge 3-batch scenario committed as table versions via the
+    atomic-pointer protocol, then read AS OF version 2 — after batch1's
+    inserts, before batch2's updates. The oracle recomputes that
+    intermediate state, so both the merge semantics AND the version
+    isolation are hash-verified."""
+    import shutil
+
+    from .plans.star import build_dim
+    from .plans.versioned import merge_scd1_versioned, read_version
+
+    root = _tmp_path("time_travel")
+    shutil.rmtree(root, ignore_errors=True)
+
+    cust = _t(spark, sf_dir, "customer")
+    b0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    b1 = cust.filter(F.col("c_custkey") % 10 == 0)
+    b2 = b1.withColumn("c_name", F.concat(F.col("c_name"), F.lit(" up")))
+
+    dim = build_dim(b0, ["c_custkey"], ["c_name", "c_mktsegment"], "dim_customer_key")
+    merge_scd1_versioned(spark, root, dim, ["dim_customer_key"])
+    for batch in (b1, b2):
+        existing = read_version(spark, root)
+        nxt = build_dim(
+            batch, ["c_custkey"], ["c_name", "c_mktsegment"], "dim_customer_key",
+            existing=existing,
+        )
+        merge_scd1_versioned(spark, root, nxt, ["dim_customer_key"])
+    return read_version(spark, root, version=2).orderBy("dim_customer_key")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document overlap of distinct word
     3-gram shingles against a benchmark set (stand-in: doc_id % 25 == 0),
@@ -2029,6 +2061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bucketed_join": q_bucketed_join,
     "q_decontaminate": q_decontaminate,
     "q_bigram_counts": q_bigram_counts,
+    "q_time_travel": q_time_travel,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2921,6 +2954,33 @@ ORACLES: dict[str, str] = {
                regexp_extract(p_brand, '(\\d+)', 1) as brand_num_str,
                regexp_extract(p_brand, '(\\d+)', 1)::bigint as brand_num
         from part
+    """,
+    # version 2 = after batch1 (inserts, original names), before batch2
+    # (the ' up' renames) — same key assignment as the q_scd1_merge oracle
+    "q_time_travel": """
+        with b0 as (
+            select distinct c_custkey, c_name, c_mktsegment
+            from customer where c_custkey % 10 <> 0
+        ),
+        b1 as (
+            select distinct c_custkey, c_name, c_mktsegment
+            from customer where c_custkey % 10 = 0
+        ),
+        k0 as (
+            select row_number() over (order by c_custkey) as dim_customer_key,
+                   c_custkey, c_name, c_mktsegment
+            from b0
+        ),
+        k1 as (
+            select (select count(*) from b0)
+                     + row_number() over (order by c_custkey) as dim_customer_key,
+                   c_custkey, c_name, c_mktsegment
+            from b1
+        )
+        select dim_customer_key, c_custkey, c_name, c_mktsegment from k0
+        union all
+        select dim_customer_key, c_custkey, c_name, c_mktsegment from k1
+        order by dim_customer_key
     """,
     "q_decontaminate": f"""
         with t as (select doc_id, {_DK_TOKENS} as w from documents),

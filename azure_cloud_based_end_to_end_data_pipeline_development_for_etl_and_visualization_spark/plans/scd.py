@@ -92,10 +92,10 @@ def merge_scd1_path(
     swap itself is two renames, so there is a brief window in which
     ``target_path`` does not exist. A crash between the renames leaves the
     previous state intact in a ``<target>.__old_<uuid>`` sibling: recovery
-    is renaming that directory back. True single-op atomicity needs either
-    a symlink/pointer flip or a table format's transaction log (Delta/
-    Iceberg/Hudi) — on an object store you would commit a new snapshot in
-    the log instead of renaming.
+    is renaming that directory back. For true single-op atomicity (plus
+    time travel) use :mod:`..plans.versioned` — same merge semantics,
+    published by one atomic pointer-file rename; a table format's log
+    (Delta/Iceberg/Hudi) is the object-store-native equivalent.
 
     ``partition_by`` lays the merged table out hive-partitioned so
     downstream scans get partition pruning — at 100 TB a date-partitioned

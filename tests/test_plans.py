@@ -95,6 +95,14 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_window_frame",
         "q_null_safe_join",
         "q_filter_join_topk",
+        "q_ntile_cume",
+        "q_funnel_steps",
+        "q_word_repetition",
+        "q_tfidf_topk",
+        "q_regex_extract",
+        "q_salted_join",
+        "q_decontaminate",
+        "q_bigram_counts",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
