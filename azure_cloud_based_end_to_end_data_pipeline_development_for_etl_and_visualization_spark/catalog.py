@@ -1773,6 +1773,60 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation through the STREAMING engine (events
+    read as an availableNow file stream, complete-mode memory sink). The
+    oracle is the same SQL as the batch q_window_tumbling: streaming and
+    batch must produce hash-identical results for the same input — the
+    core guarantee that lets a pipeline promote a batch job to a stream
+    without re-validating its numbers."""
+    import shutil
+
+    from .streaming.windows import tumbling_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = tumbling_agg(
+            stream,
+            "ts",
+            "6 hours",
+            ["event_type"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                dec_sum(F.col("value")).alias("sum_value"),
+            ],
+        )
+        name = f"engine_stream_tumbling_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_tumbling_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over a versioned table (plans/versioned): the
     q_scd1_merge 3-batch scenario committed as table versions via the
@@ -2062,6 +2116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,
     "q_bigram_counts": q_bigram_counts,
     "q_time_travel": q_time_travel,
+    "q_streaming_tumbling": q_streaming_tumbling,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2954,6 +3009,14 @@ ORACLES: dict[str, str] = {
                regexp_extract(p_brand, '(\\d+)', 1) as brand_num_str,
                regexp_extract(p_brand, '(\\d+)', 1)::bigint as brand_num
         from part
+    """,
+    # the streaming path must equal the batch path: same SQL as
+    # q_window_tumbling
+    "q_streaming_tumbling": """
+        select strftime(time_bucket(interval '6 hours', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+               event_type, count(*) as n_events,
+               cast(sum(cast(value as decimal(18,6))) as double) as sum_value
+        from events group by 1, 2
     """,
     # version 2 = after batch1 (inserts, original names), before batch2
     # (the ' up' renames) — same key assignment as the q_scd1_merge oracle
