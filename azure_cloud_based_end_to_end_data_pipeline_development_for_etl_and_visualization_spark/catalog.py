@@ -1586,6 +1586,22 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at FULL probe (n_probe == n_centroids): every query visits
+    every cell, so the result must be bit-identical to exact brute force —
+    and is hash-checked against the same DuckDB oracle as q_cosine_topk.
+    This verifies the whole IVF machinery (k-means assignment, cell join,
+    ranking) end to end; centroid placement can only affect performance,
+    never results, at full probe."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, queries, k=10, n_centroids=8, n_probe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing (rows-only;
     recall measured in tests/test_similarity.py)."""
@@ -2117,6 +2133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_counts": q_bigram_counts,
     "q_time_travel": q_time_travel,
     "q_streaming_tumbling": q_streaming_tumbling,
+    "q_cosine_topk_ivf_exact": q_cosine_topk_ivf_exact,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3012,6 +3029,19 @@ ORACLES: dict[str, str] = {
     """,
     # the streaming path must equal the batch path: same SQL as
     # q_window_tumbling
+    "q_cosine_topk_ivf_exact": f"""
+        with p as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   {_dk_cosine('q.embedding', 'c.embedding')} as sim
+            from embeddings q, embeddings c
+            where q.vec_id < 5 and c.vec_id != q.vec_id
+        )
+        select query_id, neighbor_id, rank, sim from (
+            select *, row_number() over (
+                partition by query_id order by sim desc, neighbor_id
+            ) as rank from p
+        ) where rank <= 10 order by query_id, rank
+    """,
     "q_streaming_tumbling": """
         select strftime(time_bucket(interval '6 hours', ts), '%Y-%m-%d %H:%M:%S') as window_start,
                event_type, count(*) as n_events,
