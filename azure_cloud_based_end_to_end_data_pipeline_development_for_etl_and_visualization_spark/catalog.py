@@ -2065,15 +2065,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_partitioned_prune": q_partitioned_prune,
     # -- 42: flagship stays inside the window -------------------------------
     "q_star_join": q_star_join,
-    # -- 43-50: rows-only by design, unrecorded in round 1 (cheapest first,
-    #    so a time-capped driver still records most of them) ----------------
-    "q_incremental_ingest": q_incremental_ingest,
-    "q_text_model_score": q_text_model_score,
+    # -- 43-46: round-2 additions with oracles, promoted into the window ----
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "q_multimodal_features": q_multimodal_features,
+    "q_time_travel": q_time_travel,
+    "q_streaming_tumbling": q_streaming_tumbling,
+    "q_cosine_topk_ivf_exact": q_cosine_topk_ivf_exact,
+    # -- 47: oracle-twinned decontamination (round-2 addition) -------------
+    "q_decontaminate": q_decontaminate,
+    # -- 48-50: rows-only representatives (one per non-SQL class: sink
+    #    side-effect, stateful streaming, iterative algorithm) -------------
+    "q_incremental_ingest": q_incremental_ingest,
     "q_streaming_running_totals": q_streaming_running_totals,
-    "q_cosine_topk_lsh": q_cosine_topk_lsh,
-    "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_dedup_clusters": q_dedup_clusters,
     # -- 51+: green in CORRECTNESS_r01.json (hash-verified at sf0.01) -------
     "q_scan_parquet": q_scan_parquet,
@@ -2120,6 +2122,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_percentile": q_approx_percentile,
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
+    # -- rows-only approximate/stub paths demoted behind the window (their
+    #    exactness twins are inside it: q_cosine_topk_ivf_exact verifies
+    #    the IVF machinery; multimodal digest/frames are oracle-checked) ---
+    "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_cosine_topk_ivf": q_cosine_topk_ivf,
+    "q_text_model_score": q_text_model_score,
+    "q_multimodal_features": q_multimodal_features,
     # -- round-2 additions: behind this round's window (locally verified
     #    via tools/check_oracle.py); promote into the window next round ----
     "q_ntile_cume": q_ntile_cume,
@@ -2129,11 +2138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_regex_extract": q_regex_extract,
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
-    "q_decontaminate": q_decontaminate,
     "q_bigram_counts": q_bigram_counts,
-    "q_time_travel": q_time_travel,
-    "q_streaming_tumbling": q_streaming_tumbling,
-    "q_cosine_topk_ivf_exact": q_cosine_topk_ivf_exact,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
