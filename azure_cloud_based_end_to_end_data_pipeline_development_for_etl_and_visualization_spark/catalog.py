@@ -1789,6 +1789,78 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: '|'-joined sorted distinct market
+    segments per nation (collect_set -> sort_array -> concat_ws keeps the
+    result deterministic AND comparable as a plain string across
+    engines — raw array columns compare engine-specifically)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of q_pivot: wide part metrics to long
+    (metric, val) rows. Zero-shuffle row expansion (an Expand node)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("p_partkey", "metric")
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic beyond part extraction: shift, day diff, month
+    truncation, end-of-month — the dim_date/ETL scheduling surface. All
+    outputs formatted as strings/longs for engine-neutral comparison."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d)
+        .cast("long")
+        .alias("days_to_eoy"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe coercion surface: try_cast yields NULL instead of
+    erroring on bad input, try_divide instead of div-by-zero — the ops a
+    production ingest uses on dirty columns (the reference's inferSchema
+    CSVs would hit exactly these)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_name").try_cast("long").alias("name_as_int"),  # always null
+        F.regexp_extract("p_brand", r"(\d+)", 1).try_cast("long").alias(
+            "brand_num"
+        ),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - F.col("p_size"))
+        .alias("div_by_zero"),  # always null, never an error
+        F.try_divide(F.col("p_retailprice"), F.col("p_size")).alias(
+            "price_per_size"
+        ),
+    )
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation through the STREAMING engine (events
     read as an availableNow file stream, complete-mode memory sink). The
@@ -2139,6 +2211,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
     "q_bigram_counts": q_bigram_counts,
+    "q_string_agg": q_string_agg,
+    "q_unpivot": q_unpivot,
+    "q_date_arith": q_date_arith,
+    "q_try_cast": q_try_cast,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3030,6 +3106,38 @@ ORACLES: dict[str, str] = {
         select p_partkey,
                regexp_extract(p_brand, '(\\d+)', 1) as brand_num_str,
                regexp_extract(p_brand, '(\\d+)', 1)::bigint as brand_num
+        from part
+    """,
+    "q_string_agg": """
+        select c_nationkey,
+               array_to_string(list_sort(list(distinct c_mktsegment)), '|')
+                   as segments,
+               count(*)::bigint as n_customers
+        from customer group by c_nationkey order by c_nationkey
+    """,
+    # dialect-portable UNPIVOT: the explicit union-all formulation
+    "q_unpivot": """
+        select p_partkey, 'p_size' as metric, p_size::double as val from part
+        union all
+        select p_partkey, 'p_retailprice', p_retailprice from part
+        order by p_partkey, metric
+    """,
+    "q_date_arith": """
+        select o_orderkey,
+               strftime(o_orderdate::date + 30, '%Y-%m-%d') as plus_30,
+               (date '1998-12-31' - o_orderdate::date)::bigint as days_to_eoy,
+               strftime(date_trunc('month', o_orderdate::date), '%Y-%m-%d')
+                   as month_start,
+               strftime(last_day(o_orderdate::date), '%Y-%m-%d') as month_end
+        from orders
+    """,
+    "q_try_cast": """
+        select p_partkey,
+               try_cast(p_name as bigint) as name_as_int,
+               try_cast(regexp_extract(p_brand, '(\\d+)', 1) as bigint)
+                   as brand_num,
+               p_retailprice / nullif(p_size - p_size, 0) as div_by_zero,
+               p_retailprice / nullif(p_size, 0) as price_per_size
         from part
     """,
     # the streaming path must equal the batch path: same SQL as
