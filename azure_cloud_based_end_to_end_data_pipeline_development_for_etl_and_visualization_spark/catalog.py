@@ -2043,8 +2043,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated big-big join on that key into a shuffle-free scan at 100 TB.
     Plan-asserted here (raise, not assert); values oracle-checked against
     the plain join."""
+    import shutil
+
     t_orders = f"orders_bkt_{_RUN_TAG}"
     t_cust = f"customer_bkt_{_RUN_TAG}"
+    # housekeeping: previous processes' bucketed-table dirs are invisible
+    # to this session's catalog but still occupy the warehouse — sweep any
+    # stale *_bkt_* dirs that aren't ours
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if "_bkt_" in d and not d.endswith(_RUN_TAG):
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     (

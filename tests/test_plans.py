@@ -103,6 +103,11 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_salted_join",
         "q_decontaminate",
         "q_bigram_counts",
+        "q_string_agg",
+        "q_unpivot",
+        "q_date_arith",
+        "q_try_cast",
+        "q_time_travel",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
