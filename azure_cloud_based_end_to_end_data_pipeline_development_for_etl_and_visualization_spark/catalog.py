@@ -305,17 +305,14 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left")
     )
-    return (
-        joined.groupBy(
-            F.col("r_name"),
-            F.year("o_orderdate").cast("long").alias("order_year"),
-        )
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy("r_name", "order_year")
-    )
+    from .operators.fastagg import exact_sums
+
+    return exact_sums(
+        joined,
+        ["r_name", (F.year("o_orderdate").cast("long"), "order_year")],
+        {"revenue": (F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)},
+        count_alias="n_items",
+    ).orderBy("r_name", "order_year")
 
 
 def q_star_join_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,18 +630,32 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped aggregation (TPC-H Q1 shape) — the reporting surface gold
     exists to serve (SURVEY.md 2.4)."""
+    from .operators.fastagg import exact_sums
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            dec_avg(F.col("l_quantity")).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    sums = exact_sums(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": (F.col("l_quantity"), 6),
+            "sum_base_price": (F.col("l_extendedprice"), 6),
+            "sum_disc_price": (
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                6,
+            ),
+        },
+        count_alias="count_order",
     )
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        # dec_avg == exact sum / count: identical double division
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,21 +898,32 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     combination done in doubles — the same expression the oracle runs, so
     values are bit-identical. At scale this is also the cheaper plan: one
     map-side partial aggregation of five sums, no second pass."""
+    from .operators.fastagg import exact_sums
+
     li = _t(spark, sf_dir, "lineitem")
-    n = F.count(F.lit(1))
-    nd = n.cast("double")
-    sx = F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
-    sxx = F.sum((F.col("l_discount") * F.col("l_discount")).cast("decimal(28,8)")).cast("double")
-    sy = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
-    syy = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,8)")).cast("double")
-    sxy = F.sum((F.col("l_discount") * F.col("l_quantity")).cast("decimal(28,8)")).cast("double")
+    d, q = F.col("l_discount"), F.col("l_quantity")
+    sums = exact_sums(
+        li,
+        ["l_returnflag"],
+        {
+            "sx": (d, 6),
+            "sxx": (d * d, 8),
+            "sy": (q, 6),
+            "syy": (q * q, 8),
+            "sxy": (d * q, 8),
+        },
+        count_alias="n",
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
     var_x = (sxx - sx * sx / nd) / (nd - 1)
     var_y = (syy - sy * sy / nd) / (nd - 1)
     cov = (sxy - sx * sy / nd) / (nd - 1)
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            n.alias("n"),
+        sums.select(
+            "l_returnflag",
+            F.col("n"),
             (sx / nd).alias("mean_discount"),
             var_x.alias("var_discount"),
             F.sqrt(var_x).alias("stddev_discount"),

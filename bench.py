@@ -54,6 +54,11 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_cosine_topk",
     "q_curation_pipeline",
+    # round-2 additions (appended so the first 21 stay comparable to r1)
+    "q_tfidf_topk",
+    "q_decontaminate",
+    "q_funnel_steps",
+    "q_surrogate_key_fact",
 ]
 
 
