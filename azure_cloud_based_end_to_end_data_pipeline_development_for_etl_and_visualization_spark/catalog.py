@@ -1680,6 +1680,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).orderBy("media_id", "frame_idx")
 
 
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan: each payload split into 5-second [start, end)
+    chunk boundaries with deterministic keys — the pre-decode partitioning
+    an ASR pipeline fans out over (multimodal/binary.chunk_plan)."""
+    from .multimodal.binary import chunk_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+    )
+    return chunk_plan(media, chunk_ms=5000).orderBy("media_id", "chunk_idx")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feature-extraction output incl. the 16-dim feature vector
     (rows-only: the vector comes from the stubbed deterministic decoder)."""
@@ -2249,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot": q_unpivot,
     "q_date_arith": q_date_arith,
     "q_try_cast": q_try_cast,
+    "q_multimodal_chunks": q_multimodal_chunks,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2812,6 +2828,25 @@ ORACLES: dict[str, str] = {
         asof left join (select * from events where event_type = 'view') v
           on p.user_id = v.user_id and p.ts >= v.ts
         order by p.event_id
+    """,
+    "q_multimodal_chunks": """
+        with m as (
+            select doc_id as media_id,
+                   cast(n_chars * 40 as bigint) as duration_ms
+            from documents
+        ),
+        c as (
+            select media_id, duration_ms,
+                   unnest(generate_series(
+                       0, greatest(ceil(duration_ms / 5000.0)::bigint - 1, 0)
+                   )) as chunk_idx
+            from m
+        )
+        select media_id, chunk_idx,
+               chunk_idx * 5000 as chunk_start_ms,
+               least((chunk_idx + 1) * 5000, duration_ms) as chunk_end_ms,
+               media_id::varchar || '_' || chunk_idx::varchar as chunk_key
+        from c order by media_id, chunk_idx
     """,
     "q_multimodal_frames": """
         with m as (

@@ -141,3 +141,34 @@ def frame_sample_plan(df: DataFrame, every_ms: int) -> DataFrame:
         (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
         F.concat_ws("_", F.col("media_id"), F.col("frame_idx")).alias("frame_key"),
     )
+
+
+def chunk_plan(df: DataFrame, chunk_ms: int, media_type: str = "audio") -> DataFrame:
+    """Fixed-length chunking *plan* for audio/video payloads: explode each
+    media row into ``ceil(duration/chunk_ms)`` chunk rows with exact
+    [start, end) boundaries and a deterministic chunk key — the
+    partitioning step an ASR/captioning pipeline runs before per-chunk
+    decode (the decode itself is the stubbed step, as with frames).
+    Zero-shuffle: sequence-explode plus arithmetic, all codegen."""
+    media = df.filter(F.col("media_type") == media_type).select(
+        "media_id",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.col("duration_ms") / chunk_ms).cast("long") - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("chunk_idx"),
+    )
+    return media.select(
+        "media_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * chunk_ms).alias("chunk_start_ms"),
+        F.least(
+            (F.col("chunk_idx") + 1) * chunk_ms, F.col("duration_ms")
+        ).alias("chunk_end_ms"),
+        F.concat_ws("_", F.col("media_id"), F.col("chunk_idx")).alias("chunk_key"),
+    )
