@@ -124,3 +124,36 @@ def test_fact_surrogate_keys_dense_unique(spark, keys, start, n_parts):
     assert got == list(range(start, start + len(keys)))
     # every input row survives with its payload intact
     assert sorted(r["k"] for r in out.collect()) == sorted(keys)
+
+
+@prop
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-10**6, 10**6)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_parts=st.integers(1, 4),
+)
+def test_exact_sums_matches_decimal_path(spark, vals, n_parts):
+    """fastagg.exact_sums must be bit-identical to the dec_sum decimal
+    path for values with <= 4 decimal digits, on any partition layout."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        dec_sum,
+    )
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.fastagg import (
+        exact_sums,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(k, v / 10_000.0) for k, v in vals]
+    df = spark.createDataFrame(rows, "k long, x double").repartition(n_parts)
+    slow = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(dec_sum(F.col("x")).alias("s")).collect()
+    }
+    fast = {
+        r["k"]: r["s"]
+        for r in exact_sums(df, ["k"], {"s": (F.col("x"), 6)}).collect()
+    }
+    assert slow == fast
