@@ -817,13 +817,15 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (reporting surface over gold, SURVEY.md 2.4):
     per (returnflag, linestatus), per returnflag, and grand total in one
     pass — Spark expands grouping sets inside a single shuffle."""
+    from .operators.fastagg import exact_sums_rollup
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dec_sum(F.col("l_quantity")).alias("sum_qty"),
-             F.count(F.lit(1)).alias("n"))
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return exact_sums_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": (F.col("l_quantity"), 6)},
+        count_alias="n",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,3 +85,34 @@ def exact_sums(
     if count_alias:
         aggs.append(F.sum("__fa_n").alias(count_alias))
     return stage1.groupBy(*names).agg(*aggs)
+
+
+def exact_sums_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sums: dict[str, tuple[Column, int]],
+    count_alias: str | None = None,
+) -> DataFrame:
+    """ROLLUP variant of :func:`exact_sums`: stage 1 pre-aggregates at the
+    FULL key grain per input partition (scaled longs, codegen), stage 2
+    rolls up over those compact partials — sums are re-aggregatable, so
+    subtotals and the grand total come out identical to rolling up the raw
+    rows, at pre-agg prices. Grouping-set expansion (which multiplies rows
+    by the number of sets pre-shuffle) then runs over keys x partitions
+    rows instead of the fact."""
+    stage1 = df.groupBy(*group_cols, F.spark_partition_id().alias(_PID)).agg(
+        *[
+            F.sum(F.round(expr * F.lit(10**scale)).cast("long")).alias(f"__ls_{n}")
+            for n, (expr, scale) in sums.items()
+        ],
+        F.count(F.lit(1)).alias("__fa_n"),
+    )
+    aggs: list[Column] = [
+        (F.sum(F.col(f"__ls_{n}").cast("decimal(38,0)")) / F.lit(10**scale))
+        .cast("double")
+        .alias(n)
+        for n, (_, scale) in sums.items()
+    ]
+    if count_alias:
+        aggs.append(F.sum("__fa_n").alias(count_alias))
+    return stage1.rollup(*group_cols).agg(*aggs)
