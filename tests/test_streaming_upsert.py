@@ -60,3 +60,46 @@ def test_stream_upsert_merges_batches_and_is_replay_safe(spark, tmp_path):
         (3, "c"),
     }
     assert sorted(os.listdir(os.path.dirname(gold))) == before
+
+
+def test_stream_upsert_versioned_commits_per_batch(spark, tmp_path):
+    """Versioned streaming upsert: each micro-batch lands as an atomic
+    table version; history supports time travel to any batch boundary."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.versioned import (
+        current_version,
+        read_version,
+    )
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.upsert import (
+        stream_upsert_scd1_versioned,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    root = str(tmp_path / "gold_v" / "dim")
+    ckpt = str(tmp_path / "ckpt_v")
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(str(src))
+        )
+        stream_upsert_scd1_versioned(spark, stream, root, ["k"], ckpt)
+
+    _write_csv(src / "b1.csv", [(1, "a"), (2, "b")])
+    run()
+    assert current_version(root) == 1
+
+    _write_csv(src / "b2.csv", [(2, "b2"), (3, "c")])
+    run()
+    assert current_version(root) == 2
+    latest = {(r["k"], r["v"]) for r in read_version(spark, root).collect()}
+    assert latest == {(1, "a"), (2, "b2"), (3, "c")}
+    # time travel to the state after batch 1
+    v1 = {(r["k"], r["v"]) for r in read_version(spark, root, version=1).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+
+    # replay with no new files: no new version
+    run()
+    assert current_version(root) == 2
