@@ -2132,6 +2132,98 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii): emails, URLs and phone
+    numbers replaced by typed tags, plus per-document span counts — the
+    standard pre-training privacy pass. The synthetic corpus carries no
+    PII, so the query plants a deterministic contact line per document
+    first; the oracle applies the same injection + RE2-compatible regexes,
+    so the redaction itself (not just a no-op passthrough) is
+    hash-verified. Pure codegen'd regexp chain — no shuffle, no UDF."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com on (555) 014-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" or https://example.org/u/"),
+        F.col("doc_id").cast("string"),
+    )
+    counts = TX.pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        TX.redact_pii(planted).alias("clean_text"),
+        counts["n_urls"].alias("n_urls"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup (operators/dedup.chunk_dedup):
+    10-word chunks hashed and grouped corpus-wide; keeps the
+    lexicographically-first (doc, position) occurrence per distinct chunk.
+    Only duplicated chunks are returned (the boilerplate report a curation
+    pass acts on). Shuffles digests + two longs, never chunk text."""
+    from .operators.dedup import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", chunk_tokens=10).filter(
+        F.col("n_copies") > 1
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/windows.streaming_dedup =
+    dropDuplicatesWithinWatermark): the events file streamed TWICE
+    (self-union) through the dedup operator must reproduce the batch
+    distinct — each event exactly once. The duplicate copies are
+    bit-identical rows, so which copy survives is immaterial and the
+    result hashes against the plain-SQL oracle; state is bounded by the
+    watermark horizon rather than growing with the stream."""
+    import shutil
+
+    from .streaming.windows import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        def one_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(
+                    "event_id long, ts long, user_id long, event_type string, "
+                    "value double, props string"
+                )
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+
+        doubled = one_stream().unionAll(one_stream())
+        dd = streaming_dedup(doubled, ["event_id"], "ts", "10 minutes")
+        name = f"engine_stream_dedup_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_dedup_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            dd.select("event_id", "event_type", "value")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2267,6 +2359,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_date_arith": q_date_arith,
     "q_try_cast": q_try_cast,
     "q_multimodal_chunks": q_multimodal_chunks,
+    "q_pii_redact": q_pii_redact,
+    "q_chunk_dedup": q_chunk_dedup,
+    "q_streaming_dedup": q_streaming_dedup,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3338,5 +3433,58 @@ ORACLES: dict[str, str] = {
           on a.label = b.label and a.vec_id < b.vec_id
         where {_dk_cosine('a.embedding', 'b.embedding')} >= 0.35
         order by a, b
+    """,
+    # PII patterns are identical strings on both sides (common Java/RE2
+    # subset); the planted contact line makes the redaction a real
+    # transformation, not a no-op passthrough.
+    "q_pii_redact": """
+        with p as (
+            select doc_id,
+                   text || ' contact user' || doc_id::varchar
+                        || '@mail.example.com on (555) 014-'
+                        || lpad((doc_id % 10000)::varchar, 4, '0')
+                        || ' or https://example.org/u/' || doc_id::varchar
+                       as planted
+            from documents
+        )
+        select doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(planted, 'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                   '<PHONE>', 'g') as clean_text,
+               len(regexp_extract_all(planted, 'https?://[^\\s]+'))::bigint
+                   as n_urls,
+               len(regexp_extract_all(
+                   planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+               ))::bigint as n_emails,
+               len(regexp_extract_all(
+                   planted, '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'
+               ))::bigint as n_phones
+        from p
+    """,
+    # min(doc*100000 + i) is the lexicographic (doc, position) min as long
+    # as a document has < 100k chunks — mirrors Spark's min(struct(...)).
+    "q_chunk_dedup": f"""
+        with t as (select doc_id, {_DK_TOKENS} as w from documents),
+        i as (select doc_id, w,
+                     unnest(generate_series(0, (len(w) - 1) // 10)) as i
+              from t),
+        c as (select doc_id, i,
+                     md5(array_to_string(w[i*10+1 : i*10+10], ' ')) as chunk_hash
+              from i)
+        select chunk_hash,
+               count(*) as n_copies,
+               min(doc_id * 100000 + i) // 100000 as first_doc,
+               min(doc_id * 100000 + i) % 100000 as first_chunk
+        from c
+        group by 1
+        having count(*) > 1
+    """,
+    # the streamed self-union deduped on event_id must equal batch DISTINCT
+    "q_streaming_dedup": """
+        select event_id, event_type, value from events
     """,
 }

@@ -149,3 +149,37 @@ def minhash_exprs(shingle_hash_col: str, k: int = 8) -> list[Column]:
         ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
     ]
+
+
+#: PII patterns kept within the common Java-regex / RE2 subset so the Spark
+#: expression and the DuckDB oracle match the same spans. Deliberately
+#: conservative (no lookaround — RE2 has none).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+#: North-American-style phone numbers (555-123-4567 / (555) 123 4567).
+PHONE_PATTERN = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails, URLs and phone numbers with typed placeholder tags —
+    the standard pre-training privacy pass. Order matters: URLs first so
+    an address embedded in a query string is consumed by ``<URL>`` rather
+    than half-matched by the email pattern. Pure JVM ``regexp_replace``
+    chain: codegen'd, linear, no shuffle."""
+    out = F.regexp_replace(col, URL_PATTERN, "<URL>")
+    out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII span counts (for filtering policies that drop
+    high-PII documents instead of redacting them)."""
+    return {
+        "n_urls": F.size(F.regexp_extract_all(col, F.lit(URL_PATTERN), 0)).cast("long"),
+        "n_emails": F.size(
+            F.regexp_extract_all(col, F.lit(EMAIL_PATTERN), 0)
+        ).cast("long"),
+        "n_phones": F.size(
+            F.regexp_extract_all(col, F.lit(PHONE_PATTERN), 0)
+        ).cast("long"),
+    }

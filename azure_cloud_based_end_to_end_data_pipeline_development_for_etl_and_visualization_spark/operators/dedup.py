@@ -268,3 +268,52 @@ def ngram_jaccard_windowed(
         .select("a", "b")
     )
     return jaccard_pairs(df, pairs, id_col, text_col, shingle_n=shingle_n)
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (pseudo-paragraph) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 10
+) -> DataFrame:
+    """Exact dedup at sub-document granularity: split each document into
+    non-overlapping ``chunk_tokens``-word chunks (pseudo-paragraphs for
+    corpora without layout) and group identical chunks corpus-wide —
+    the paragraph-dedup pass training pipelines run *before* document-level
+    near-dup, since boilerplate repeats at paragraph scale, not document
+    scale.
+
+    Returns one row per distinct chunk: ``(chunk_hash, n_copies,
+    first_doc, first_chunk)`` where first_* identify the lexicographically
+    smallest (doc, position) occurrence — deterministic, so oracle-checkable.
+
+    Scale shape: explode multiplies rows by ~tokens/chunk_tokens but each
+    exploded row is one md5 digest + two longs (the chunk text itself is
+    hashed away before the shuffle); the single groupBy shuffles 16-byte
+    digests with map-side partial aggregation. Same 100 TB story as
+    :func:`dedup_exact_by_fingerprint`, one level down."""
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    n = F.lit(chunk_tokens)
+    idx = F.sequence(F.lit(0), F.floor((F.size("__toks") - 1) / n).cast("int"))
+    chunks = toks.select(
+        F.col(id_col),
+        F.explode(idx).alias("__i"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("__i"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i") * n + 1, n))
+        ).alias("chunk_hash"),
+    )
+    return chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct(F.col(id_col), F.col("__i"))).alias("__first"),
+    ).select(
+        "chunk_hash",
+        "n_copies",
+        F.col("__first")[id_col].alias("first_doc"),
+        F.col("__first")["__i"].cast("long").alias("first_chunk"),
+    )

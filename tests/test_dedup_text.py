@@ -117,3 +117,68 @@ def test_word_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
     out = df.select(TX.word_shingles(F.col("text"), 3).alias("sh")).collect()
     assert out[0]["sh"] == []
+
+
+def test_redact_pii_literals(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@corp.example.co or call (555) 123-4567"),
+            (1, "docs at https://ex.org/a?b=c#d then nothing sensitive"),
+            (2, "u@a.io 555.123.4567 https://x.y/z all three kinds"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", TX.redact_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert out[0]["clean"] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[1]["clean"] == "docs at <URL> then nothing sensitive"
+    assert out[2]["clean"] == "<EMAIL> <PHONE> <URL> all three kinds"
+    assert out[3]["clean"] == "no pii here at all"
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a@b.io c@d.io https://e.fg 555-123-4567 x")], ["doc_id", "text"]
+    )
+    c = TX.pii_counts(F.col("text"))
+    row = df.select(
+        c["n_emails"].alias("e"), c["n_urls"].alias("u"), c["n_phones"].alias("p")
+    ).collect()[0]
+    assert (row["e"], row["u"], row["p"]) == (2, 1, 1)
+
+
+def test_chunk_dedup_planted_duplicates(spark):
+    # ten-word chunk "c0 .. c9" appears in docs 0 (chunk 0), 2 (chunk 1);
+    # every other chunk is unique.
+    boiler = " ".join(f"c{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq("a")),
+            (1, uniq("b")),
+            (2, uniq("d") + " " + boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.chunk_dedup(df, "doc_id", "text", chunk_tokens=10)
+    assert out.count() == 4  # boiler + a + b + d, nothing else
+    dup = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["n_copies"] == 2
+    assert dup[0]["first_doc"] == 0 and dup[0]["first_chunk"] == 0
+
+
+def test_chunk_dedup_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, "one two three"), (2, "")],
+        ["doc_id", "text"],
+    )
+    out = D.chunk_dedup(df, "doc_id", "text", chunk_tokens=10)
+    # short docs form one sub-width chunk each; identical ones collapse
+    rows = {r["first_doc"]: r["n_copies"] for r in out.collect()}
+    assert rows[0] == 2 and rows[2] == 1

@@ -108,6 +108,9 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_date_arith",
         "q_try_cast",
         "q_time_travel",
+        "q_multimodal_chunks",
+        "q_pii_redact",
+        "q_chunk_dedup",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
