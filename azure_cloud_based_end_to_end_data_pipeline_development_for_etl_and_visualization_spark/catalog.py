@@ -2000,11 +2000,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as TX
 
     docs = _t(spark, sf_dir, "documents")
+    # two-step per shingles_of's performance contract: materialize tokens in
+    # their own projection so the transform lambda reads an array reference,
+    # not a re-evaluated split()
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
     sh = (
-        docs.select(
+        toks.select(
             "doc_id",
             F.explode(
-                F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3))
+                F.array_distinct(TX.shingles_of(F.col("__toks"), 3))
             ).alias("s"),
         )
         .select("doc_id", TX.hash32(F.col("s")).alias("h"))
@@ -2041,9 +2045,8 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(
-            F.explode(TX.shingles_of(TX.tokens(F.col("text")), 2)).alias("bigram")
-        )
+        docs.select(TX.tokens(F.col("text")).alias("__toks"))
+        .select(F.explode(TX.shingles_of(F.col("__toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -2224,6 +2227,52 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/join.enrich_stream): the events
+    stream left-joined per micro-batch against the STATIC customer
+    dimension — no state store, dim broadcast when small. Must equal the
+    batch left join, which is the oracle. The canonical streaming
+    fact -> dim lookup."""
+    import shutil
+
+    from .streaming.join import enrich_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "user_id", "event_type")
+        )
+        dim = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        enriched = enrich_stream(stream, dim, ["user_id"], how="left")
+        name = f"engine_stream_enrich_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_enrich_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2362,6 +2411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_chunk_dedup": q_chunk_dedup,
     "q_streaming_dedup": q_streaming_dedup,
+    "q_streaming_enrich": q_streaming_enrich,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3486,5 +3536,10 @@ ORACLES: dict[str, str] = {
     # the streamed self-union deduped on event_id must equal batch DISTINCT
     "q_streaming_dedup": """
         select event_id, event_type, value from events
+    """,
+    # per-micro-batch stream-static join must equal the batch left join
+    "q_streaming_enrich": """
+        select e.event_id, e.user_id, e.event_type, c.c_mktsegment as segment
+        from events e left join customer c on e.user_id = c.c_custkey
     """,
 }

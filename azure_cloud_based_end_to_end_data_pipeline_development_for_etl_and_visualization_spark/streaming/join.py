@@ -33,3 +33,21 @@ def interval_join_streams(
         & (r[right_ts] <= l[left_ts] + F.expr(f"interval {max_delay_seconds} seconds"))
     )
     return l.join(r, cond, "inner")
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, keys: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    STATIC dimension snapshot — no state store involved (unlike
+    stream-stream joins), and Catalyst broadcasts the dim side when it
+    fits, so the stream never shuffles. The canonical fact-stream ->
+    dimension-lookup pattern; at 100 TB/day the stream side stays
+    partition-local while only the (small) dim ships to executors.
+
+    Only 'inner' and 'left' make sense here ('right'/'full' would need
+    the unmatched static rows, which streaming can't emit incrementally);
+    anything else raises rather than silently mis-joining."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"enrich_stream supports how='inner'|'left', got {how!r}")
+    return stream.join(dim, keys, how)

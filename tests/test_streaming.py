@@ -197,3 +197,30 @@ def test_incremental_ingest_idempotent(spark, tmp_path, sf_dir):
     assert appended == ev.count() - n0
     assert ingest_batch_hwm(spark, ev, sink, "o_orderkey") == 0  # no-op re-run
     assert spark.read.parquet(sink).count() == ev.count()
+
+
+def test_enrich_stream_static_left_join(spark, tmp_path):
+    import pytest as _pytest
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.join import (
+        enrich_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_events(src / "p1.parquet", [
+        (1, "2024-01-01 00:00:00", 10, 1),
+        (2, "2024-01-01 00:01:00", 20, 1),
+        (3, "2024-01-01 00:02:00", 99, 1),  # no dim match -> null segment
+    ])
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+    dim = spark.createDataFrame(
+        [(10, "RETAIL"), (20, "WHOLESALE")], ["user_id", "segment"]
+    )
+    out = enrich_stream(stream, dim, ["user_id"], how="left")
+    stream_to_memory(out, "enrich_out")
+    rows = {r["event_id"]: r["segment"] for r in spark.table("enrich_out").collect()}
+    assert rows == {1: "RETAIL", 2: "WHOLESALE", 3: None}
+
+    with _pytest.raises(ValueError):
+        enrich_stream(stream, dim, ["user_id"], how="full")
