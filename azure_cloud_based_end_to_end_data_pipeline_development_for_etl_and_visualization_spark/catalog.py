@@ -2273,6 +2273,24 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): every document
+    labeled with the fixed-512-token training sequence its first token
+    lands in under concat-and-chunk packing in doc_id order. Two-phase
+    running sum — range shuffle + per-range windows — so no global
+    single-reducer sort; the oracle is the naive global-window SQL, which
+    hash-verifies that the distributed formulation computes the identical
+    packing."""
+    from .functions import text as TX
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(with_counts, "doc_id", "n_tokens", budget=512)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2412,6 +2430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_streaming_dedup": q_streaming_dedup,
     "q_streaming_enrich": q_streaming_enrich,
+    "q_sequence_pack": q_sequence_pack,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3541,5 +3560,26 @@ ORACLES: dict[str, str] = {
     "q_streaming_enrich": """
         select e.event_id, e.user_id, e.event_type, c.c_mktsegment as segment
         from events e left join customer c on e.user_id = c.c_custkey
+    """,
+    # the naive global-window packing the two-phase distributed form must equal
+    "q_sequence_pack": """
+        with t as (
+            select doc_id,
+                   len(string_split_regex(lower(text), '\\s+'))::bigint
+                       as n_tokens
+            from documents
+        ),
+        c as (
+            select doc_id, n_tokens,
+                   coalesce(sum(n_tokens) over (
+                       order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                   ), 0)::bigint as start
+            from t
+        )
+        select doc_id, n_tokens,
+               (start // 512)::bigint as seq_id,
+               (start % 512)::bigint as seq_offset
+        from c
     """,
 }

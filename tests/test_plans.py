@@ -111,6 +111,7 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_multimodal_chunks",
         "q_pii_redact",
         "q_chunk_dedup",
+        "q_sequence_pack",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
