@@ -2291,6 +2291,48 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(with_counts, "doc_id", "n_tokens", budget=512)
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/quality.profile_columns):
+    min/max/null-count/exact-distinct for five orders columns in ONE scan
+    (multi-distinct planned via a single Expand). The double column is
+    pre-cast to decimal(18,2) so min/max render identically across
+    engines."""
+    from .operators.quality import profile_columns
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"],
+    ).orderBy("col_name")
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (plans/incremental): the stored
+    per-priority rollup of 'history' orders merged with the partial state
+    of a new batch — without rescanning history. The oracle recomputes
+    from scratch over everything, hash-verifying that
+    merge(state(hist), state(batch)) == full recompute, exactly (decimal
+    partial sums, not doubles)."""
+    from .plans.incremental import aggregate_state, finalize_state, merge_state
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = orders.filter(F.col("o_orderkey") % 10 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 10 == 0)
+    keys = ["o_orderpriority"]
+    merged = merge_state(
+        aggregate_state(hist, keys, {"total_price": "o_totalprice"}),
+        aggregate_state(batch, keys, {"total_price": "o_totalprice"}),
+        keys,
+    )
+    return finalize_state(merged, keys).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2431,6 +2473,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_streaming_dedup": q_streaming_dedup,
     "q_streaming_enrich": q_streaming_enrich,
     "q_sequence_pack": q_sequence_pack,
+    "q_profile_table": q_profile_table,
+    "q_incremental_rollup": q_incremental_rollup,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3581,5 +3625,56 @@ ORACLES: dict[str, str] = {
                (start // 512)::bigint as seq_id,
                (start % 512)::bigint as seq_offset
         from c
+    """,
+    "q_profile_table": """
+        with p as (
+            select o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+                   o_totalprice::decimal(18,2) as o_totalprice
+            from orders
+        )
+        select * from (
+            select 'o_orderkey' as col_name,
+                   min(o_orderkey)::varchar as min_value,
+                   max(o_orderkey)::varchar as max_value,
+                   sum(case when o_orderkey is null then 1 else 0 end)::bigint
+                       as n_nulls,
+                   count(distinct o_orderkey)::bigint as n_distinct
+            from p
+            union all
+            select 'o_custkey', min(o_custkey)::varchar,
+                   max(o_custkey)::varchar,
+                   sum(case when o_custkey is null then 1 else 0 end)::bigint,
+                   count(distinct o_custkey)::bigint
+            from p
+            union all
+            select 'o_orderdate', min(o_orderdate)::varchar,
+                   max(o_orderdate)::varchar,
+                   sum(case when o_orderdate is null then 1 else 0 end)::bigint,
+                   count(distinct o_orderdate)::bigint
+            from p
+            union all
+            select 'o_orderpriority', min(o_orderpriority),
+                   max(o_orderpriority),
+                   sum(case when o_orderpriority is null then 1 else 0 end)::bigint,
+                   count(distinct o_orderpriority)::bigint
+            from p
+            union all
+            select 'o_totalprice', min(o_totalprice)::varchar,
+                   max(o_totalprice)::varchar,
+                   sum(case when o_totalprice is null then 1 else 0 end)::bigint,
+                   count(distinct o_totalprice)::bigint
+            from p
+        )
+        order by col_name
+    """,
+    # incremental merge must equal the from-scratch rollup
+    "q_incremental_rollup": """
+        select o_orderpriority,
+               count(*) as n_rows,
+               cast(sum(cast(o_totalprice as decimal(18,6))) as double)
+                   as total_price
+        from orders
+        group by o_orderpriority
+        order by o_orderpriority
     """,
 }

@@ -89,3 +89,38 @@ def run_checks(checks: Sequence[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass column profile: per column min / max (as strings, so mixed
+    types share one report schema), null count, and exact distinct count —
+    the ANALYZE-style stats pass that feeds data-quality review and CBO
+    hints.
+
+    Scale shape: a single scan; Catalyst plans the multiple COUNT(DISTINCT)
+    aggregates via one Expand (rows multiplied by n_cols+1, but each
+    expanded row carries one column's value) with partial aggregation below
+    the shuffle. At extreme widths swap ``countDistinct`` for
+    ``approx_count_distinct`` — same plan shape, sketch-sized state.
+
+    Callers profile doubles by pre-casting to a fixed-scale decimal so the
+    min/max string rendering is engine-independent."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
+        ]
+    stack = ", ".join(
+        f"'{c}', __min_{c}, __max_{c}, __nn_{c}, __nd_{c}" for c in cols
+    )
+    return df.agg(*aggs).select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) as "
+            "(col_name, min_value, max_value, n_nulls, n_distinct)"
+        )
+    )

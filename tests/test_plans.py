@@ -112,6 +112,8 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_pii_redact",
         "q_chunk_dedup",
         "q_sequence_pack",
+        "q_profile_table",
+        "q_incremental_rollup",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
