@@ -2291,6 +2291,56 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(with_counts, "doc_id", "n_tokens", budget=512)
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation through the STREAMING engine — the
+    overlapping-window sibling of q_streaming_tumbling (each event lands
+    in 2 windows). The oracle is the same SQL as the batch
+    q_window_sliding: promoting the batch job to a stream must not change
+    its numbers."""
+    import shutil
+
+    from .streaming.windows import sliding_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = sliding_agg(
+            stream,
+            "ts",
+            "1 day",
+            "12 hours",
+            ["event_type"],
+            [F.count(F.lit(1)).alias("n_events")],
+        )
+        name = f"engine_stream_sliding_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_sliding_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            agg.select("window_start", "event_type", "n_events")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile (operators/quality.profile_columns):
     min/max/null-count/exact-distinct for five orders columns in ONE scan
@@ -2475,6 +2525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack": q_sequence_pack,
     "q_profile_table": q_profile_table,
     "q_incremental_rollup": q_incremental_rollup,
+    "q_streaming_sliding": q_streaming_sliding,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3666,6 +3717,19 @@ ORACLES: dict[str, str] = {
             from p
         )
         order by col_name
+    """,
+    # streaming sliding agg must equal the batch sliding window (same SQL)
+    "q_streaming_sliding": """
+        with b as (
+            select time_bucket(interval '12 hours', ts) as tb, event_type from events
+        ),
+        w as (
+            select event_type, tb - (o.k * interval '12 hours') as ws
+            from b cross join (values (0), (1)) as o(k)
+        )
+        select strftime(ws, '%Y-%m-%d %H:%M:%S') as window_start,
+               event_type, count(*) as n_events
+        from w group by 1, 2
     """,
     # incremental merge must equal the from-scratch rollup
     "q_incremental_rollup": """
