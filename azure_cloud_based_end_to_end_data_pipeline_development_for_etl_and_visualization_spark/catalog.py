@@ -2341,6 +2341,35 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (operators/sketch): a
+    4x1024 mergeable sketch built over all document tokens in one
+    aggregation, probed for the stopword list, reported next to the exact
+    counts (the exact side exists for verification only — at 100 TB you
+    keep the kilobyte sketch and drop the vocabulary-sized exact table).
+    md5-salted bucket hashes make the sketch bit-reproducible in the
+    DuckDB oracle, so the estimates are hash-verified, not just
+    plausible."""
+    from .functions import text as TX
+    from .operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    sketch = cms_build(tok, "term", depth=4, width=1024)
+    keys = spark.createDataFrame([(w,) for w in TX.EN_STOPWORDS], ["term"])
+    est = cms_estimate(sketch, keys, "term", depth=4, width=1024)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            F.col("cms_count").cast("long").alias("cms_count"),
+            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+        )
+        .orderBy("term")
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile (operators/quality.profile_columns):
     min/max/null-count/exact-distinct for five orders columns in ONE scan
@@ -2526,6 +2555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_profile_table": q_profile_table,
     "q_incremental_rollup": q_incremental_rollup,
     "q_streaming_sliding": q_streaming_sliding,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3717,6 +3747,41 @@ ORACLES: dict[str, str] = {
             from p
         )
         order by col_name
+    """,
+    # the md5-salted sketch is bit-reproducible: estimates hash-match
+    "q_cms_heavy_hitters": """
+        with tok as (
+            select unnest(string_split_regex(lower(text), '\\s+')) as term
+            from documents
+        ),
+        cells as (
+            select k.d as depth_idx,
+                   ('0x' || substr(md5('cms' || k.d || ':' || term), 1, 8))::bigint
+                       % 1024 as bucket,
+                   count(*) as cnt
+            from tok cross join (values (0), (1), (2), (3)) as k(d)
+            group by 1, 2
+        ),
+        stop(term) as (
+            values ('the'), ('and'), ('of'), ('to'), ('a'), ('in'), ('is'),
+                   ('it'), ('for'), ('on'), ('with'), ('as')
+        ),
+        probes as (
+            select term, k.d as depth_idx,
+                   ('0x' || substr(md5('cms' || k.d || ':' || term), 1, 8))::bigint
+                       % 1024 as bucket
+            from stop cross join (values (0), (1), (2), (3)) as k(d)
+        ),
+        est as (
+            select p.term, min(coalesce(c.cnt, 0))::bigint as cms_count
+            from probes p
+            left join cells c using (depth_idx, bucket)
+            group by 1
+        ),
+        exact as (select term, count(*) as exact_n from tok group by 1)
+        select e.term, e.cms_count, coalesce(x.exact_n, 0)::bigint as exact_n
+        from est e left join exact x using (term)
+        order by term
     """,
     # streaming sliding agg must equal the batch sliding window (same SQL)
     "q_streaming_sliding": """

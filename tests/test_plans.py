@@ -114,6 +114,7 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_sequence_pack",
         "q_profile_table",
         "q_incremental_rollup",
+        "q_cms_heavy_hitters",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):

@@ -1,0 +1,53 @@
+"""Count-min sketch: overcount-only guarantee, exactness without
+collisions, and cell-wise mergeability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+)
+
+
+def _tokens_df(spark, words):
+    return spark.createDataFrame([(w,) for w in words], ["term"])
+
+
+def test_cms_never_undercounts(spark):
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{rng.randint(0, 40)}" for _ in range(3000)]
+    df = _tokens_df(spark, words)
+    sketch = cms_build(df, "term", depth=4, width=64)  # narrow -> collisions
+    keys = df.distinct()
+    est = {r["term"]: r["cms_count"] for r in cms_estimate(sketch, keys, "term", 4, 64).collect()}
+    exact = {r["term"]: r["cnt"] for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_cms_exact_when_wide(spark):
+    df = _tokens_df(spark, ["a"] * 5 + ["b"] * 3 + ["c"])
+    sketch = cms_build(df, "term", depth=4, width=4096)
+    est = {r["term"]: r["cms_count"] for r in cms_estimate(sketch, df.distinct(), "term", 4, 4096).collect()}
+    assert est == {"a": 5, "b": 3, "c": 1}
+    # absent key estimates 0 (or a collision count; wide sketch -> 0 here)
+    missing = _tokens_df(spark, ["zzz"])
+    got = cms_estimate(sketch, missing, "term", 4, 4096).collect()[0]["cms_count"]
+    assert got == 0
+
+
+def test_cms_merges_cellwise(spark):
+    words = ["x"] * 6 + ["y"] * 4 + ["z"] * 2
+    whole = cms_build(_tokens_df(spark, words), "term", depth=4, width=64)
+    h1 = cms_build(_tokens_df(spark, words[:5]), "term", depth=4, width=64)
+    h2 = cms_build(_tokens_df(spark, words[5:]), "term", depth=4, width=64)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
