@@ -59,6 +59,13 @@ HEADLINE = [
     "q_decontaminate",
     "q_funnel_steps",
     "q_surrogate_key_fact",
+    # late round-2 curation additions (appended; first 25 comparable)
+    "q_pii_redact",
+    "q_chunk_dedup",
+    "q_sequence_pack",
+    "q_cms_heavy_hitters",
+    "q_profile_table",
+    "q_incremental_rollup",
 ]
 
 
