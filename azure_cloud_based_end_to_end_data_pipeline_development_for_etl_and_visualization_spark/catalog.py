@@ -2341,6 +2341,52 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation through the STREAMING engine (complete
+    mode — sessions are not finalized-by-watermark, so none are withheld
+    at stream end). Oracle = the same gaps-and-islands SQL as the batch
+    q_window_session: the fourth streaming==batch equivalence, covering
+    the only window kind whose extent is data-dependent."""
+    import shutil
+
+    from .streaming.windows import session_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = session_agg(
+            stream, "ts", "2 hours", ["user_id"],
+            [F.count(F.lit(1)).alias("n_events")],
+        )
+        name = f"engine_stream_session_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_session_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            agg.select("user_id", "session_start", "session_end", "n_events")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates (operators/sketch): a
     4x1024 mergeable sketch built over all document tokens in one
@@ -2556,6 +2602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_rollup": q_incremental_rollup,
     "q_streaming_sliding": q_streaming_sliding,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
+    "q_streaming_session": q_streaming_session,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3747,6 +3794,31 @@ ORACLES: dict[str, str] = {
             from p
         )
         order by col_name
+    """,
+    # streaming session agg must equal the batch gaps-and-islands (same SQL)
+    "q_streaming_session": """
+        with l as (
+            select user_id, ts,
+                   lag(ts) over (partition by user_id order by ts) as pts
+            from events
+        ),
+        f as (
+            select user_id, ts,
+                   case when pts is null or ts - pts > interval '2 hours'
+                        then 1 else 0 end as brk
+            from l
+        ),
+        g as (
+            select user_id, ts,
+                   sum(brk) over (partition by user_id order by ts
+                                  rows unbounded preceding) as grp
+            from f
+        )
+        select user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+               strftime(max(ts) + interval '2 hours', '%Y-%m-%d %H:%M:%S') as session_end,
+               count(*) as n_events
+        from g group by user_id, grp
     """,
     # the md5-salted sketch is bit-reproducible: estimates hash-match
     "q_cms_heavy_hitters": """
