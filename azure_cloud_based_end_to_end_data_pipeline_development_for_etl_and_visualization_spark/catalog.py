@@ -2341,6 +2341,50 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-evolution read: two batches written with different
+    column sets (the real-world 'a column was added in March' layout),
+    read back as ONE table via ``mergeSchema`` — absent columns surface
+    as nulls. The oracle reconstructs the merged relation from the
+    original nation table, so the write→evolve→merged-read hop is
+    hash-verified. At scale, mergeSchema costs a footer read per file —
+    pin the unified schema in a table format / metastore instead of
+    re-inferring per query (plans/versioned does exactly that)."""
+    import shutil
+
+    out = _tmp_path("schema_evolution")
+    shutil.rmtree(out, ignore_errors=True)
+    nation = _t(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").write.parquet(f"{out}/b=1")
+    nation.select("n_nationkey", "n_regionkey").write.parquet(f"{out}/b=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/b=1", f"{out}/b=2")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey", "n_name")
+    )
+
+
+def q_json_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines file source: the events ``props`` JSON strings written
+    out as a .jsonl file, read back with an EXPLICIT schema (never
+    inference in production — inference is a full extra pass over 100 TB),
+    then aggregated. Oracle extracts the same field from the original
+    table, so the export→read→extract path is hash-verified."""
+    import shutil
+
+    out = _tmp_path("json_lines")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _events(spark, sf_dir)
+    ev.select(F.col("props").alias("value")).write.text(out)
+    parsed = spark.read.schema("k long").json(out)
+    return (
+        parsed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
 def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation through the STREAMING engine (complete
     mode — sessions are not finalized-by-watermark, so none are withheld
@@ -2603,6 +2647,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_streaming_sliding": q_streaming_sliding,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_streaming_session": q_streaming_session,
+    "q_schema_evolution": q_schema_evolution,
+    "q_json_lines_source": q_json_lines_source,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3794,6 +3840,18 @@ ORACLES: dict[str, str] = {
             from p
         )
         order by col_name
+    """,
+    # merged-schema read reconstructed from the original table
+    "q_schema_evolution": """
+        select n_nationkey, n_name, null::bigint as n_regionkey from nation
+        union all
+        select n_nationkey, null::varchar as n_name, n_regionkey from nation
+        order by n_nationkey, n_name
+    """,
+    # export->jsonl-read->extract must equal extracting from the table
+    "q_json_lines_source": """
+        select cast(props->>'$.k' as bigint) as k, count(*) as n
+        from events group by 1 order by 1
     """,
     # streaming session agg must equal the batch gaps-and-islands (same SQL)
     "q_streaming_session": """
