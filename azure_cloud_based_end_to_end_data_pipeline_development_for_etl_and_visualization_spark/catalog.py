@@ -2341,6 +2341,25 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range scalar quantization of the embedding corpus
+    (operators/similarity.quantize_embeddings): global (lo, hi) extrema
+    → 0..255 codes, 4x less scan bandwidth for distance kernels. Integer
+    outputs make the transform hash-verifiable; the oracle recomputes
+    the same extrema and floor-rounding in SQL. Exploded to
+    (vec_id, dim_idx, q) long format — the value-hash compare is over
+    scalar cells."""
+    from .operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q, _, _ = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id", F.posexplode(F.col("qvec")).alias("dim_idx", "q")
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long")).orderBy(
+        "vec_id", "dim_idx"
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet schema-evolution read: two batches written with different
     column sets (the real-world 'a column was added in March' layout),
@@ -2649,6 +2668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_streaming_session": q_streaming_session,
     "q_schema_evolution": q_schema_evolution,
     "q_json_lines_source": q_json_lines_source,
+    "q_embed_quantize": q_embed_quantize,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3840,6 +3860,24 @@ ORACLES: dict[str, str] = {
             from p
         )
         order by col_name
+    """,
+    # same extrema + floor rounding recomputed in SQL
+    "q_embed_quantize": """
+        with ext as (
+            select min(m) as lo, max(x) as hi
+            from (
+                select list_min(embedding)::double as m,
+                       list_max(embedding)::double as x
+                from embeddings
+            )
+        )
+        select vec_id,
+               (i - 1)::bigint as dim_idx,
+               floor((embedding[i]::double - ext.lo)
+                     * (255.0 / (ext.hi - ext.lo)) + 0.5)::int as q
+        from embeddings, ext,
+             (select unnest(generate_series(1, 64)) as i)
+        order by vec_id, dim_idx
     """,
     # merged-schema read reconstructed from the original table
     "q_schema_evolution": """

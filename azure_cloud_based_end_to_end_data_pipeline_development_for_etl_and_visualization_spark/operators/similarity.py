@@ -274,3 +274,41 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar (int8-range) quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, float, float]:
+    """Scalar-quantize float vectors into the 0..255 integer range with a
+    single global (lo, hi) — 4x less memory traffic per distance
+    computation, which at 100 TB of vectors is the difference between a
+    bandwidth-bound and a compute-bound scan. Returns
+    ``(quantized_df, lo, hi)``; reconstruct with
+    ``x ~ lo + q * (hi - lo) / 255``.
+
+    Only two scalars cross the driver (the global extrema — same class as
+    the HWM collect); the quantization itself is a codegen'd
+    ``transform`` with ``floor(x + 0.5)`` rounding, which both engines
+    evaluate identically on IEEE doubles (``round()`` half-up vs
+    half-even differs across engines — floor does not)."""
+    ext = df.select(
+        F.min(F.array_min(F.col(vec_col))).alias("lo"),
+        F.max(F.array_max(F.col(vec_col))).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(ext["lo"]), float(ext["hi"])
+    scale = 255.0 / (hi - lo) if hi > lo else 0.0
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                (x.cast("double") - F.lit(lo)) * F.lit(scale) + F.lit(0.5)
+            ).cast("int"),
+        ).alias("qvec"),
+    )
+    return q, lo, hi

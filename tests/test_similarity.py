@@ -76,3 +76,34 @@ def test_threshold_pairs_symmetric_free(spark, emb):
     seen = {(r["a"], r["b"]) for r in pairs}
     assert all(a < b for a, b in seen)  # no duplicates/self-pairs
     assert len(seen) == len(pairs)
+
+
+def test_quantize_embeddings_range_and_error(spark, emb):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q, lo, hi = quantize_embeddings(emb, "vec_id", "embedding")
+    step = (hi - lo) / 255.0
+    flat = q.select(F.explode("qvec").alias("c"))
+    mn, mx = flat.agg(F.min("c"), F.max("c")).collect()[0]
+    assert 0 <= mn and mx <= 255 and mx == 255  # extrema map to the ends
+
+    # reconstruction error bounded by half a quantization step
+    joined = (
+        emb.join(q, "vec_id")
+        .select(
+            F.arrays_zip(F.col("embedding"), F.col("qvec")).alias("z")
+        )
+        .select(F.explode("z").alias("p"))
+        .select(
+            (
+                F.abs(
+                    F.col("p.embedding").cast("double")
+                    - (F.lit(lo) + F.col("p.qvec") * F.lit(step))
+                )
+            ).alias("err")
+        )
+    )
+    max_err = joined.agg(F.max("err")).collect()[0][0]
+    assert max_err <= step / 2 + 1e-9
