@@ -10,6 +10,7 @@ oracle but would fall over at 1000x the data.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
     catalog,
@@ -165,3 +166,23 @@ def test_dim_surrogate_key_is_global_sort_by_design(spark, sf_dir):
     are small); if this ever changes the docs/scale notes must follow."""
     plan = plan_of(catalog.q_surrogate_key(spark, sf_dir))
     assert "SinglePartition" in plan
+
+
+def test_sequence_pack_has_no_global_data_sort(spark, sf_dir):
+    """The packing running sum must distribute: a range-partitioning
+    exchange on doc_id (not a single-partition global sort of the data),
+    with the per-range window partitioned by the range id. The only
+    unpartitioned window runs over partition-count-sized offset rows."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    plan = plan_of(pack_sequences(docs, "doc_id", "n_tokens", 512))
+    assert "rangepartitioning(doc_id" in plan
+    # the data-carrying window is keyed by the range partition id
+    assert "Window" in plan and "__pk_pid" in plan
+    # offsets come back via broadcast, not a second data shuffle
+    assert "BroadcastHashJoin" in plan
