@@ -2341,6 +2341,40 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CDC apply (operators/diff.apply_changelog): the
+    q_snapshot_diff scenario's changelog (inserts past the cutoff,
+    deletes below the new window, price updates on every 10th key)
+    applied back onto the OLD snapshot must reconstruct the NEW one —
+    which is exactly what the oracle computes. Completes the diff/apply
+    pair and the delete semantic the SCD1 upsert merge lacks."""
+    from .operators.diff import apply_changelog, snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") < 12000)
+    new = orders.filter(F.col("o_orderkey") >= 2000).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    changelog = diff.filter(F.col("change") != "unchanged").select(
+        "o_orderkey",
+        F.when(F.col("change") == "inserted", "I")
+        .when(F.col("change") == "deleted", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_orderstatus_new").alias("o_orderstatus"),
+        F.col("o_totalprice_new").alias("o_totalprice"),
+    )
+    return apply_changelog(
+        old, changelog, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-range scalar quantization of the embedding corpus
     (operators/similarity.quantize_embeddings): global (lo, hi) extrema
@@ -2669,6 +2703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_schema_evolution": q_schema_evolution,
     "q_json_lines_source": q_json_lines_source,
     "q_embed_quantize": q_embed_quantize,
+    "q_cdc_apply": q_cdc_apply,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3860,6 +3895,15 @@ ORACLES: dict[str, str] = {
             from p
         )
         order by col_name
+    """,
+    # applying the changelog to OLD must reconstruct NEW exactly
+    "q_cdc_apply": """
+        select o_orderkey, o_orderstatus,
+               case when o_orderkey % 10 = 0 then o_totalprice + 1.0
+                    else o_totalprice end as o_totalprice
+        from orders
+        where o_orderkey >= 2000
+        order by o_orderkey
     """,
     # same extrema + floor rounding recomputed in SQL
     "q_embed_quantize": """

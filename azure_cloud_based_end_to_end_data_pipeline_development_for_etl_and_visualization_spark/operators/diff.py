@@ -57,3 +57,35 @@ def snapshot_diff(
         *[F.col(f"{c}_old") for c in compare_cols],
         *[F.col(f"{c}_new") for c in compare_cols],
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (ops ``I``/``U``/``D`` per key) to a
+    snapshot — the inverse of :func:`snapshot_diff`, and the delete-aware
+    superset of the SCD1 merge (which only upserts):
+
+    - ``D`` rows remove the key from the snapshot;
+    - ``U`` rows replace the key's payload;
+    - ``I`` rows add new keys.
+
+    ``apply_changelog(old, diff-as-changelog, ...)`` reconstructs the new
+    snapshot exactly (property-tested roundtrip). Duplicate keys in one
+    changelog batch are an error upstream (same contract as the SCD1
+    merge's duplicate-match probe).
+
+    Plan shape: one anti join (touched keys drop out) + one union of the
+    surviving I/U payloads — the changelog is batch-sized and broadcasts;
+    the snapshot never shuffles. At 100 TB this is the read path of a
+    merge-on-read table format, expressed directly."""
+    touched = changelog.select(*keys)
+    kept = snapshot.join(F.broadcast(touched), list(keys), "left_anti")
+    upserts = changelog.filter(F.col(op_col).isin("I", "U")).select(
+        *keys, *payload_cols
+    )
+    return kept.select(*keys, *payload_cols).unionByName(upserts)
