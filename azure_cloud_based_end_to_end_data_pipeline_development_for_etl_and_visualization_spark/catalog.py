@@ -58,6 +58,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``_events``. File streams need an explicit schema;
+    taking it from the batch footer (instead of a hardcoded string) keeps
+    the reader correct across the driver's testdata vintages — TIMESTAMP
+    (NANOS) read as bigint-of-nanos vs plain ``timestamp[us]`` read as
+    TIMESTAMP_NTZ — with the identical ``ts`` normalization as the batch
+    loader, so stream results hash against the batch oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 def dec_sum(col: Column) -> Column:
     """Order-independent sum of a double expression (see module docstring)."""
     return F.sum(col.cast("decimal(18,6)")).cast("double")
@@ -1072,7 +1092,6 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     before fixed-step models; grid generation is sequence-explode (no
     driver loop), fill is last(ignorenulls) over one window."""
     ev = _events(spark, sf_dir)
-    step = 6 * 3600
     bucketed = (
         ev.groupBy(
             "user_id",
@@ -1083,16 +1102,15 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = bucketed.groupBy("user_id").agg(
         F.min("tb").alias("mn"), F.max("tb").alias("mx")
     )
+    # sequence over timestamps with an interval step keeps tb the same
+    # type as the window start (LTZ or NTZ alike) — no epoch round-trip,
+    # so the grid joins back to `bucketed` without a cast
     grid = bounds.select(
         "user_id",
         F.explode(
-            F.sequence(
-                F.col("mn").cast("long"),
-                F.col("mx").cast("long"),
-                F.lit(step),
-            )
-        ).alias("tb_sec"),
-    ).select("user_id", F.timestamp_seconds(F.col("tb_sec")).alias("tb"))
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 6 HOURS"))
+        ).alias("tb"),
+    )
     joined = grid.join(bucketed, ["user_id", "tb"], "left")
     w = (
         Window.partitionBy("user_id")
@@ -1222,14 +1240,7 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     ckpt = _tmp_path("stateful_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     out = running_totals(stream, "user_id", "value")
     q = (
         out.writeStream.format("memory")
@@ -1916,15 +1927,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = _events_stream(spark, sf_dir)
         agg = tumbling_agg(
             stream,
             "ts",
@@ -2197,15 +2200,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         def one_stream() -> DataFrame:
-            return (
-                spark.readStream.schema(
-                    "event_id long, ts long, user_id long, event_type string, "
-                    "value double, props string"
-                )
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            )
+            return _events_stream(spark, sf_dir)
 
         doubled = one_stream().unionAll(one_stream())
         dd = streaming_dedup(doubled, ["event_id"], "ts", "10 minutes")
@@ -2242,14 +2237,8 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .select("event_id", "user_id", "event_type")
+        stream = _events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type"
         )
         dim = _t(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"),
@@ -2306,15 +2295,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = _events_stream(spark, sf_dir)
         agg = sliding_agg(
             stream,
             "ts",
@@ -2453,15 +2434,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = _events_stream(spark, sf_dir)
         agg = session_agg(
             stream, "ts", "2 hours", ["user_id"],
             [F.count(F.lit(1)).alias("n_events")],

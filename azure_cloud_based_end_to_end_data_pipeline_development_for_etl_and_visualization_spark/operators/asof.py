@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 _MARK = "__asof_side"
 
 
@@ -90,8 +92,8 @@ def asof_join(
     ).filter(F.col(_MARK) == 1)
 
     if tolerance_seconds is not None:
-        in_tol = F.col(f"__m_{right_ts}").cast("double") >= (
-            F.col("__ts").cast("double") - F.lit(float(tolerance_seconds))
+        in_tol = epoch_seconds(F.col(f"__m_{right_ts}")) >= (
+            epoch_seconds(F.col("__ts")) - F.lit(float(tolerance_seconds))
         )
         matched = matched.select(
             *[c for c in matched.columns if not c.startswith("__m_")],

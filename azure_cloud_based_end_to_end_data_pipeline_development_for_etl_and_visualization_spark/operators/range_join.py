@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 
 def range_join(
     left: DataFrame,
@@ -57,10 +59,10 @@ def range_join(
     n_buckets = math.ceil((upper_seconds - lower_seconds) / width) + 1
 
     r = right.withColumn(
-        "__rbucket", F.floor(F.col(right_ts).cast("double") / width)
+        "__rbucket", F.floor(epoch_seconds(right_ts) / width)
     )
     first_bucket = F.floor(
-        (F.col(left_ts).cast("double") + lower_seconds) / width
+        (epoch_seconds(left_ts) + lower_seconds) / width
     )
     l = left.withColumn(
         "__lbucket",
@@ -71,11 +73,9 @@ def range_join(
 
     cond = (F.col("__lbucket") == F.col("__rbucket"))
     exact = (
-        F.col(right_ts).cast("double")
-        >= F.col(left_ts).cast("double") + lower_seconds
+        epoch_seconds(right_ts) >= epoch_seconds(left_ts) + lower_seconds
     ) & (
-        F.col(right_ts).cast("double")
-        < F.col(left_ts).cast("double") + upper_seconds
+        epoch_seconds(right_ts) < epoch_seconds(left_ts) + upper_seconds
     )
     cond = cond & exact
     if extra_on is not None:

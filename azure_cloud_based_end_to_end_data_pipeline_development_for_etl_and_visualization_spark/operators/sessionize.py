@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -35,7 +37,7 @@ def sessionize(
     prev_ts = F.lag(ts_col).over(w)
     is_start = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_seconds),
+        | (epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts) > gap_seconds),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(

@@ -25,8 +25,10 @@ def interval_join_streams(
     """Join streaming ``left`` and ``right`` on ``key`` where
     ``left.ts <= right.ts <= left.ts + max_delay_seconds``. Both sides
     must be streaming DataFrames; output is append-mode joinable."""
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    from .windows import _watermarkable
+
+    l = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
+    r = _watermarkable(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (l[key] == r[key])
         & (r[right_ts] >= l[left_ts])

@@ -84,6 +84,16 @@ def session_agg(
     )
 
 
+def _watermarkable(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); driver testdata can arrive as
+    TIMESTAMP_NTZ (parquet ``timestamp[us]`` without a zone). With the
+    session pinned to UTC the NTZ->LTZ cast is value-exact, so late-data
+    semantics are unchanged."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def streaming_tumbling_agg(
     stream: DataFrame,
     ts_col: str,
@@ -96,7 +106,7 @@ def streaming_tumbling_agg(
     ``watermark`` behind the max observed event time."""
     w = F.window(F.col(ts_col), duration)
     return (
-        stream.withWatermark(ts_col, watermark)
+        _watermarkable(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(w.alias("w"), *group_cols)
         .agg(*aggs)
         .withColumn("window_start", F.date_format(F.col("w.start"), TS_FMT))
@@ -110,6 +120,6 @@ def streaming_dedup(
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps one row per key within the
     watermark horizon (SURVEY.md 2.8)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
-    )
+    return _watermarkable(stream, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(keys))

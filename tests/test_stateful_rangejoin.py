@@ -13,10 +13,7 @@ def test_running_totals_match_batch_sums(spark, sf_dir, tmp_path):
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
