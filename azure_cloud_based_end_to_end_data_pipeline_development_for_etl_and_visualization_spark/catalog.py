@@ -2474,7 +2474,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(tok, "term", depth=4, width=1024)
     keys = spark.createDataFrame([(w,) for w in TX.EN_STOPWORDS], ["term"])
     est = cms_estimate(sketch, keys, "term", depth=4, width=1024)
-    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    # exact counts only for the probed keys: filter BEFORE the groupBy so
+    # the verification side shuffles ~30 stopword rows, not the whole
+    # vocabulary (the sketch side stays the only full aggregation)
+    exact = (
+        tok.filter(F.col("term").isin(list(TX.EN_STOPWORDS)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
     return (
         est.join(exact, "term", "left")
         .select(
@@ -2486,24 +2493,45 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profile (operators/quality.profile_columns):
-    min/max/null-count/exact-distinct for five orders columns in ONE scan
-    (multi-distinct planned via a single Expand). The double column is
-    pre-cast to decimal(18,2) so min/max render identically across
-    engines."""
-    from .operators.quality import profile_columns
-
-    orders = _t(spark, sf_dir, "orders").select(
+def _profile_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/quality.profile_columns),
+    EXACT mode: min/max/null-count/exact-distinct for five orders columns
+    in ONE scan (multi-distinct planned via a single Expand — oracle-parity
+    only; the default approx mode in q_profile_table_approx is the 100 TB
+    path). The double column is pre-cast to decimal(18,2) so min/max
+    render identically across engines."""
+    from .operators.quality import profile_columns
+
     return profile_columns(
-        orders,
-        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"],
+        _profile_input(spark, sf_dir), _PROFILE_COLS, approx=False
+    ).orderBy("col_name")
+
+
+def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile in the default approximate mode: HLL++ distinct
+    sketches, constant per-column state, NO Expand — the plan that
+    survives a 100 TB fact (rows-only: sketch estimates are
+    engine-specific, exactness is covered by q_profile_table's oracle and
+    the relative-error pytest)."""
+    from .operators.quality import profile_columns
+
+    return profile_columns(
+        _profile_input(spark, sf_dir), _PROFILE_COLS, approx=True
     ).orderBy("col_name")
 
 

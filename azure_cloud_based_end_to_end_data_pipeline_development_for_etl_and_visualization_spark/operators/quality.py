@@ -91,29 +91,38 @@ def run_checks(checks: Sequence[DataFrame]) -> DataFrame:
     return out
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = True, rsd: float = 0.05
+) -> DataFrame:
     """One-pass column profile: per column min / max (as strings, so mixed
-    types share one report schema), null count, and exact distinct count —
-    the ANALYZE-style stats pass that feeds data-quality review and CBO
-    hints.
+    types share one report schema), null count, and distinct count — the
+    ANALYZE-style stats pass that feeds data-quality review and CBO hints.
 
-    Scale shape: a single scan; Catalyst plans the multiple COUNT(DISTINCT)
-    aggregates via one Expand (rows multiplied by n_cols+1, but each
-    expanded row carries one column's value) with partial aggregation below
-    the shuffle. At extreme widths swap ``countDistinct`` for
-    ``approx_count_distinct`` — same plan shape, sketch-sized state.
+    ``approx=True`` (the default, and the only sane mode at 100 TB) uses
+    ``approx_count_distinct`` — an HLL++ sketch with constant per-column
+    state, so the whole profile is plain partial aggregation: no Expand,
+    no row multiplication, one scan, one kilobyte-scale shuffle.
+
+    ``approx=False`` computes exact distincts for oracle-parity checks:
+    Catalyst plans the multiple COUNT(DISTINCT) via one Expand (rows
+    multiplied by n_cols+1) — a deliberate anti-pattern over a fact table
+    at scale, kept only because approximate estimates are engine-specific
+    and can't be hash-compared against DuckDB.
 
     Callers profile doubles by pre-casting to a fixed-scale decimal so the
     min/max string rendering is engine-independent."""
     aggs: list[Column] = []
     for c in cols:
+        nd = (
+            F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
+        )
         aggs += [
             F.min(c).cast("string").alias(f"__min_{c}"),
             F.max(c).cast("string").alias(f"__max_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"__nn_{c}"),
-            F.countDistinct(c).cast("long").alias(f"__nd_{c}"),
+            nd.cast("long").alias(f"__nd_{c}"),
         ]
     stack = ", ".join(
         f"'{c}', __min_{c}, __max_{c}, __nn_{c}, __nd_{c}" for c in cols

@@ -64,10 +64,24 @@ def threshold_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.35,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, optionally
-    blocked on a grouping column (cuts the pair space from n^2 to
-    sum of per-block n_b^2 — the standard blocking trick)."""
+    """Embedding near-duplicate pairs: cosine >= threshold, blocked on a
+    grouping column (cuts the pair space from n^2 to sum of per-block
+    n_b^2 — the standard blocking trick).
+
+    ``block_col=None`` is an unblocked corpus x corpus crossJoin —
+    quadratic, a non-starter beyond toy corpora — so it raises unless
+    ``allow_full_cross=True`` is passed explicitly (mirrors range_join's
+    guard against accidental nested-loop plans). For an unblocked corpus,
+    derive a blocking key first: ``lsh_bucket`` from this module gives a
+    plan-literal hyperplane bucket that serves exactly this purpose."""
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "threshold_pairs(block_col=None) is an n^2 crossJoin; pass a "
+            "blocking column (e.g. lsh_bucket(...) output) or opt in "
+            "explicitly with allow_full_cross=True"
+        )
     a_cols = [F.col(id_col).alias("a"), F.col(vec_col).alias("va")]
     b_cols = [F.col(id_col).alias("b"), F.col(vec_col).alias("vb")]
     if block_col:

@@ -64,7 +64,7 @@ HEADLINE = [
     "q_chunk_dedup",
     "q_sequence_pack",
     "q_cms_heavy_hitters",
-    "q_profile_table",
+    "q_profile_table_approx",
     "q_incremental_rollup",
 ]
 

@@ -39,6 +39,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_cosine_topk_ivf",     # approximate, recall tested in pytest
         "q_multimodal_features", # stubbed decoder feature vectors
         "q_text_model_score",    # pandas_udf transcendentals differ in ulps
+        "q_profile_table_approx",  # HLL++ estimates are engine-specific
     }
 
 

@@ -55,3 +55,35 @@ def test_profile_columns_planted(spark):
     assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 3
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "c"
+
+
+def test_profile_columns_approx_matches_exact_within_rsd(spark):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.quality import (
+        profile_columns,
+    )
+
+    df = spark.range(5000).selectExpr("id", "cast(id % 997 as string) as s")
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(df, ["id", "s"], approx=False).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(df, ["id", "s"], approx=True, rsd=0.05).collect()
+    }
+    for c in ("id", "s"):
+        assert abs(approx[c] - exact[c]) <= 0.15 * exact[c]
+
+
+def test_profile_columns_default_plan_has_no_expand(spark):
+    """The approx default must plan as plain partial aggregation — the
+    exact multi-distinct Expand (rows x n_cols+1) is opt-in only."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.quality import (
+        profile_columns,
+    )
+
+    df = spark.range(100).selectExpr("id", "cast(id as string) as s")
+    approx_plan = profile_columns(df, ["id", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx_plan
+    exact_plan = profile_columns(df, ["id", "s"], approx=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # sanity: the flag actually switches modes

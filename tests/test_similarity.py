@@ -107,3 +107,15 @@ def test_quantize_embeddings_range_and_error(spark, emb):
     )
     max_err = joined.agg(F.max("err")).collect()[0][0]
     assert max_err <= step / 2 + 1e-9
+
+
+def test_threshold_pairs_unblocked_requires_explicit_opt_in(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="crossJoin"):
+        S.threshold_pairs(emb, block_col=None)
+    # explicit opt-in still works for toy corpora
+    pairs = S.threshold_pairs(
+        emb.limit(20), block_col=None, threshold=0.3, allow_full_cross=True
+    )
+    assert pairs.columns == ["a", "b", "sim"]
