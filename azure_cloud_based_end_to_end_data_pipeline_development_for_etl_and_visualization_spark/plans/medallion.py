@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 from ..sources.io import read_csv, write_parquet
 from .scd import merge_scd1_path
 from .star import build_dim
+from .versioned import (
+    _version_name,
+    _versions_dir,
+    current_version,
+    merge_scd1_versioned,
+    read_version,
+)
 
 
 @dataclass
@@ -92,11 +99,63 @@ def _gold_path(lake_root: str, table: str) -> str:
     return os.path.join(lake_root, "gold", table)
 
 
+def _gold_exists(path: str, publish: str) -> bool:
+    if publish == "versioned":
+        return current_version(path) is not None
+    return os.path.exists(path)
+
+
+def _merge_gold(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    keys: list[str],
+    publish: str,
+    check_duplicate_source_keys: bool = True,
+    partition_by: list[str] | None = None,
+) -> None:
+    if publish == "versioned":
+        merge_scd1_versioned(
+            spark, path, df, keys,
+            check_duplicate_source_keys=check_duplicate_source_keys,
+            partition_by=partition_by,
+        )
+    else:
+        merge_scd1_path(
+            spark, path, df, keys,
+            check_duplicate_source_keys=check_duplicate_source_keys,
+            partition_by=partition_by,
+        )
+
+
+def gold_table(
+    spark: SparkSession, lake_root: str, table: str, publish: str = "versioned"
+) -> DataFrame:
+    """Read a gold table under either publish protocol."""
+    path = _gold_path(lake_root, table)
+    if publish == "versioned":
+        return read_version(spark, path)
+    return spark.read.parquet(path)
+
+
+def gold_data_dir(lake_root: str, table: str, publish: str = "versioned") -> str:
+    """Physical directory of the current snapshot (for layout inspection —
+    hive partition dirs live here under both protocols)."""
+    path = _gold_path(lake_root, table)
+    if publish == "versioned":
+        v = current_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        return os.path.join(_versions_dir(path), _version_name(v))
+    return path
+
+
 def build_gold(
     spark: SparkSession,
     lake_root: str,
     config: StarSchemaConfig,
     silver: DataFrame | None = None,
+    publish: str = "versioned",
 ) -> None:
     """Build/merge every dim then the fact from the silver layer.
 
@@ -104,19 +163,32 @@ def build_gold(
     existing keys preserved, new business keys get max+1.., changed
     attributes updated in place (SCD1), fact rows merged on the full
     surrogate-key combination — reference semantics including the merge
-    keyed on surrogate keys (gold_fact_sales.ipynb:72819 cell 12)."""
+    keyed on surrogate keys (gold_fact_sales.ipynb:72819 cell 12).
+
+    ``publish`` picks the commit protocol. The default ``"versioned"``
+    publishes each merge as an atomic pointer flip (plans/versioned):
+    readers always see a complete snapshot — there is NO window in which
+    the table is absent — and every run is time-travelable, the portable
+    equivalent of the reference's Delta gold layer. ``"swap"`` is the
+    plain directory-rename publisher (plans/scd.merge_scd1_path): no
+    retained history, a two-rename window, but gold tables stay directly
+    parquet-addressable for external readers."""
     if silver is None:
         silver = spark.read.parquet(os.path.join(lake_root, "silver", "carsales"))
 
     dim_frames: dict[str, DataFrame] = {}
     for spec in config.dims:
         path = _gold_path(lake_root, spec.name)
-        existing = spark.read.parquet(path) if os.path.exists(path) else None
+        existing = (
+            gold_table(spark, lake_root, spec.name, publish)
+            if _gold_exists(path, publish)
+            else None
+        )
         nxt = build_dim(
             silver, spec.business_keys, spec.attrs, spec.key_col, existing=existing
         )
-        merge_scd1_path(spark, path, nxt, [spec.key_col])
-        dim_frames[spec.name] = spark.read.parquet(path)
+        _merge_gold(spark, path, nxt, [spec.key_col], publish)
+        dim_frames[spec.name] = gold_table(spark, lake_root, spec.name, publish)
 
     fact_src = silver.alias("s")
     select_cols: list[Column] = [F.col(f"s.{m}").alias(m) for m in config.measures]
@@ -136,11 +208,12 @@ def build_gold(
     fact = fact_src.select(*select_cols)
 
     key_cols = [spec.key_col for spec in config.dims]
-    merge_scd1_path(
+    _merge_gold(
         spark,
         _gold_path(lake_root, config.fact_name),
         fact,
         key_cols,
+        publish,
         # the reference's fact grain allows duplicate key combos on initial
         # load (one row per silver row) — SURVEY.md 3.3 documents the
         # collision; we bypass the duplicate check to match its semantics
@@ -155,6 +228,7 @@ def run_pipeline(
     lake_root: str,
     config: StarSchemaConfig = CARSALES,
     drop_cols: list[str] | None = None,
+    publish: str = "versioned",
 ) -> dict[str, int]:
     """Full pipeline run (initial or incremental is decided per-table by
     existence, like the reference's tableExists probe — op 9). Returns
@@ -164,11 +238,11 @@ def run_pipeline(
         drop_cols if drop_cols is not None else ["Product_Name"],
     )
     silver = bronze_to_silver(spark, lake_root)
-    build_gold(spark, lake_root, config, silver=silver)
+    build_gold(spark, lake_root, config, silver=silver, publish=publish)
     counts = {}
     for spec in config.dims:
-        counts[spec.name] = spark.read.parquet(_gold_path(lake_root, spec.name)).count()
-    counts[config.fact_name] = spark.read.parquet(
-        _gold_path(lake_root, config.fact_name)
+        counts[spec.name] = gold_table(spark, lake_root, spec.name, publish).count()
+    counts[config.fact_name] = gold_table(
+        spark, lake_root, config.fact_name, publish
     ).count()
     return counts

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.medallion import (
     CARSALES,
+    gold_data_dir,
+    gold_table,
     run_pipeline,
 )
 
@@ -97,7 +99,7 @@ def test_three_batch_scd1_scenario(spark, tmp_path, lake):
     ).count() == 0
     dealer_keys0 = {
         r["Dealer_ID"]: r["dim_dealer_key"]
-        for r in spark.read.parquet(f"{lake}/gold/dim_dealer").collect()
+        for r in gold_table(spark, lake, "dim_dealer").collect()
     }
     max_dealer_key0 = max(dealer_keys0.values())
     assert sorted(dealer_keys0.values()) == list(range(1, len(dealer_keys0) + 1))
@@ -111,7 +113,7 @@ def test_three_batch_scd1_scenario(spark, tmp_path, lake):
     assert counts1["dim_model"] == counts0["dim_model"] + 1
     assert counts1["dim_date"] == counts0["dim_date"] + 1
     dealers1 = {
-        r["Dealer_ID"]: r for r in spark.read.parquet(f"{lake}/gold/dim_dealer").collect()
+        r["Dealer_ID"]: r for r in gold_table(spark, lake, "dim_dealer").collect()
     }
     assert dealers1["XYZ0063"]["dim_dealer_key"] == max_dealer_key0 + 1  # old max + 1
     existing_dealer = batch1[0][1]
@@ -123,7 +125,7 @@ def test_three_batch_scd1_scenario(spark, tmp_path, lake):
     counts2 = run_pipeline(spark, str(csv), lake)
     assert counts2["dim_dealer"] == counts1["dim_dealer"]  # cardinality unchanged
     dealers2 = {
-        r["Dealer_ID"]: r for r in spark.read.parquet(f"{lake}/gold/dim_dealer").collect()
+        r["Dealer_ID"]: r for r in gold_table(spark, lake, "dim_dealer").collect()
     }
     assert dealers2["XYZ0063"]["DealerName"] == "Datafam Dealers up"  # updated in place
     assert dealers2["XYZ0063"]["dim_dealer_key"] == dealers1["XYZ0063"]["dim_dealer_key"]
@@ -142,7 +144,7 @@ def test_fact_joins_resolve_surrogate_keys(spark, tmp_path, lake):
     csv = tmp_path / "batch.csv"
     write_csv(csv, make_batch0(50))
     run_pipeline(spark, str(csv), lake)
-    fact = spark.read.parquet(f"{lake}/gold/factsales")
+    fact = gold_table(spark, lake, "factsales")
     assert fact.count() == 50
     for spec in CARSALES.dims:
         assert fact.filter(F.col(spec.key_col).isNull()).count() == 0
@@ -164,7 +166,7 @@ def test_fact_is_partitioned_and_pruned(spark, tmp_path, lake):
     write_csv(csv, rows0)
     run_pipeline(spark, str(csv), lake)
 
-    fact_dir = f"{lake}/gold/factsales"
+    fact_dir = gold_data_dir(lake, "factsales")
     part_dirs = [d for d in os.listdir(fact_dir) if d.startswith("Year=")]
     years = {r[8] for r in rows0}
     assert len(part_dirs) == len(years)  # hive layout, one dir per year
@@ -172,6 +174,7 @@ def test_fact_is_partitioned_and_pruned(spark, tmp_path, lake):
     # incremental merge keeps the partitioned layout
     write_csv(csv, make_batch1(rows0))
     run_pipeline(spark, str(csv), lake)
+    fact_dir = gold_data_dir(lake, "factsales")  # new snapshot after merge
     assert any(d.startswith("Year=") for d in os.listdir(fact_dir))
 
     pruned = spark.read.parquet(fact_dir).filter(F.col("Year") == 2019)
@@ -179,3 +182,49 @@ def test_fact_is_partitioned_and_pruned(spark, tmp_path, lake):
     assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:80]
     got_years = {r["Year"] for r in pruned.select("Year").distinct().collect()}
     assert got_years <= {2019}
+
+
+def test_versioned_publish_survives_crash_mid_commit(spark, tmp_path, lake, monkeypatch):
+    """The default publish protocol must leave NO state in which a gold
+    table is unreadable: a crash after the snapshot write but before the
+    pointer flip leaves the previous version current."""
+    import os
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans import (
+        versioned,
+    )
+
+    csv = tmp_path / "batch.csv"
+    rows0 = make_batch0(30)
+    write_csv(csv, rows0)
+    run_pipeline(spark, str(csv), lake)
+    before = gold_table(spark, lake, "dim_dealer").count()
+
+    real_replace = os.replace
+
+    def crash_on_pointer_flip(src, dst):
+        if os.path.basename(dst) == "_latest":  # the version pointer file
+            raise RuntimeError("simulated crash before publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(versioned.os, "replace", crash_on_pointer_flip)
+    write_csv(csv, make_batch1(rows0))
+    try:
+        run_pipeline(spark, str(csv), lake)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(versioned.os, "replace", real_replace)
+
+    # previous version still current and readable — never a missing table
+    assert gold_table(spark, lake, "dim_dealer").count() == before
+
+
+def test_swap_publish_still_supported(spark, tmp_path, lake):
+    """The plain directory-swap protocol stays available for external
+    readers that address gold tables as bare parquet paths."""
+    csv = tmp_path / "batch.csv"
+    write_csv(csv, make_batch0(20))
+    counts = run_pipeline(spark, str(csv), lake, publish="swap")
+    assert counts["factsales"] == 20
+    # directly parquet-addressable, no pointer indirection
+    assert spark.read.parquet(f"{lake}/gold/factsales").count() == 20

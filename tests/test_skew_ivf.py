@@ -74,7 +74,7 @@ def test_partitioned_fact_prunes(spark, tmp_path):
     """fact_partition_cols lays gold out hive-partitioned and year-filtered
     scans read only the matching partition (PartitionFilters in the plan)."""
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.medallion import (
-        CARSALES, StarSchemaConfig, build_gold, run_pipeline,
+        CARSALES, StarSchemaConfig, build_gold, gold_data_dir, run_pipeline,
     )
 
     csv = tmp_path / "sales.csv"
@@ -95,7 +95,7 @@ def test_partitioned_fact_prunes(spark, tmp_path):
     lake = str(tmp_path / "lake")
     run_pipeline(spark, str(csv), lake, config=cfg)
 
-    fact_dir = os.path.join(lake, "gold", "factsales")
+    fact_dir = gold_data_dir(lake, "factsales")
     assert any(d.startswith("Year=") for d in os.listdir(fact_dir))
     fact = spark.read.parquet(fact_dir)
     assert fact.count() == 20
