@@ -84,6 +84,33 @@ def session_agg(
     )
 
 
+def streaming_session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    watermark: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Watermarked session windows for unbounded streams: sessions merge
+    within ``gap``; the watermark bounds state — a session is finalized
+    (and in update/append mode emitted for the last time) once the
+    watermark passes its end, and events arriving later than the
+    watermark are dropped rather than resurrecting a closed session.
+    ``session_agg`` (no watermark, complete mode) is the finite-replay
+    twin whose output must equal the batch gaps-and-islands SQL."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        _watermarkable(df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.date_format(F.col("w.start"), TS_FMT))
+        .withColumn("session_end", F.date_format(F.col("w.end"), TS_FMT))
+        .drop("w")
+    )
+
+
 def _watermarkable(stream: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP (LTZ); driver testdata can arrive as
     TIMESTAMP_NTZ (parquet ``timestamp[us]`` without a zone). With the

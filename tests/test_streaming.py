@@ -224,3 +224,91 @@ def test_enrich_stream_static_left_join(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         enrich_stream(stream, dim, ["user_id"], how="full")
+
+
+def test_streaming_session_late_events_beyond_watermark_are_dropped(spark, tmp_path):
+    """Append-mode session windows under late data (update mode is
+    unsupported for session aggregations): a session is emitted exactly
+    once — when the checkpointed watermark passes its end — and events
+    older than the watermark are dropped rather than resurrecting a
+    finalized session. The emitted/withheld split must equal the batch
+    session aggregation over the ADMITTED events, restricted to the
+    watermark horizon (sessions ending after the final watermark stay
+    withheld)."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.windows import (
+        session_agg,
+        streaming_session_agg,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted: dict[str, int] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            assert r["session_start"] not in emitted  # append = exactly once
+            emitted[r["session_start"]] = r["n"]
+
+    def run_once():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+        agg = streaming_session_agg(
+            stream, "ts", "30 minutes", "1 hour", ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: a session (09:00,09:10) closed by the gap, then 12:00 —
+    # watermark reaches 11:00, past the first session's 09:40 end, so it
+    # is finalized and emitted; the 12:00 session stays open/withheld
+    _write_events(src / "p1.parquet", [(1, "2024-01-01 09:00:00", 1, 1),
+                                       (2, "2024-01-01 09:10:00", 1, 1),
+                                       (3, "2024-01-01 12:00:00", 1, 1)])
+    run_once()
+    assert emitted == {"2024-01-01 09:00:00": 2}
+
+    # run 2: 09:20 would have extended the finalized session but is older
+    # than the watermark -> dropped; 12:10 merges into the open session
+    _write_events(src / "p2.parquet", [(4, "2024-01-01 09:20:00", 1, 1),
+                                       (6, "2024-01-01 12:10:00", 1, 1)])
+    q2 = run_once()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the 09:20 event was discarded
+    assert emitted == {"2024-01-01 09:00:00": 2}  # nothing resurrected
+
+    # run 3: 14:00 pushes the watermark to 13:00, past the merged
+    # (12:00,12:10) session's 12:40 end -> it is emitted with BOTH events;
+    # the 14:00 session itself stays withheld
+    _write_events(src / "p3.parquet", [(7, "2024-01-01 14:00:00", 1, 1)])
+    run_once()
+    assert emitted == {"2024-01-01 09:00:00": 2, "2024-01-01 12:00:00": 2}
+
+    # emitted == batch oracle over admitted events, restricted to the
+    # final watermark horizon (13:00); the 14:00 session is beyond it
+    admitted = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1, 1), (2, "2024-01-01 09:10:00", 1, 1),
+         (3, "2024-01-01 12:00:00", 1, 1), (6, "2024-01-01 12:10:00", 1, 1),
+         (7, "2024-01-01 14:00:00", 1, 1)],
+        "event_id long, ts string, user_id long, value long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        r["session_start"]: r["n"]
+        for r in session_agg(
+            admitted, "ts", "30 minutes", ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+        ).collect()
+        if r["session_end"] <= "2024-01-01 13:00:00"
+    }
+    assert emitted == batch
