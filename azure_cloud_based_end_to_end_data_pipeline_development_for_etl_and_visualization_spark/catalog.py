@@ -2698,6 +2698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_percentile": q_approx_percentile,
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
+    "q_profile_table_approx": q_profile_table_approx,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------

@@ -73,6 +73,78 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def bench_skew(spark, sf_dir: str, repeats: int) -> dict:
+    """Skew stress: a zipfian fact (one hot key holding half the rows)
+    joined to a 50k-row dim, plain vs salted (operators/skew.salted_join).
+
+    The fact is generated (spark.range + codegen key derivation) rather
+    than scanned so the shuffle — the thing salting changes — dominates
+    the measurement instead of parquet IO. Run with auto-broadcast OFF
+    (the dim would otherwise broadcast at this scale and dodge the
+    shuffle entirely) and AQE skew-split OFF — salting is the
+    planning-time tool for exactly the cases AQE's runtime split can't
+    reach; this isolates what the rewrite itself buys. 20M rows at the
+    bench sf (2M on the fast sf0.01 path) put ~10M rows on the hot
+    reducer unsalted vs ~625k per salt slice salted.
+    """
+    import statistics as _st
+    import time as _t
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.skew import (
+        salted_join,
+    )
+    from pyspark.sql import functions as F
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    big = sf.replace(".", "").isdigit() and float(sf) >= 0.1
+    n = 20_000_000 if big else 2_000_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(50000)))
+        .alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    dim = spark.range(50000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+
+    def plain():
+        return fact.join(dim, "k").groupBy("grp").agg(F.sum("v").alias("s"))
+
+    def salted():
+        return salted_join(fact, dim, ["k"]).groupBy("grp").agg(
+            F.sum("v").alias("s")
+        )
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        out = {}
+        for label, build in (("plain", plain), ("salted", salted)):
+            materialize(build())  # warmup
+            runs = []
+            for _ in range(repeats):
+                t0 = _t.time()
+                materialize(build())
+                runs.append(_t.time() - t0)
+            out[label] = round(_st.median(runs), 3)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    out["ratio_plain_over_salted"] = round(out["plain"] / out["salted"], 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -96,6 +168,8 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = round(max(runs) - min(runs), 3)
 
+    skew = bench_skew(spark, sf_dir, repeats)
+
     print(
         json.dumps(
             {
@@ -104,6 +178,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "skew_join": skew,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
