@@ -85,3 +85,15 @@ def test_every_query_executes(spark, sf_dir):
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {ex}")
     assert not failures, "\n".join(failures)
+
+
+def test_docs_counts_in_sync():
+    """SURVEY.md's claimed catalog size must match the registry — counts
+    drifted by hand-editing twice in round 2; this pins them mechanically."""
+    import re
+
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
+    m = re.search(r"\((\d+) queries, (\d+) with DuckDB oracle twins", survey)
+    assert m, "SURVEY.md no longer states the catalog counts"
+    assert int(m.group(1)) == len(entry_mod.queries())
+    assert int(m.group(2)) == len(entry_mod.oracle_sql())
