@@ -145,6 +145,22 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("n_nationkey")
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip: supplier projected, written as ORC
+    (Spark's second built-in columnar format — zlib by default, same
+    predicate-pushdown/column-pruning story as parquet), read back via
+    ``spark.read.orc``. Must be value-lossless, so the oracle is the
+    original supplier projection over parquet. Gives the engine a second
+    columnar interchange format for lakes standardized on ORC (Hive
+    heritage) without any code outside the DataFrameReader/Writer API."""
+    out = _tmp_path("orc_roundtrip")
+    dim = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    dim.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).orderBy("s_suppkey")
+
+
 def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-batch SCD1 dimension scenario on driver testdata (rows-only;
     golden-path parity with gold_dim_dealer.ipynb + FIXTURES.md section 3).
@@ -2699,6 +2715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
     "q_profile_table_approx": q_profile_table_approx,
+    "q_orc_roundtrip": q_orc_roundtrip,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2759,6 +2776,10 @@ ORACLES: dict[str, str] = {
     "q_write_roundtrip": """
         select n_nationkey, n_name, n_regionkey
         from nation order by n_nationkey
+    """,
+    "q_orc_roundtrip": """
+        select s_suppkey, s_name, s_nationkey, s_acctbal
+        from supplier order by s_suppkey
     """,
     # SCD1 three-batch scenario (q_scd1_merge): batch0 = keys %10!=0 get
     # dense keys 1..N ordered by business key; batch1 inserts the %10==0
