@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -2109,15 +2110,24 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_orders = f"orders_bkt_{_RUN_TAG}"
     t_cust = f"customer_bkt_{_RUN_TAG}"
     # housekeeping: previous processes' bucketed-table dirs are invisible
-    # to this session's catalog but still occupy the warehouse — sweep any
-    # stale *_bkt_* dirs that aren't ours
+    # to this session's catalog but still occupy the warehouse — sweep
+    # *_bkt_* dirs that aren't ours AND are old enough to belong to a dead
+    # run (a concurrent live session's tables must not be deleted from
+    # under it: that raced exactly once under parallel pytest + oracle
+    # sweeps before the age gate)
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     if os.path.isdir(warehouse):
+        now = time.time()
         for d in os.listdir(warehouse):
-            if "_bkt_" in d and not d.endswith(_RUN_TAG):
-                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+            p = os.path.join(warehouse, d)
+            try:
+                stale = now - os.path.getmtime(p) > 3600
+            except OSError:
+                continue
+            if "_bkt_" in d and not d.endswith(_RUN_TAG) and stale:
+                shutil.rmtree(p, ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     (

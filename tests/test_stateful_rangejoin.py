@@ -6,6 +6,10 @@ import os
 
 from pyspark.sql import functions as F
 
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.functions.timeutil import (
+    epoch_seconds,
+)
+
 
 def test_running_totals_match_batch_sums(spark, sf_dir, tmp_path):
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.stateful import (
@@ -86,8 +90,8 @@ def test_range_join_matches_naive(spark, sf_dir):
         (r["error_id"], r["click_id"])
         for r in errors.join(
             clicks,
-            (F.col("click_ts").cast("double") >= F.col("err_ts").cast("double"))
-            & (F.col("click_ts").cast("double") < F.col("err_ts").cast("double") + 120.0),
+            (epoch_seconds("click_ts") >= epoch_seconds("err_ts"))
+            & (epoch_seconds("click_ts") < epoch_seconds("err_ts") + 120.0),
         )
         .select("error_id", "click_id")
         .collect()
