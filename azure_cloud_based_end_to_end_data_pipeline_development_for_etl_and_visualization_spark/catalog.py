@@ -3994,7 +3994,7 @@ ORACLES: dict[str, str] = {
         ),
         cells as (
             select k.d as depth_idx,
-                   ('0x' || substr(md5('cms' || k.d || ':' || term), 1, 8))::bigint
+                   ('0x' || substr(md5('cms:' || term), 1 + 8 * k.d, 8))::bigint
                        % 1024 as bucket,
                    count(*) as cnt
             from tok cross join (values (0), (1), (2), (3)) as k(d)
@@ -4006,7 +4006,7 @@ ORACLES: dict[str, str] = {
         ),
         probes as (
             select term, k.d as depth_idx,
-                   ('0x' || substr(md5('cms' || k.d || ':' || term), 1, 8))::bigint
+                   ('0x' || substr(md5('cms:' || term), 1 + 8 * k.d, 8))::bigint
                        % 1024 as bucket
             from stop cross join (values (0), (1), (2), (3)) as k(d)
         ),

@@ -8,14 +8,17 @@ idea as ``plans/incremental``, taken to constant memory. Estimates
 overcount only (never undercount), with error ~ N/width at confidence
 1 - (1/2)^depth.
 
-Cross-engine determinism: row hashes are md5-based (``functions/text.hash32``
-over a per-depth salted key), so the DuckDB oracle rebuilds the identical
-sketch and the estimates hash-match — the sketch is *verifiable*, not just
-statistically plausible.
+Cross-engine determinism: row hashes are md5-based, so the DuckDB oracle
+rebuilds the identical sketch and the estimates hash-match — the sketch is
+*verifiable*, not just statistically plausible.
 
 Build is ONE aggregation: tokens explode to (depth, bucket) pairs map-side
-(the per-depth hash expressions are plan literals, no UDF), and the shuffle
-carries at most ``depth x width`` partial counts per map task.
+(the hash expressions are plan literals, no UDF), and the shuffle carries
+at most ``depth x width`` partial counts per map task. For depth <= 4 the
+row is hashed ONCE (md5 = 128 bits) and each depth takes a disjoint 32-bit
+slice — one hash instead of depth salted hashes per row, the dominant
+map-side cost at corpus scale; deeper sketches fall back to per-depth
+salted md5.
 """
 
 from __future__ import annotations
@@ -28,8 +31,44 @@ from ..functions import text as TX
 
 def _bucket(col, depth_idx: int, width: int):
     """Bucket of ``col`` under the depth-``depth_idx`` hash: md5 of the
-    salted value, first 32 bits, mod width. Pure JVM expression."""
+    salted value, first 32 bits, mod width. Pure JVM expression (the
+    depth > 4 fallback; the fast path slices one shared md5)."""
     return TX.hash32(F.concat(F.lit(f"cms{depth_idx}:"), col)) % F.lit(width)
+
+
+def _bucket_sliced(h_col, depth_idx: int, width: int):
+    """Bucket from the depth-``depth_idx`` 32-bit slice of one shared md5
+    hex digest (computed once per row)."""
+    return (
+        F.conv(F.substring(h_col, 1 + 8 * depth_idx, 8), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def _cells(df: DataFrame, key_col: str, depth: int, width: int, alias: str):
+    """(depth_idx, bucket) pairs per row under the shared scheme."""
+    if depth <= 4:
+        hashed = df.select(
+            "*", F.md5(F.concat(F.lit("cms:"), F.col(key_col))).alias("__h")
+        )
+        pairs = [
+            F.struct(
+                F.lit(i).alias("depth_idx"),
+                _bucket_sliced(F.col("__h"), i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+        return hashed.select(
+            *df.columns, F.explode(F.array(*pairs)).alias(alias)
+        )
+    pairs = [
+        F.struct(
+            F.lit(i).alias("depth_idx"),
+            _bucket(F.col(key_col), i, width).alias("bucket"),
+        )
+        for i in range(depth)
+    ]
+    return df.select(*df.columns, F.explode(F.array(*pairs)).alias(alias))
 
 
 def cms_build(
@@ -38,19 +77,7 @@ def cms_build(
     """Build the sketch: one row per non-empty cell,
     ``(depth_idx, bucket, cnt)``. At most depth*width rows regardless of
     input size; merge two sketches by unioning and summing ``cnt``."""
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("depth_idx"),
-                        _bucket(F.col(key_col), i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
+    cells = _cells(df, key_col, depth, width, "c")
     return cells.groupBy("c.depth_idx", "c.bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -66,20 +93,9 @@ def cms_estimate(
     """Point-estimate each key in ``keys``: min over depths of its bucket
     count (0 when a bucket row is absent). The sketch is tiny, so the join
     broadcasts; the keys side never shuffles."""
-    probes = keys.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("depth_idx"),
-                        _bucket(F.col(key_col), i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("p"),
-    ).select(key_col, "p.depth_idx", "p.bucket")
+    probes = _cells(keys, key_col, depth, width, "p").select(
+        key_col, "p.depth_idx", "p.bucket"
+    )
     return (
         probes.join(F.broadcast(sketch), ["depth_idx", "bucket"], "left")
         .groupBy(key_col)
