@@ -146,6 +146,57 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("n_nationkey")
 
 
+def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    (urgent orders) is turned by Spark's InjectRuntimeFilter into a bloom
+    filter applied to the FACT side before its shuffle — at 100 TB this
+    prunes the dominant shuffle down to the matching ~20% without any
+    manual semi-join. The plan is raise-checked for ``bloom_filter_agg``;
+    values are oracle-checked against the plain join. Local-scale knobs
+    (fact scans here are far below the 10 GB application-side default
+    threshold, and the dims would broadcast) are set for the plan build
+    and restored after — on a real cluster the defaults fire on their own.
+    """
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        urgent = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", "o_orderpriority")
+        j = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            )
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in plan:  # raise, not assert: survives -O
+            raise RuntimeError(
+                "runtime bloom filter was not injected:\n" + plan[:4000]
+            )
+        return j
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink roundtrip: supplier projected, written as ORC
     (Spark's second built-in columnar format — zlib by default, same
@@ -2646,9 +2697,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,
     "q_time_travel": q_time_travel,
     "q_surrogate_key_fact": q_surrogate_key_fact,
+    # -- 49-50: round-5 additions, oracle-verified locally — driver-verify
+    #    this round (displaced greens q_partitioned_prune /
+    #    q_curation_pipeline are cumulatively green from r1/r2) -----------
+    "q_orc_roundtrip": q_orc_roundtrip,
+    "q_runtime_filter_join": q_runtime_filter_join,
+    # -- 51+: cumulatively driver-green in rounds 1-4 --------------------
     "q_partitioned_prune": q_partitioned_prune,
     "q_curation_pipeline": q_curation_pipeline,
-    # -- 51+: cumulatively driver-green in rounds 1-4 --------------------
     "q_surrogate_key": q_surrogate_key,
     "q_window_rank": q_window_rank,
     "q_lag_lead": q_lag_lead,
@@ -2725,7 +2781,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
     "q_profile_table_approx": q_profile_table_approx,
-    "q_orc_roundtrip": q_orc_roundtrip,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2790,6 +2845,14 @@ ORACLES: dict[str, str] = {
     "q_orc_roundtrip": """
         select s_suppkey, s_name, s_nationkey, s_acctbal
         from supplier order by s_suppkey
+    """,
+    "q_runtime_filter_join": """
+        select o_orderpriority,
+               count(*) as n_items,
+               sum(l_quantity::decimal(18,6))::double as sum_qty
+        from lineitem join orders on l_orderkey = o_orderkey
+        where o_orderpriority = '1-URGENT'
+        group by o_orderpriority
     """,
     # SCD1 three-batch scenario (q_scd1_merge): batch0 = keys %10!=0 get
     # dense keys 1..N ordered by business key; batch1 inserts the %10==0
