@@ -146,6 +146,44 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).orderBy("n_nationkey")
 
 
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (|value - mean| > 2 sigma per
+    event_type) — the anomaly/drift gate a training pipeline runs before
+    admitting a batch. Moments come from EXACT decimal power sums
+    (order-independent, q_stats_moments' scheme) so mean/sigma — and
+    therefore the flag decisions and z values — are bit-identical to the
+    oracle. Plan shape: one map-side partial aggregation to a
+    groups-sized stats relation, broadcast back onto the fact scan — the
+    fact itself never shuffles."""
+    from .operators.fastagg import exact_sums
+
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    sums = exact_sums(
+        ev.filter(v.isNotNull()),
+        ["event_type"],
+        {"sx": (v, 6), "sxx": (v * v, 8)},
+        count_alias="n",
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx") / nd
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / nd) / (nd - 1)
+    stats = sums.select(
+        "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(v - F.col("mu")) > 2 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((v - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter join pruning: a selective dim-side filter
     (urgent orders) is turned by Spark's InjectRuntimeFilter into a bloom
@@ -2781,6 +2819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
     "q_profile_table_approx": q_profile_table_approx,
+    "q_outlier_zscore": q_outlier_zscore,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2845,6 +2884,25 @@ ORACLES: dict[str, str] = {
     "q_orc_roundtrip": """
         select s_suppkey, s_name, s_nationkey, s_acctbal
         from supplier order by s_suppkey
+    """,
+    "q_outlier_zscore": """
+        with s as (
+            select event_type,
+                   count(value) as n,
+                   cast(sum(cast(value as decimal(18,6))) as double) as sx,
+                   cast(sum(cast(value * value as decimal(28,8))) as double) as sxx
+            from events where value is not null group by event_type
+        ),
+        st as (
+            select event_type, sx / n as mu,
+                   sqrt((sxx - sx * sx / n) / (n - 1)) as sigma
+            from s
+        )
+        select e.event_id, e.event_type, e.value,
+               (e.value - st.mu) / st.sigma as z
+        from events e join st using (event_type)
+        where abs(e.value - st.mu) > 2 * st.sigma
+        order by e.event_id
     """,
     "q_runtime_filter_join": """
         select o_orderpriority,
