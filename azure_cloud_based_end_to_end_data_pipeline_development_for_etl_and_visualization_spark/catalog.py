@@ -184,6 +184,41 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two time windows of the event
+    stream: per event_type, observed late-half count vs the count
+    expected if the type mix were stable, plus the chi-square term — the
+    batch-admission drift gate for a training pipeline (alert on the
+    total). All inputs are integer counts and the statistic is pure
+    arithmetic (no transcendentals), so values are bit-identical across
+    engines. One scan, one groups-sized aggregate, broadcast totals —
+    the fact never shuffles."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast(dict(ev.dtypes)["ts"])
+    late = (F.col("ts") >= cutoff).cast("long")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(late).alias("n_late"),
+    )
+    totals = per_type.agg(
+        F.sum("n_total").alias("g_total"), F.sum("n_late").alias("g_late")
+    )
+    j = per_type.crossJoin(F.broadcast(totals))
+    expected = (
+        F.col("n_total").cast("double")
+        * F.col("g_late").cast("double")
+        / F.col("g_total").cast("double")
+    )
+    dev = F.col("n_late").cast("double") - expected
+    return j.select(
+        "event_type",
+        "n_total",
+        "n_late",
+        expected.alias("expected_late"),
+        (dev * dev / expected).alias("chi2_term"),
+    ).orderBy("event_type")
+
+
 def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter join pruning: a selective dim-side filter
     (urgent orders) is turned by Spark's InjectRuntimeFilter into a bloom
@@ -2820,6 +2855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram": q_histogram,
     "q_profile_table_approx": q_profile_table_approx,
     "q_outlier_zscore": q_outlier_zscore,
+    "q_drift_chi2": q_drift_chi2,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -2903,6 +2939,29 @@ ORACLES: dict[str, str] = {
         from events e join st using (event_type)
         where abs(e.value - st.mu) > 2 * st.sigma
         order by e.event_id
+    """,
+    "q_drift_chi2": """
+        with per_type as (
+            select event_type,
+                   count(*) as n_total,
+                   sum(case when ts >= timestamp '2024-01-16 00:00:00'
+                       then 1 else 0 end)::bigint as n_late
+            from events group by event_type
+        ),
+        totals as (
+            select sum(n_total)::bigint as g_total,
+                   sum(n_late)::bigint as g_late
+            from per_type
+        )
+        select event_type, n_total, n_late,
+               n_total::double * g_late::double / g_total::double
+                   as expected_late,
+               (n_late::double - n_total::double * g_late::double / g_total::double)
+                 * (n_late::double - n_total::double * g_late::double / g_total::double)
+                 / (n_total::double * g_late::double / g_total::double)
+                   as chi2_term
+        from per_type cross join totals
+        order by event_type
     """,
     "q_runtime_filter_join": """
         select o_orderpriority,
