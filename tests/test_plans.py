@@ -186,3 +186,32 @@ def test_sequence_pack_has_no_global_data_sort(spark, sf_dir):
     assert "Window" in plan and "__pk_pid" in plan
     # offsets come back via broadcast, not a second data shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_outlier_zscore_broadcasts_stats_never_shuffles_fact(spark, sf_dir):
+    """The stats relation (groups-sized) must broadcast back onto the
+    events scan — an exchange on the fact side would be a full shuffle of
+    the 100 TB stream for a 5-row join."""
+    plan = plan_of(catalog.q_outlier_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # moments pre-aggregated map-side
+
+
+def test_drift_chi2_broadcasts_totals(spark, sf_dir):
+    plan = plan_of(catalog.q_drift_chi2(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_runtime_filter_join_injects_bloom(spark, sf_dir):
+    """q_runtime_filter_join raise-checks its own plan; assert the raise
+    path stays live by checking the built plan carries the bloom filter."""
+    plan = plan_of(catalog.q_runtime_filter_join(spark, sf_dir))
+    assert "bloom_filter_agg" in plan
+
+
+def test_orc_roundtrip_scan_is_orc(spark, sf_dir):
+    plan = plan_of(catalog.q_orc_roundtrip(spark, sf_dir))
+    assert "orc" in plan.lower()
