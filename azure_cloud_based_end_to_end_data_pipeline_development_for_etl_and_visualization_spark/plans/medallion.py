@@ -222,6 +222,36 @@ def build_gold(
     )
 
 
+def register_gold(
+    spark: SparkSession,
+    lake_root: str,
+    config: StarSchemaConfig = CARSALES,
+    database: str = "gold",
+    publish: str = "versioned",
+) -> list[str]:
+    """Register every gold table in the session catalog as
+    ``<database>.<name>`` — the 2-level session-catalog equivalent of the
+    reference's ``cars_catalog.gold.*`` Unity namespace
+    (gold_dim_branch.ipynb:88171-88175: ``saveAsTable`` into the gold
+    schema). External-location tables over the CURRENT snapshot: with the
+    versioned publisher each call re-points the catalog entries at the
+    newest committed snapshot, so run-then-register mirrors the
+    reference's per-run ``saveAsTable``. Returns the qualified names."""
+    spark.sql(f"create database if not exists {database}")
+    out = []
+    for t in [spec.name for spec in config.dims] + [config.fact_name]:
+        path = gold_data_dir(lake_root, t, publish)
+        qualified = f"{database}.{t}"
+        spark.sql(f"drop table if exists {qualified}")
+        spark.sql(f"create table {qualified} using parquet location '{path}'")
+        # hive-partitioned tables (the Year-partitioned fact) expose zero
+        # rows until their partitions are registered in the metastore
+        if any("=" in d for d in os.listdir(path)):
+            spark.sql(f"msck repair table {qualified}")
+        out.append(qualified)
+    return out
+
+
 def run_pipeline(
     spark: SparkSession,
     csv_path: str,

@@ -228,3 +228,33 @@ def test_swap_publish_still_supported(spark, tmp_path, lake):
     assert counts["factsales"] == 20
     # directly parquet-addressable, no pointer indirection
     assert spark.read.parquet(f"{lake}/gold/factsales").count() == 20
+
+
+def test_register_gold_exposes_sql_namespace(spark, tmp_path, lake):
+    """After registration the gold layer is SQL-addressable as
+    <db>.<table> (the reference's cars_catalog.gold.* shape), and
+    re-running pipeline + registration re-points tables at the newest
+    snapshot."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.medallion import (
+        register_gold,
+    )
+
+    db = "gold_t"
+    csv = tmp_path / "batch.csv"
+    rows0 = make_batch0(40)
+    write_csv(csv, rows0)
+    run_pipeline(spark, str(csv), lake)
+    try:
+        names = register_gold(spark, lake, database=db)
+        assert f"{db}.factsales" in names
+        assert spark.sql(f"select count(*) n from {db}.factsales").collect()[0]["n"] == 40
+        dealers0 = spark.sql(f"select count(*) n from {db}.dim_dealer").collect()[0]["n"]
+
+        # incremental run adds one dealer; re-registration sees it
+        write_csv(csv, make_batch1(rows0))
+        run_pipeline(spark, str(csv), lake)
+        register_gold(spark, lake, database=db)
+        dealers1 = spark.sql(f"select count(*) n from {db}.dim_dealer").collect()[0]["n"]
+        assert dealers1 == dealers0 + 1
+    finally:
+        spark.sql(f"drop database if exists {db} cascade")
