@@ -66,6 +66,11 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_profile_table_approx",
     "q_incremental_rollup",
+    # round-5 additions (appended; earlier entries stay round-comparable)
+    "q_outlier_zscore",
+    "q_drift_chi2",
+    "q_runtime_filter_join",
+    "q_orc_roundtrip",
 ]
 
 

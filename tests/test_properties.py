@@ -157,3 +157,53 @@ def test_exact_sums_matches_decimal_path(spark, vals, n_parts):
         for r in exact_sums(df, ["k"], {"s": (F.col("x"), 6)}).collect()
     }
     assert slow == fast
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user
+        st.integers(min_value=0, max_value=20_000),   # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@prop
+@given(events=EVENTS)
+def test_sessionize_matches_python_reference(spark, events):
+    """sessionize (two window passes) must equal the obvious sequential
+    labeling for ANY event set: per user, sorted by (ts, event_id), a new
+    session starts when the gap exceeds the threshold."""
+    import datetime as dt
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, user, base + dt.timedelta(seconds=off))
+        for i, (user, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            df, "user_id", "ts", order_tiebreak="event_id", gap_seconds=600.0
+        ).collect()
+    }
+
+    expected: dict[int, int] = {}
+    by_user: dict[int, list] = {}
+    for i, user, ts in rows:
+        by_user.setdefault(user, []).append((ts, i))
+    for user, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > 600.0:
+                seq += 1
+            expected[i] = seq
+            prev = ts
+    assert got == expected
