@@ -1762,6 +1762,22 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance
+    (operators/similarity.pq_train/pq_encode/pq_topk): corpus vectors
+    compressed to 8 codes (4 bits each at 16 centroids/subspace — a 32x
+    lighter scan than float32), queries scored against per-query lookup
+    tables. Rows-only: codebooks come from float k-means averaging, so
+    estimates are engine-specific; determinism + planted-near-dup recall
+    are asserted in tests/test_similarity.py."""
+    from .operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, books, k=10).orderBy("query_id", "rank")
+
+
 def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF at FULL probe (n_probe == n_centroids): every query visits
     every cell, so the result must be bit-identical to exact brute force —
@@ -2856,6 +2872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_profile_table_approx": q_profile_table_approx,
     "q_outlier_zscore": q_outlier_zscore,
     "q_drift_chi2": q_drift_chi2,
+    "q_pq_topk": q_pq_topk,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------

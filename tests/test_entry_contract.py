@@ -40,6 +40,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_multimodal_features", # stubbed decoder feature vectors
         "q_text_model_score",    # pandas_udf transcendentals differ in ulps
         "q_profile_table_approx",  # HLL++ estimates are engine-specific
+        "q_pq_topk",             # PQ codebooks from float k-means, recall pytest
     }
 
 

@@ -119,3 +119,33 @@ def test_threshold_pairs_unblocked_requires_explicit_opt_in(spark, emb):
         emb.limit(20), block_col=None, threshold=0.3, allow_full_cross=True
     )
     assert pairs.columns == ["a", "b", "sim"]
+
+
+def test_pq_deterministic_and_near_dup_recall(spark, emb):
+    """PQ encode is deterministic, and an ADC query finds its planted
+    near-duplicate at rank 1 for most queries (same protocol as the LSH
+    recall test — perturbed copies of corpus vectors)."""
+    books = S.pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
+    assert books.shape == (8, 16, 8)
+    c1 = sorted(map(tuple, S.pq_encode(emb, books).select("vec_id", "pq_code").collect()))
+    c2 = sorted(map(tuple, S.pq_encode(emb, books).select("vec_id", "pq_code").collect()))
+    assert [(i, list(c)) for i, c in c1] == [(i, list(c)) for i, c in c2]
+
+    pdf = emb.limit(10).toPandas()
+    rng = np.random.default_rng(0)
+    rows = []
+    for r in pdf.itertuples():
+        v = np.array(r.embedding, dtype=np.float32)
+        rows.append((
+            int(r.vec_id) + 100000,
+            (v + rng.normal(0, 0.01, v.shape).astype(np.float32)).tolist(),
+            int(r.label),
+        ))
+    perturbed = spark.createDataFrame(rows, emb.schema)
+    corpus = emb.unionByName(perturbed)
+    top = S.pq_topk(corpus, perturbed, books, k=1)
+    hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 100000).count()
+    # a 0.01-sigma perturbation encodes to the same codes, so ADC ranks the
+    # source vector at its reconstruction's top — allow one miss for
+    # vectors whose source sits on a centroid boundary
+    assert hits >= 8
