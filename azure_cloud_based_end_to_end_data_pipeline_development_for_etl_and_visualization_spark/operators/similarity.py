@@ -331,40 +331,15 @@ def quantize_embeddings(
 # -- product quantization (PQ / ADC) ----------------------------------------
 
 
-def _lloyd_l2(sub: DataFrame, n_centroids: int, n_iters: int) -> np.ndarray:
-    """Per-subspace Lloyd's k-means under TRUE squared-L2 assignment
-    (``argmin |x-c|^2`` == ``argmax x.c - |c|^2/2`` — the half-norm term
-    matters for unnormalized subvectors). ``sub`` has columns (id, v).
-    Only centroid-sized data reaches the driver."""
-    seeds = (
-        sub.select("v", F.xxhash64(F.col("id")).alias("h"))
-        .orderBy("h")
-        .limit(n_centroids)
-        .collect()
+def _pq_assign_scores(sub_vec, cents: np.ndarray):
+    """argmin |x-c|^2 == argmax x.c - |c|^2/2 as a score array literal."""
+    return F.array(
+        *[
+            V.dot(sub_vec, F.array(*[F.lit(float(x)) for x in c]))
+            - F.lit(float(0.5 * np.dot(c, c)))
+            for c in cents
+        ]
     )
-    cents = np.array([r["v"] for r in seeds], dtype=np.float64)
-    for _ in range(n_iters):
-        scores = F.array(
-            *[
-                V.dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
-                - F.lit(float(0.5 * np.dot(c, c)))
-                for c in cents
-            ]
-        )
-        assigned = sub.select(
-            F.col("v"), (F.array_position(scores, F.array_max(scores)) - 1).alias("cell")
-        )
-        rows = (
-            assigned.select("cell", F.posexplode(F.col("v")).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = cents.copy()  # empty cells keep their previous centroid
-        for r in rows:
-            new[int(r["cell"]), int(r["pos"])] = r["m"]
-        cents = new
-    return cents
 
 
 def pq_train(
@@ -377,22 +352,57 @@ def pq_train(
     n_iters: int = 3,
 ) -> np.ndarray:
     """Train PQ codebooks: the vector splits into ``n_sub`` contiguous
-    subspaces, each clustered independently — returns
-    ``(n_sub, n_centroids, dim // n_sub)``. Training runs ``n_sub``
-    small distributed k-means jobs (in practice over a corpus sample);
-    the codebooks are kilobytes and compile into encode/score plans as
-    literals."""
+    subspaces, each clustered independently under TRUE squared-L2
+    assignment (the half-norm term matters for unnormalized subvectors) —
+    returns ``(n_sub, n_centroids, dim // n_sub)``.
+
+    Job shape: one seed collect, then ONE distributed job per Lloyd
+    iteration covering ALL subspaces (each row explodes to n_sub
+    (subspace, cell, position, value) tuples, aggregated in one shuffle)
+    — not n_sub separate k-means jobs. Only codebook-sized data
+    (n_sub x n_centroids x sub_dim doubles) ever reaches the driver, so
+    training scales to any corpus sample the cluster can scan."""
     if dim % n_sub:
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_dim = dim // n_sub
-    books = []
-    for s_i in range(n_sub):
-        sub = corpus.select(
-            F.col(id_col).alias("id"),
-            F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim).alias("v"),
+
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    full = np.array([r["v"] for r in seeds], dtype=np.float64)
+    books = np.stack(
+        [full[:, s_i * sub_dim : (s_i + 1) * sub_dim] for s_i in range(n_sub)]
+    )
+
+    for _ in range(n_iters):
+        per_sub = []
+        for s_i in range(n_sub):
+            sub_vec = F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim)
+            scores = _pq_assign_scores(sub_vec, books[s_i])
+            per_sub.append(
+                F.struct(
+                    F.lit(s_i).alias("s"),
+                    (F.array_position(scores, F.array_max(scores)) - 1).alias(
+                        "cell"
+                    ),
+                    sub_vec.alias("sv"),
+                )
+            )
+        rows = (
+            corpus.select(F.explode(F.array(*per_sub)).alias("a"))
+            .select("a.s", "a.cell", F.posexplode(F.col("a.sv")).alias("pos", "x"))
+            .groupBy("s", "cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
         )
-        books.append(_lloyd_l2(sub, n_centroids, n_iters))
-    return np.stack(books)
+        new = books.copy()  # empty cells keep their previous centroid
+        for r in rows:
+            new[int(r["s"]), int(r["cell"]), int(r["pos"])] = r["m"]
+        books = new
+    return books
 
 
 def pq_encode(
@@ -411,13 +421,7 @@ def pq_encode(
     codes = []
     for s_i in range(n_sub):
         sub = F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim)
-        scores = F.array(
-            *[
-                V.dot(sub, F.array(*[F.lit(float(x)) for x in c]))
-                - F.lit(float(0.5 * np.dot(c, c)))
-                for c in codebooks[s_i]
-            ]
-        )
+        scores = _pq_assign_scores(sub, codebooks[s_i])
         codes.append(
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         )
