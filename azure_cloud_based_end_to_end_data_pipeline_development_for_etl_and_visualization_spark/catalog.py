@@ -1618,6 +1618,32 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: each document kept with
+    probability proportional to a quality proxy (word count capped at
+    200 -> weight in [0,1]), decided by comparing its id-hash bucket to
+    the weight — the training-mix upsampling/downsampling op, but
+    reproducible across engines, runs, and repartitioning (rand() is
+    none of those). Integer hash vs floor(weight*10^4) comparison keeps
+    the accept decision exact on both engines."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(TX.tokens(F.col("text")))
+    weight = F.least(F.lit(1.0), n_words.cast("double") / F.lit(200.0))
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 10000
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            weight.alias("keep_weight"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.floor(F.col("keep_weight") * 10000))
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-source keep rates (domain
     up/down-weighting, the training-mix knob) via the same id-hash bucket.
@@ -2873,6 +2899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_outlier_zscore": q_outlier_zscore,
     "q_drift_chi2": q_drift_chi2,
     "q_pq_topk": q_pq_topk,
+    "q_sample_weighted": q_sample_weighted,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3678,6 +3705,21 @@ ORACLES: dict[str, str] = {
             from documents
         )
         select doc_id, source, bucket from b where bucket < rate
+    """,
+    "q_sample_weighted": """
+        with b as (
+            select doc_id,
+                   len(string_split_regex(lower(text), '\s+'))::bigint
+                       as n_words,
+                   least(1.0, len(string_split_regex(lower(text), '\s+'))
+                       / 200.0) as keep_weight,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 10000
+                       as bucket
+            from documents
+        )
+        select doc_id, n_words, keep_weight, bucket
+        from b where bucket < floor(keep_weight * 10000)
+        order by doc_id
     """,
     "q_dedup_keep_best": """
         with fp as (
