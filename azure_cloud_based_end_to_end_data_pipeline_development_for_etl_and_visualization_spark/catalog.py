@@ -879,16 +879,24 @@ def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(p*n) in sorted order). Interpolating percentile implementations
     differ bit-wise across engines (a+(b-a)*f vs (1-f)*a+f*b), so the
     engine exposes the selection form for cross-engine-deterministic
-    results; F.percentile/approx_percentile remain available."""
+    results; F.percentile/approx_percentile remain available.
+
+    Scale: ranks come from the two-phase grouped rank
+    (operators/relational.with_grouped_row_number), so each group's sort
+    is range-split across all reducers — NOT a per-group window, which
+    with 3 return-flag groups over a 100 TB fact would mean three ~33 TB
+    single-reducer sorts. When exactness isn't required,
+    q_approx_percentile is the one-shuffle constant-state path
+    (SCALING.md, CMS precedent)."""
+    from .operators.relational import with_grouped_row_number
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    ranked = with_grouped_row_number(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rn_col="rn",
+        n_col="n",
     )
 
     def pick(p: float) -> Column:
@@ -1892,12 +1900,33 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full feature-extraction output incl. the 16-dim feature vector
-    (rows-only: the vector comes from the stubbed deterministic decoder)."""
+    """Feature-extraction output with the 16-dim feature vector posexploded
+    to ``(media_id, dim_idx, feature_value)`` scalar rows.
+
+    The scalar shape serves two masters: the driver's canonicalizer (which
+    pandas-sorts every column and cannot hash an array cell — the round-5
+    ``err``), and a full DuckDB oracle. The stub decoder derives dim ``i``
+    from sha256-digest bytes ``[2i, 2i+2)`` and 16 dims exactly consume the
+    32-byte digest, so the oracle recomputes every float bit-for-bit in SQL
+    (``n/65536.0`` is exact in float32 and double alike). The array-valued
+    API (:func:`multimodal.binary.extract_features`) is unchanged."""
     from .multimodal.binary import extract_features
 
     feats = extract_features(_media_table(spark, sf_dir))
-    return feats.orderBy("media_id")
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("feature").alias("dim_idx", "value_f"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.col("value_f").cast("double").alias("feature_value"),
+        )
+        .orderBy("media_id", "dim_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1907,16 +1936,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: quartile bucket (ntile), percent_rank
-    and cume_dist over customer balances — the reporting trio beyond plain
-    rank. Total order includes the key as tiebreak so ties are stable."""
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return cust.select(
+    """Distribution window functions — quartile bucket (ntile),
+    percent_rank and cume_dist — WITHOUT the un-partitioned window the
+    textbook formulation uses (``Window.orderBy`` with no partitionBy is a
+    single-reducer sort of the whole relation; fine on a dim, a
+    scale-killer on a fact). Instead the two-phase distributed rank
+    (operators/relational.with_global_row_number: range-repartition, then
+    per-range row numbers offset by range counts) yields the exact global
+    row number and total count, and every distribution function is plain
+    arithmetic over (rn, n): ntile's uneven-bucket rule, percent_rank =
+    (rn-1)/(n-1), cume_dist = rn/n. The total order includes the key as
+    tiebreak, so rank == row_number and ties are stable."""
+    from .operators.relational import with_global_row_number
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_row_number(
+        cust, ["c_acctbal", "c_custkey"], rn_col="__rn", n_col="__n"
+    )
+    # ntile(4): first (n % 4) buckets hold (n div 4 + 1) rows, the rest
+    # (n div 4) — the SQL-standard uneven split, from rn/n arithmetic only
+    quartile = F.expr(
+        "case when __rn <= (__n % 4) * (__n div 4 + 1)"
+        "     then (__rn - 1) div (__n div 4 + 1) + 1"
+        "     else (__n % 4)"
+        "          + (__rn - (__n % 4) * (__n div 4 + 1) - 1) div (__n div 4)"
+        "          + 1 end"
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        quartile.cast("long").alias("quartile"),
+        F.expr("case when __n = 1 then 0.0 else (__rn - 1) / (__n - 1) end").alias(
+            "pct_rank"
+        ),
+        F.expr("__rn / __n").alias("cume"),
     )
 
 
@@ -2749,19 +2801,199 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions: cohort retention, z-order layout, multimodal resize,
+# minhash jaccard estimation (all oracle-twinned)
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by first-seen
+    week, counted per week-since-signup — the companion analytic to
+    q_funnel_steps. Two aggregations and one join, all keyed on user_id,
+    so the shuffle partitioning is computed once and reused: first-seen
+    per user (map-side-combined MIN), distinct (user, week) activity, and
+    an equi-join back on user_id — never a self-join of raw events, which
+    is the formulation that dies at 100 TB. Weeks are date_trunc Mondays
+    in UTC, so datediff is always a multiple of 7 and the integer division
+    is exact in both engines."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(act_week, cohort_week) div 7").alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            # string week key: Spark date vs DuckDB timestamp canonicalize
+            # differently in the harness; 'yyyy-MM-dd' is engine-neutral
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "n_active",
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+#: Morton/Z-order interleave of two 16-bit values — generated once as SQL
+#: text for both engines (pure integer bit arithmetic, bit-identical).
+_Z_SPARK = " + ".join(
+    f"shiftleft((shiftright(zx, {i}) & 1), {2 * i})"
+    f" + shiftleft((shiftright(zy, {i}) & 1), {2 * i + 1})"
+    for i in range(16)
+)
+_Z_DUCK = " + ".join(
+    f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout keys over two join/filter dimensions
+    (l_partkey, l_suppkey): interleave the low 16 bits of each into one
+    locality-preserving key, plus the top-10-bit bucket a writer would
+    range-cluster files by.
+
+    This is the multi-dimensional-clustering layout op (the OPTIMIZE
+    ZORDER idea): range-partitioning and sorting by ``zval`` co-locates
+    rows close in BOTH dimensions, so min/max file statistics prune scans
+    for predicates on either column — a single-column sort gives pruning
+    on one dimension only. The interleave itself is 64 integer bit ops,
+    entirely inside whole-stage codegen; the returned frame is already
+    range-clustered by ``zval`` exactly as the writer would lay it out."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("pmod(l_partkey, 65536)").alias("zx"),
+        F.expr("pmod(l_suppkey, 65536)").alias("zy"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"({_Z_SPARK})").cast("long").alias("zval"),
+    )
+    return z.select(
+        "l_orderkey",
+        "l_linenumber",
+        "zval",
+        F.shiftright(F.col("zval"), 22).cast("long").alias("zbucket"),
+    ).repartitionByRange(F.col("zval"))
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through the Arrow mapInPandas path
+    (multimodal/binary.resize_stub): metadata rewritten to the target
+    dims, payload passed through opaquely — verified by recomputing the
+    payload digest AFTER the Python batch hop, so the oracle catches any
+    corruption in Arrow round-tripping of binary columns."""
+    from .multimodal.binary import resize_stub
+
+    resized = resize_stub(_media_table(spark, sf_dir), width=224, height=224)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.sha2(F.col("payload"), 256).alias("content_digest"),
+    ).orderBy("media_id")
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATION for LSH candidate pairs: the
+    fraction of agreeing minhash rows (an unbiased estimator of true
+    Jaccard) — the cheap middle stage between banding and exact
+    verification. At 100 TB the estimate filters candidates using only
+    the k-long signatures (already materialized, joined on compact ids),
+    so the expensive shingle-set join of jaccard_pairs runs on a far
+    smaller survivor set. Deterministic md5-based hashes make the
+    estimate itself oracle-checkable bit-for-bit."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=8)
+    cands = lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4)
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 #: Registry order is load-bearing: the driver's correctness gate checks the
-#: FIRST 50 entries (CORRECTNESS_r01.json cut exactly there). Round 1
-#: verified the relational/reporting surface; round 2 leads with everything
-#: that had no hard signal yet — windows, temporal, text, dedup, similarity,
-#: multimodal, plus the newly-oracle-ified roundtrip/SCD queries — and
-#: demotes the already-green round-1 queries behind the window.
+#: FIRST 50 entries (CORRECTNESS_r01.json cut exactly there). Each round
+#: leads with whatever has no driver signal yet (never-windowed queries,
+#: rewrites whose plans changed, brand-new entries), keeps the flagship and
+#: a representative green set under verification, and demotes cumulative
+#: greens behind the window. Composition pinned by
+#: tests/test_entry_contract.test_driver_window_composition.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1-31: never driver-verified before round 5: 27 oracle-twinned
-    #    round-2/3 additions + 4 rows-only approximate/stub paths ---------
+    # -- 1-5: round-5 additions never driver-verified (judge-verified
+    #    locally in r5; this closes the last driver gap -> 136/136) ----
+    "q_outlier_zscore": q_outlier_zscore,
+    "q_drift_chi2": q_drift_chi2,
+    "q_sample_weighted": q_sample_weighted,
+    "q_profile_table_approx": q_profile_table_approx,
+    "q_pq_topk": q_pq_topk,
+    # -- 6-8: round-6 rewrites: the r5 canonicalizer err (feature vector
+    #    now posexploded + oracle-twinned) and the two de-globalized
+    #    sorts (two-phase range rank) — re-verify under new plans ------
+    "q_multimodal_features": q_multimodal_features,
     "q_ntile_cume": q_ntile_cume,
+    "q_percentile_rank": q_percentile_rank,
+    # -- 9-12: round-6 additions (cohort retention, z-order layout,
+    #    multimodal resize, minhash jaccard estimation) ----------------
+    "q_retention_cohort": q_retention_cohort,
+    "q_zorder_layout": q_zorder_layout,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_minhash_jaccard_est": q_minhash_jaccard_est,
+    # -- 13-31: flagship + representative greens (stay verified) -------
+    "q_star_join": q_star_join,
+    "q_scd1_merge": q_scd1_merge,
+    "q_scd2_merge": q_scd2_merge,
+    "q_window_tumbling": q_window_tumbling,
+    "q_window_session": q_window_session,
+    "q_asof_join": q_asof_join,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_cosine_topk": q_cosine_topk,
+    "q_decontaminate": q_decontaminate,
+    "q_time_travel": q_time_travel,
+    "q_surrogate_key_fact": q_surrogate_key_fact,
+    "q_orc_roundtrip": q_orc_roundtrip,
+    "q_runtime_filter_join": q_runtime_filter_join,
+    "q_resample_ffill": q_resample_ffill,
+    "q_sessionize": q_sessionize,
+    "q_range_join": q_range_join,
+    "q_streaming_tumbling": q_streaming_tumbling,
+    # -- 32-50: round-5-window greens kept under verification ----------
     "q_funnel_steps": q_funnel_steps,
     "q_word_repetition": q_word_repetition,
     "q_tfidf_topk": q_tfidf_topk,
@@ -2781,6 +3013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack": q_sequence_pack,
     "q_profile_table": q_profile_table,
     "q_incremental_rollup": q_incremental_rollup,
+    # -- 51+: cumulatively driver-green in rounds 1-5 ------------------
     "q_streaming_sliding": q_streaming_sliding,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_streaming_session": q_streaming_session,
@@ -2791,33 +3024,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_text_model_score": q_text_model_score,
-    "q_multimodal_features": q_multimodal_features,
-    # -- 32-35: broken by the round-4 testdata regeneration (TIMESTAMP_NTZ),
-    #    fixed in round 5 — re-verify ------------------------------------
-    "q_resample_ffill": q_resample_ffill,
-    "q_sessionize": q_sessionize,
-    "q_range_join": q_range_join,
-    "q_streaming_tumbling": q_streaming_tumbling,
-    # -- 36-50: flagship + representative greens (stay verified) ---------
-    "q_star_join": q_star_join,
-    "q_scd1_merge": q_scd1_merge,
-    "q_scd2_merge": q_scd2_merge,
-    "q_window_tumbling": q_window_tumbling,
-    "q_window_session": q_window_session,
-    "q_asof_join": q_asof_join,
-    "q_dedup_exact": q_dedup_exact,
-    "q_dedup_minhash": q_dedup_minhash,
-    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "q_cosine_topk": q_cosine_topk,
-    "q_decontaminate": q_decontaminate,
-    "q_time_travel": q_time_travel,
-    "q_surrogate_key_fact": q_surrogate_key_fact,
-    # -- 49-50: round-5 additions, oracle-verified locally — driver-verify
-    #    this round (displaced greens q_partitioned_prune /
-    #    q_curation_pipeline are cumulatively green from r1/r2) -----------
-    "q_orc_roundtrip": q_orc_roundtrip,
-    "q_runtime_filter_join": q_runtime_filter_join,
-    # -- 51+: cumulatively driver-green in rounds 1-4 --------------------
     "q_partitioned_prune": q_partitioned_prune,
     "q_curation_pipeline": q_curation_pipeline,
     "q_surrogate_key": q_surrogate_key,
@@ -2891,15 +3097,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot": q_pivot,
     "q_topk_per_group": q_topk_per_group,
     "q_stats_moments": q_stats_moments,
-    "q_percentile_rank": q_percentile_rank,
     "q_approx_percentile": q_approx_percentile,
     "q_null_safe_join": q_null_safe_join,
     "q_histogram": q_histogram,
-    "q_profile_table_approx": q_profile_table_approx,
-    "q_outlier_zscore": q_outlier_zscore,
-    "q_drift_chi2": q_drift_chi2,
-    "q_pq_topk": q_pq_topk,
-    "q_sample_weighted": q_sample_weighted,
 }
 
 # -- shared DuckDB SQL fragments for the text/dedup oracles ------------------
@@ -3560,6 +3760,20 @@ ORACLES: dict[str, str] = {
                octet_length(cast(text as blob)) as n_bytes
         from documents order by doc_id
     """,
+    "q_multimodal_features": """
+        with d as (
+            select doc_id as media_id,
+                   sha256(text) as digest,
+                   octet_length(cast(text as blob)) as n_bytes
+            from documents
+        ),
+        i as (select unnest(generate_series(0, 15)) as dim_idx)
+        select media_id, n_bytes, dim_idx::bigint as dim_idx,
+               ('0x' || substr(digest, 4 * dim_idx + 1, 4))::bigint / 65536.0
+                   as feature_value
+        from d cross join i
+        order by media_id, dim_idx
+    """,
     "q_surrogate_key": """
         select row_number() over (order by n_nationkey) as nation_sk,
                n_nationkey, n_name
@@ -3709,9 +3923,9 @@ ORACLES: dict[str, str] = {
     "q_sample_weighted": """
         with b as (
             select doc_id,
-                   len(string_split_regex(lower(text), '\s+'))::bigint
+                   len(string_split_regex(lower(text), '\\s+'))::bigint
                        as n_words,
-                   least(1.0, len(string_split_regex(lower(text), '\s+'))
+                   least(1.0, len(string_split_regex(lower(text), '\\s+'))
                        / 200.0) as keep_weight,
                    ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 10000
                        as bucket
@@ -4282,5 +4496,63 @@ ORACLES: dict[str, str] = {
         from orders
         group by o_orderpriority
         order by o_orderpriority
+    """,
+    "q_retention_cohort": """
+        with firsts as (
+            select user_id, date_trunc('week', min(ts))::date as cohort_week
+            from events group by user_id
+        ),
+        act as (
+            select distinct user_id, date_trunc('week', ts)::date as act_week
+            from events
+        )
+        select strftime(cohort_week, '%Y-%m-%d') as cohort_week,
+               (date_diff('day', cohort_week, act_week) // 7)::bigint
+                   as weeks_since,
+               count(*)::bigint as n_active
+        from act join firsts using (user_id)
+        group by 1, 2
+        order by 1, 2
+    """,
+    "q_zorder_layout": f"""
+        with z as (
+            select l_orderkey, l_linenumber,
+                   (l_partkey % 65536) as zx, (l_suppkey % 65536) as zy
+            from lineitem
+        ),
+        v as (
+            select l_orderkey, l_linenumber, ({_Z_DUCK})::bigint as zval
+            from z
+        )
+        select l_orderkey, l_linenumber, zval, (zval >> 22)::bigint as zbucket
+        from v order by l_orderkey, l_linenumber
+    """,
+    "q_multimodal_resize": """
+        select doc_id as media_id,
+               224 as width, 224 as height,
+               sha256(text) as content_digest
+        from documents order by media_id
+    """,
+    "q_minhash_jaccard_est": f"""
+        with sig as ({_DK_MINHASH_SQL}),
+        bands as (
+            select doc_id, 0 as band_id, mh0 as v0, mh1 as v1 from sig
+            union all select doc_id, 1, mh2, mh3 from sig
+            union all select doc_id, 2, mh4, mh5 from sig
+            union all select doc_id, 3, mh6, mh7 from sig
+        ),
+        cand as (
+            select distinct l.doc_id as a, r.doc_id as b
+            from bands l join bands r
+              on l.band_id = r.band_id and l.v0 = r.v0 and l.v1 = r.v1
+             and l.doc_id < r.doc_id
+        )
+        select c.a, c.b,
+               ({" + ".join(f"case when sa.mh{i} = sb.mh{i} then 1 else 0 end" for i in range(8))})
+                   / 8.0 as est_jaccard
+        from cand c
+        join sig sa on sa.doc_id = c.a
+        join sig sb on sb.doc_id = c.b
+        order by c.a, c.b
     """,
 }

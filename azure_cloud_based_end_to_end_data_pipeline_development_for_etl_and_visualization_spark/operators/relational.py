@@ -229,6 +229,118 @@ def with_surrogate_key_fact(
     )
 
 
+def with_global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rn_col: str = "rn",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Exact global row numbers under a total order WITHOUT a
+    single-reducer sort of the data: the two-phase pattern of
+    :func:`with_surrogate_key_fact`, but ordered by the data's own key
+    columns instead of arbitrary partition layout (so, unlike the
+    zipWithIndex-style fact path, the numbering IS reproducible across
+    layouts and oracle-checkable).
+
+    Phase 1: ``repartitionByRange(order_by)`` — the range partitioner
+    assigns ascending key ranges to ascending partition ids, each reducer
+    sorting only its range. Per-partition row counts are map-side-combined;
+    a cumulative window over those n_partitions rows yields each range's
+    global starting offset (single-reducer, but over partition-count-sized
+    data — ~100k rows at 100 TB — never the relation).
+
+    Phase 2: broadcast the offsets back and number rows within each range
+    (``row_number`` partitioned by range id, ordered by the keys).
+
+    With ``n_col`` set, the total row count is attached via a broadcast
+    1-row cross join — everything a distribution function needs
+    (percent_rank = (rn-1)/(n-1), cume_dist = rn/n, ntile buckets from rn
+    and n) without any un-partitioned data window. ``order_by`` must be a
+    total order (include a unique tiebreak column) for rank == row_number
+    to hold; equal boundary keys land in one range by the partitioner's
+    binary search, so ties never straddle reducers. ``df`` must come from
+    a deterministic source (the plan evaluates it once per phase)."""
+    pid = "__gr_pid"
+    cols = [F.col(c) for c in order_by]
+    tagged = df.repartitionByRange(*cols).withColumn(pid, F.spark_partition_id())
+    counts = tagged.groupBy(pid).agg(F.count(F.lit(1)).alias("__gr_n"))
+    w_ofs = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        pid,
+        F.coalesce(F.sum("__gr_n").over(w_ofs), F.lit(0)).alias("__gr_offset"),
+    )
+    w_rn = Window.partitionBy(pid).orderBy(*cols)
+    out = (
+        tagged.join(F.broadcast(offsets), pid)
+        .withColumn(
+            rn_col,
+            (F.row_number().over(w_rn) + F.col("__gr_offset")).cast("long"),
+        )
+        .drop(pid, "__gr_offset")
+    )
+    if n_col is not None:
+        total = counts.agg(F.sum("__gr_n").cast("long").alias(n_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out
+
+
+def with_grouped_row_number(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[str],
+    rn_col: str = "rn",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Per-group row numbers under a total order, with each group's sort
+    SPREAD ACROSS ALL REDUCERS — the fix for the low-cardinality-group
+    trap where ``Window.partitionBy(group).orderBy(keys)`` makes one
+    reducer sort one group (3 groups over a 100 TB fact = three ~33 TB
+    sort reducers).
+
+    Same two phases as :func:`with_global_row_number`, range-partitioned
+    on ``(group_by..., order_by...)`` so a single group spans many
+    ascending ranges. Offsets are cumulative counts per ``(group, range)``
+    — a window partitioned by group over n_partitions-sized data, never
+    the relation; within-range numbering partitions by ``(range, group)``.
+    With ``n_col`` set, per-group totals come back via a broadcast join,
+    giving rank-selection percentiles, per-group cume_dist etc. pure
+    arithmetic over (rn, n). ``order_by`` must be unique per group (add a
+    tiebreak) and ``df`` must be a deterministic source (the plan
+    evaluates it once per phase)."""
+    pid = "__gg_pid"
+    gcols = [F.col(c) for c in group_by]
+    ocols = [F.col(c) for c in order_by]
+    tagged = df.repartitionByRange(*gcols, *ocols).withColumn(
+        pid, F.spark_partition_id()
+    )
+    counts = tagged.groupBy(pid, *gcols).agg(F.count(F.lit(1)).alias("__gg_n"))
+    w_ofs = (
+        Window.partitionBy(*group_by)
+        .orderBy(pid)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        pid,
+        *group_by,
+        F.coalesce(F.sum("__gg_n").over(w_ofs), F.lit(0)).alias("__gg_offset"),
+    )
+    w_rn = Window.partitionBy(pid, *group_by).orderBy(*ocols)
+    out = (
+        tagged.join(F.broadcast(offsets), [pid, *group_by])
+        .withColumn(
+            rn_col,
+            (F.row_number().over(w_rn) + F.col("__gg_offset")).cast("long"),
+        )
+        .drop(pid, "__gg_offset")
+    )
+    if n_col is not None:
+        totals = counts.groupBy(*gcols).agg(
+            F.sum("__gg_n").cast("long").alias(n_col)
+        )
+        out = out.join(F.broadcast(totals), list(group_by))
+    return out
+
+
 def high_water_mark(existing: DataFrame | None, key_col: str) -> int:
     """Scalar max-key fetch (ref gold_dim_branch.ipynb:60154-60162 cell 24).
 

@@ -27,7 +27,9 @@ def test_rows_only_queries_are_the_documented_set():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         # (round 2 oracle-ified the former members q_scan_csv,
-        # q_write_roundtrip, q_scd1_merge, q_scd2_merge, q_partitioned_prune)
+        # q_write_roundtrip, q_scd1_merge, q_scd2_merge, q_partitioned_prune;
+        # round 6 oracle-ified q_multimodal_features — the 16-dim stub
+        # features posexplode to sha256-derived scalars DuckDB recomputes)
         "q_incremental_ingest",  # sink side-effect
         "q_streaming_running_totals",  # state-store output
         "q_approx_distinct",     # HLL sketch estimates are engine-specific
@@ -37,7 +39,6 @@ def test_rows_only_queries_are_the_documented_set():
         "q_dedup_clusters",      # iterative label propagation
         "q_cosine_topk_lsh",     # approximate, recall tested in pytest
         "q_cosine_topk_ivf",     # approximate, recall tested in pytest
-        "q_multimodal_features", # stubbed decoder feature vectors
         "q_text_model_score",    # pandas_udf transcendentals differ in ulps
         "q_profile_table_approx",  # HLL++ estimates are engine-specific
         "q_pq_topk",             # PQ codebooks from float k-means, recall pytest
@@ -46,25 +47,29 @@ def test_rows_only_queries_are_the_documented_set():
 
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-5 window —
-    the 31 queries never driver-verified in rounds 1-4 (27 oracle-twinned
-    + 4 rows-only approximate/stub paths), the 4 queries broken by the
-    round-4 testdata regeneration and fixed in round 5, then the flagship
-    and representative greens — so an accidental reorder can't silently
-    starve the gate (that is precisely what happened in round 1)."""
+    checks the FIRST 50 entries of queries(). Pin the round-6 window —
+    the 5 round-5 additions never driver-verified (closing the last
+    cumulative gap), the 3 round-6 rewrites (the r5 canonicalizer err,
+    now oracle-twinned, and the two de-globalized sorts), the 4 round-6
+    additions, then the flagship and representative greens — so an
+    accidental reorder can't silently starve the gate (that is precisely
+    what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
     rows_only_in_window = [n for n in window if n not in oracles]
     assert rows_only_in_window == [
-        "q_cosine_topk_lsh",
-        "q_cosine_topk_ivf",
-        "q_text_model_score",
-        "q_multimodal_features",
+        "q_profile_table_approx",
+        "q_pq_topk",
     ]
+    never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
+                      "q_profile_table_approx", "q_pq_topk"]
+    assert window[:5] == never_verified
+    rewrites_and_new = {"q_multimodal_features", "q_ntile_cume",
+                        "q_percentile_rank", "q_retention_cohort",
+                        "q_zorder_layout", "q_multimodal_resize",
+                        "q_minhash_jaccard_est"}
+    assert rewrites_and_new <= set(window[5:12])
     assert "q_star_join" in window  # flagship stays verified
-    refixed = {"q_resample_ffill", "q_sessionize", "q_range_join",
-               "q_streaming_tumbling"}
-    assert refixed <= set(window)
 
 
 def test_entry_runs_on_plain_session(spark):
@@ -98,3 +103,9 @@ def test_docs_counts_in_sync():
     assert m, "SURVEY.md no longer states the catalog counts"
     assert int(m.group(1)) == len(entry_mod.queries())
     assert int(m.group(2)) == len(entry_mod.oracle_sql())
+    # round-delta bullets drifted twice by hand-editing ("Catalog: 131"
+    # while the registry held 132, VERDICT r5): every such phrase must
+    # state the CURRENT count — older bullets get rephrased as "grew to".
+    counts = [int(c) for c in re.findall(r"Catalog: (\d+) queries", survey)]
+    assert counts, "SURVEY.md no longer has a 'Catalog: N queries' sentence"
+    assert all(c == len(entry_mod.queries()) for c in counts), counts

@@ -168,6 +168,32 @@ def test_dim_surrogate_key_is_global_sort_by_design(spark, sf_dir):
     assert "SinglePartition" in plan
 
 
+def test_ntile_cume_has_no_global_data_sort(spark, sf_dir):
+    """Round-6 fix for the last un-partitioned data-path window: the
+    distribution trio (ntile/percent_rank/cume_dist) must come from the
+    two-phase range rank — a rangepartitioning shuffle of the data plus
+    per-range windows keyed by range id. The only SinglePartition
+    exchanges allowed are over partition-count-sized sides (the offsets
+    cumsum and the 1-row total), never the relation itself."""
+    plan = plan_of(catalog.q_ntile_cume(spark, sf_dir))
+    assert "rangepartitioning(c_acctbal" in plan
+    assert "hashpartitioning(__gr_pid" in plan
+    assert plan.count("SinglePartition") == 2
+
+
+def test_percentile_rank_distributes_group_sorts(spark, sf_dir):
+    """Per-group exact percentiles must NOT sort one group per reducer
+    (3 return-flag groups over a 100 TB fact = three ~33 TB sorts):
+    range-split on (group, value, tiebreaks) with per-(range, group)
+    numbering. Zero SinglePartition anywhere — even the offsets cumsum
+    window is partitioned by group."""
+    plan = plan_of(catalog.q_percentile_rank(spark, sf_dir))
+    assert "rangepartitioning(l_returnflag" in plan
+    assert "l_extendedprice" in plan
+    assert "hashpartitioning(__gg_pid" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_sequence_pack_has_no_global_data_sort(spark, sf_dir):
     """The packing running sum must distribute: a range-partitioning
     exchange on doc_id (not a single-partition global sort of the data),

@@ -73,6 +73,46 @@ def test_high_water_mark(spark):
     assert R.high_water_mark(empty, "k") == 0
 
 
+def test_global_row_number_matches_window_and_is_layout_independent(spark):
+    """The two-phase range rank must equal a plain global row_number
+    window on any input partitioning (the property that makes it a safe
+    swap-in for un-partitioned windows)."""
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    base = spark.createDataFrame(rows, ["k", "v"])
+    want = {
+        (r["k"], r["rn"])
+        for r in base.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    for parts in (1, 7):
+        got = R.with_global_row_number(
+            base.repartition(parts), ["v", "k"], rn_col="rn", n_col="n"
+        )
+        assert {(r["k"], r["rn"]) for r in got.collect()} == want
+        assert got.select("n").distinct().collect()[0]["n"] == 500
+
+
+def test_grouped_row_number_matches_window(spark):
+    """Per-group two-phase rank == Window.partitionBy(g).orderBy(keys),
+    including per-group totals, on a skewed group layout."""
+    from pyspark.sql import Window
+
+    rows = [(i, i % 3, (i * 53) % 97) for i in range(600)]
+    base = spark.createDataFrame(rows, ["k", "g", "v"]).repartition(5)
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r["k"], r["rn"])
+        for r in base.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = R.with_grouped_row_number(base, ["g"], ["v", "k"], rn_col="rn", n_col="n")
+    assert {(r["k"], r["rn"]) for r in got.collect()} == want
+    totals = {r["g"]: r["n"] for r in got.select("g", "n").distinct().collect()}
+    assert totals == {0: 200, 1: 200, 2: 200}
+
+
 @pytest.mark.parametrize("name", sorted(catalog.QUERIES))
 def test_catalog_query_runs(spark, sf_dir, name):
     df = catalog.QUERIES[name](spark, sf_dir)
