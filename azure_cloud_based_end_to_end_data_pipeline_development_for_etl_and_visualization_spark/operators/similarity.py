@@ -14,6 +14,8 @@ in tests/test_similarity.py).
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -256,24 +258,61 @@ def cosine_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing the query's LSH
-    bucket. Same output shape as :func:`cosine_topk`; recall < 1 by design
-    (more planes -> smaller buckets -> faster + lower recall). At 100 TB the
-    bucket equality becomes the shuffle key, replacing the broadcast loop."""
-    cb = lsh_bucket(corpus, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("lsh_bucket"),
-    )
-    qb = lsh_bucket(queries, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("lsh_bucket"),
+    bucket in at least one of ``n_tables`` independent hash tables. Same
+    output shape as :func:`cosine_topk`.
+
+    Recall amplification is OR-over-tables (the standard LSH
+    construction): one 8-plane table finds a neighbor at angle θ with
+    probability (1-θ/π)^8 — high for near-duplicates, poor for generic
+    top-k — and L tables lift that to 1-(1-p)^L at L× the candidate
+    cost. The bench's ann ladder records the measured trade-off.
+
+    Scale shape: every table is the same equality shuffle on
+    (table_id, bucket) — candidates meet by key, nothing all-pairs. A
+    pair colliding in several tables is deduplicated on the compact id
+    pair BEFORE vectors are re-attached and cosine runs, so
+    amplification multiplies the cheap bucket join, not the scoring."""
+    c_tabs = [
+        lsh_bucket(corpus, vec_col, n_planes, dim, seed=7 + t).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(t).alias("__tab"),
+            F.col("lsh_bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    q_tabs = [
+        lsh_bucket(queries, vec_col, n_planes, dim, seed=7 + t).select(
+            F.col(id_col).alias("query_id"),
+            F.lit(t).alias("__tab"),
+            F.col("lsh_bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    cb = c_tabs[0] if n_tables == 1 else reduce(DataFrame.unionByName, c_tabs)
+    qb = q_tabs[0] if n_tables == 1 else reduce(DataFrame.unionByName, q_tabs)
+    cand = (
+        cb.join(qb, ["__tab", "lsh_bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        cb.join(qb, "lsh_bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",

@@ -71,6 +71,13 @@ HEADLINE = [
     "q_drift_chi2",
     "q_runtime_filter_join",
     "q_orc_roundtrip",
+    # round-6 additions (appended): the two de-globalized sort rewrites,
+    # then the new queries
+    "q_percentile_rank",
+    "q_ntile_cume",
+    "q_retention_cohort",
+    "q_zorder_layout",
+    "q_minhash_jaccard_est",
 ]
 
 
@@ -150,6 +157,77 @@ def bench_skew(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
+    """ANN ladder: exact brute force vs LSH-bucketed vs IVF-flat vs
+    PQ/ADC over the embeddings table, each timed (median of ``repeats``
+    post-warmup, noop sink) WITH its recall@10 against the exact result —
+    a speed number without its recall is meaningless for ANN.
+
+    PQ codebook training is timed separately (``pq_train_sec``): it's a
+    build-once cost amortized over every query batch, while the ladder
+    times are per-search-batch. IVF's k-means runs inside each call (its
+    centroid build is part of the query path in this API), so its time is
+    end-to-end — conservative for the 100 TB story, where centroids would
+    be trained once and reused."""
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 32)
+
+    out: dict = {}
+    t0 = _t.time()
+    books = pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
+    out["pq_train_sec"] = round(_t.time() - t0, 3)
+
+    variants = {
+        "exact": lambda: cosine_topk(emb, queries, k=10),
+        # single-table LSH: the near-dup design point (recall on generic
+        # top-k is poor BY CONSTRUCTION — (1-θ/π)^8 per table; the
+        # recall column proves why IVF is the generic-ANN scale path)
+        "lsh": lambda: cosine_topk_lsh(emb, queries, k=10),
+        # OR-amplified: 8 independent tables, candidates deduped on id
+        # pairs before scoring — recall ~ 1-(1-p)^8 at 8x bucket-join cost
+        "lsh_x8": lambda: cosine_topk_lsh(emb, queries, k=10, n_tables=8),
+        "ivf": lambda: cosine_topk_ivf(
+            emb, queries, k=10, n_centroids=16, n_probe=4
+        ),
+        "pq": lambda: pq_topk(emb, queries, books, k=10),
+    }
+    for label, build in variants.items():
+        materialize(build())  # warmup
+        runs = []
+        for _ in range(repeats):
+            t1 = _t.time()
+            materialize(build())
+            runs.append(_t.time() - t1)
+        out[label] = round(_st.median(runs), 3)
+
+    truth: dict = {}
+    for r in variants["exact"]().collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+    recall = {}
+    for label in ("lsh", "lsh_x8", "ivf", "pq"):
+        got: dict = {}
+        for r in variants[label]().collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        recall[label] = round(hits / n_truth, 3)
+    out["recall_at_10"] = recall
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -174,6 +252,7 @@ def main() -> None:
         spread[name] = round(max(runs) - min(runs), 3)
 
     skew = bench_skew(spark, sf_dir, repeats)
+    ann = bench_ann(spark, sf_dir, repeats)
 
     print(
         json.dumps(
@@ -184,6 +263,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "skew_join": skew,
+                "ann": ann,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -70,6 +70,15 @@ def test_lsh_bucketing_deterministic_and_recall(spark, emb):
     hits = approx.filter(F.col("neighbor_id") == F.col("query_id") - 100000).count()
     assert hits >= 7  # near-dup found in-bucket for most queries
 
+    # OR-amplification: L tables can only add candidates, so near-dup
+    # hits are monotone in n_tables and reach all queries quickly
+    amp = S.cosine_topk_lsh(corpus, queries, k=1, n_planes=8, n_tables=4)
+    amp_hits = amp.filter(
+        F.col("neighbor_id") == F.col("query_id") - 100000
+    ).count()
+    assert amp_hits >= hits
+    assert amp_hits >= 9
+
 
 def test_threshold_pairs_symmetric_free(spark, emb):
     pairs = S.threshold_pairs(emb, block_col="label", threshold=0.3).collect()
