@@ -1600,11 +1600,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash->LSH->Jaccard-verify near-dup pipeline. Banding
     buckets on the band's VALUE VECTOR (collision-free), so the whole
     pipeline — signatures, banding self-join, Jaccard verification,
-    threshold — is reproduced by the DuckDB oracle and hash-checked."""
+    threshold — is reproduced by the DuckDB oracle and hash-checked.
+    Signatures are materialized once (sig_path) so the banding self-join
+    scans k longs per doc instead of re-running the shingle pipeline."""
     from .operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5,
+        sig_path=_tmp_path("lsh_pairs_sigs"),
+    )
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2912,11 +2917,19 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-long signatures (already materialized, joined on compact ids),
     so the expensive shingle-set join of jaccard_pairs runs on a far
     smaller survivor set. Deterministic md5-based hashes make the
-    estimate itself oracle-checkable bit-for-bit."""
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+    estimate itself oracle-checkable bit-for-bit.
+
+    The signature table is materialized once (dedup.materialized_signatures)
+    — banding and the two estimation joins reference it 3x, and without
+    materialization each reference re-runs the tokenize->shingle->hash
+    pipeline over the corpus text (4 text scans measured where one
+    suffices)."""
+    from .operators.dedup import lsh_candidate_pairs, materialized_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", k=8)
+    sigs = materialized_signatures(
+        docs, "doc_id", "text", _tmp_path("minhash_sigs"), k=8
+    )
     cands = lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4)
     sa = sigs.select(
         F.col("doc_id").alias("a"),

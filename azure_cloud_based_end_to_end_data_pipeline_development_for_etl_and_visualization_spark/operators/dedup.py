@@ -86,6 +86,31 @@ def minhash_signatures(
     )
 
 
+def materialized_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Compute minhash signatures ONCE, persist them as a compact parquet
+    artifact, and return the reread frame.
+
+    Why this exists: every downstream consumer of signatures references
+    the frame several times (LSH banding self-joins its two sides;
+    estimation joins it back per pair endpoint), and Spark re-evaluates
+    the tokenize->shingle->hash pipeline for each reference — 3-4 full
+    text scans where one suffices. In a production near-dup pipeline the
+    signature table IS a first-class artifact (computed per corpus
+    snapshot, reused across banding configs); materializing it turns
+    every re-reference into a scan of k longs per doc instead of the
+    corpus text."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    sigs.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -161,10 +186,21 @@ def minhash_near_duplicates(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    sig_path: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH candidates -> Jaccard verify
-    -> pairs above threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    -> pairs above threshold.
+
+    With ``sig_path`` set, signatures are materialized once
+    (:func:`materialized_signatures`) before banding self-joins them —
+    at corpus scale this replaces two re-runs of the
+    tokenize->shingle->hash pipeline with scans of k longs per doc."""
+    if sig_path is not None:
+        sigs = materialized_signatures(
+            df, id_col, text_col, sig_path, k=k, shingle_n=shingle_n
+        )
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
     verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n=shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
