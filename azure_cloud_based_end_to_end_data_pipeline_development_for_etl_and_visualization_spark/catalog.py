@@ -2955,6 +2955,213 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound heuristic quality gate in the Gopher/C4 style (Rae et al.
+    2021 §A1.1 — public paper): word-count bounds, mean word length
+    bounds, symbol-character ratio, and minimum distinct-stopword
+    presence, combined into one keep flag. All signals are rational
+    (integer counts and single IEEE divisions — no transcendentals), so
+    every intermediate and the flag itself hash-match the DuckDB oracle
+    bit-for-bit. One map-only pass over the corpus: the tokens array is
+    materialized once per row and every signal derives from it or from
+    two regexp_replace scans — no shuffle, no UDF, embarrassingly
+    parallel at 100 TB."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("__toks"))
+    n_words = F.size("__toks").cast("long")
+    tok_chars = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = tok_chars.cast("double") / n_words.cast("double")
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    )
+    sym_ratio = n_sym.cast("double") / F.length("text").cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in TX.EN_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.col("__toks")), stop_arr)
+    ).cast("long")
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_ratio < 0.1)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stop_distinct"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the CommonCrawl-pipeline rule that no
+    single domain may dominate the training mix: keep at most 50 docs per
+    source, chosen by deterministic id-hash order (reproducible across
+    runs, engines, and layouts; rand() is none of those). The per-group
+    rank comes from the two-phase grouped rank
+    (operators/relational.with_grouped_row_number), so a hot domain's
+    sort is range-split across all reducers — NOT a per-domain window,
+    which at web scale puts a billion-doc domain on one reducer."""
+    from .functions import text as TX
+    from .operators.relational import with_grouped_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        TX.hash32(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    ranked = with_grouped_row_number(
+        keyed, ["source"], ["__h", "doc_id"], rn_col="sample_rank", n_col="n_source"
+    )
+    return (
+        ranked.filter(F.col("sample_rank") <= 50)
+        .select("doc_id", "source", "sample_rank", "n_source")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via association lift — p(xy)/(p(x)p(y)) as the
+    rational form (c_xy * N) / (c_x * c_y), the transcendental-free core
+    of PMI (PMI = log2(lift); taking the log changes no ranking and would
+    cost cross-engine bit-equality). Top-20 pairs with support >= 5.
+
+    Job shape: ONE corpus scan builds the pair-count table (explode +
+    map-side-combined count), materialized as a compact parquet artifact
+    — both marginals and the grand total then derive from that
+    vocab²-bounded table, not from re-scans of the text (the
+    minhash-signature lesson, dedup.materialized_signatures). Every
+    count fits a double exactly (< 2^53), and the lift expression is the
+    identical operation tree in both engines, so ordering and values
+    hash-match."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(TX.tokens(F.col("text")).alias("__toks"))
+        .select(F.explode(TX.shingles_of(F.col("__toks"), 2)).alias("bg"))
+        .select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+    )
+    cxy = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    path = _tmp_path("bigram_counts")
+    cxy.write.mode("overwrite").parquet(path)
+    cxy = spark.read.parquet(path)
+    cx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    total = cxy.agg(F.sum("c_xy").alias("n_total"))
+    lift = (F.col("c_xy").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("c_x").cast("double") * F.col("c_y").cast("double")
+    )
+    return (
+        cxy.join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("c_xy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate via median absolute deviation — the
+    heavy-tail-safe sibling of q_outlier_zscore (mean/stddev are
+    themselves dragged by outliers; median/MAD are not). Both medians
+    are exact rank selections (value at row ceil(n/2) of a total order —
+    the lower median, no interpolation, engine-independent), each from
+    the two-phase grouped rank so no reducer ever sorts a whole group
+    (3 return-flag groups over a 100 TB fact would otherwise mean three
+    ~33 TB single-reducer sorts). Deviations compare EXACTLY: prices are
+    doubles, |x - med| and 3*MAD are single IEEE operations, identical
+    in DuckDB. Output is groups-sized: per-group median, MAD, outlier
+    count, row count."""
+    from .operators.relational import with_grouped_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r1 = with_grouped_row_number(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rn_col="__rn",
+        n_col="__n",
+    )
+    med = r1.filter(F.col("__rn") == F.ceil(F.col("__n") / 2)).select(
+        "l_returnflag", F.col("l_extendedprice").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    r2 = with_grouped_row_number(
+        dev,
+        ["l_returnflag"],
+        ["adev", "l_orderkey", "l_linenumber"],
+        rn_col="__rn2",
+        n_col="__n2",
+    )
+    mad = r2.filter(F.col("__rn2") == F.ceil(F.col("__n2") / 2)).select(
+        "l_returnflag", F.col("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed ANN (operators/similarity.cosine_topk_ivfpq):
+    coarse k-means cells prune candidates, PQ asymmetric-distance scores
+    the survivors over 8-byte codes — the IVFADC configuration
+    billion-vector indexes run. Rows-only: centroids/codebooks come from
+    float k-means, so estimates are engine-specific; recall against
+    exact brute force is asserted in tests/test_similarity.py."""
+    from .operators.similarity import cosine_topk_ivfpq, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivfpq(
+        emb, queries, books, k=10, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2986,7 +3193,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-31: flagship + representative greens (stay verified) -------
+    # -- 13-17: round-6 session-2 additions (curation gates, collocation
+    #    lift, IVFADC composition) -------------------------------------
+    "q_gopher_rules": q_gopher_rules,
+    "q_domain_cap": q_domain_cap,
+    "q_bigram_lift": q_bigram_lift,
+    "q_mad_outlier": q_mad_outlier,
+    "q_ivfpq_topk": q_ivfpq_topk,
+    # -- 18-36: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -3006,7 +3220,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
     "q_streaming_tumbling": q_streaming_tumbling,
-    # -- 32-50: round-5-window greens kept under verification ----------
+    # -- 37-50: round-5-window greens kept under verification (the five
+    #    displaced past 50 by the 13-17 insert are all multi-round green)
     "q_funnel_steps": q_funnel_steps,
     "q_word_repetition": q_word_repetition,
     "q_tfidf_topk": q_tfidf_topk,
@@ -4567,5 +4782,104 @@ ORACLES: dict[str, str] = {
         join sig sa on sa.doc_id = c.a
         join sig sb on sb.doc_id = c.b
         order by c.a, c.b
+    """,
+    "q_gopher_rules": f"""
+        with t as (
+            select doc_id, text, {_DK_TOKENS} as w from documents
+        ),
+        m as (
+            select doc_id,
+                   len(w)::bigint as n_words,
+                   list_sum(list_transform(w, x -> len(x)))::double
+                       / len(w)::double as mean_word_len,
+                   (len(text) - len(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g')))::double
+                       / len(text)::double as symbol_ratio,
+                   len(list_intersect(list_distinct(w), {_DK_STOPLIST}))::bigint
+                       as n_stop_distinct
+            from t
+        )
+        select doc_id, n_words, mean_word_len, symbol_ratio, n_stop_distinct,
+               (n_words >= 50 and n_words <= 100000
+                and mean_word_len >= 3.0 and mean_word_len <= 10.0
+                and symbol_ratio < 0.1 and n_stop_distinct >= 2) as keep
+        from m order by doc_id
+    """,
+    "q_domain_cap": """
+        with h as (
+            select doc_id, source,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint as hh
+            from documents
+        ),
+        r as (
+            select doc_id, source,
+                   row_number() over (partition by source
+                                      order by hh, doc_id) as sample_rank,
+                   count(*) over (partition by source) as n_source
+            from h
+        )
+        select doc_id, source, sample_rank::bigint as sample_rank,
+               n_source::bigint as n_source
+        from r where sample_rank <= 50
+        order by source, sample_rank
+    """,
+    "q_bigram_lift": f"""
+        with pairs as (
+            select string_split(bg, ' ')[1] as w1,
+                   string_split(bg, ' ')[2] as w2
+            from (
+                select unnest(list_transform(
+                    generate_series(1, greatest(len(w) - 1, 0)),
+                    i -> w[i] || ' ' || w[i + 1]
+                )) as bg
+                from (select {_DK_TOKENS} as w from documents)
+            )
+        ),
+        cxy as (select w1, w2, count(*)::bigint as c_xy
+                from pairs group by w1, w2),
+        cx as (select w1, sum(c_xy)::bigint as c_x from cxy group by w1),
+        cy as (select w2, sum(c_xy)::bigint as c_y from cxy group by w2),
+        tot as (select sum(c_xy)::bigint as n_total from cxy)
+        select w1, w2, c_xy, c_x, c_y,
+               (c_xy::double * n_total::double)
+                   / (c_x::double * c_y::double) as lift
+        from cxy join cx using (w1) join cy using (w2) cross join tot
+        where c_xy >= 5
+        order by lift desc, w1, w2 limit 20
+    """,
+    "q_mad_outlier": """
+        with base as (
+            select l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+            from lineitem
+        ),
+        r1 as (
+            select *,
+                   row_number() over (partition by l_returnflag
+                       order by l_extendedprice, l_orderkey, l_linenumber) as rn,
+                   count(*) over (partition by l_returnflag) as n
+            from base
+        ),
+        med as (select l_returnflag, l_extendedprice as med
+                from r1 where rn = ceil(n / 2.0)),
+        dev as (
+            select b.l_returnflag, b.l_orderkey, b.l_linenumber, m.med,
+                   abs(b.l_extendedprice - m.med) as adev
+            from base b join med m using (l_returnflag)
+        ),
+        r2 as (
+            select *,
+                   row_number() over (partition by l_returnflag
+                       order by adev, l_orderkey, l_linenumber) as rn2,
+                   count(*) over (partition by l_returnflag) as n2
+            from dev
+        ),
+        mad as (select l_returnflag, adev as mad
+                from r2 where rn2 = ceil(n2 / 2.0))
+        select d.l_returnflag, max(d.med) as med, max(md.mad) as mad,
+               sum(case when d.adev > 3.0 * md.mad then 1 else 0 end)::bigint
+                   as n_outliers,
+               count(*)::bigint as n_rows
+        from dev d join mad md using (l_returnflag)
+        group by d.l_returnflag order by d.l_returnflag
     """,
 }

@@ -533,3 +533,97 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF coarse pruning composed with PQ asymmetric-distance scoring —
+    the billion-scale ANN configuration (IVFADC, Jégou et al. 2011):
+    candidates drop to ~|Q| x |C| x n_probe / n_centroids via the cell
+    equi-join AND each surviving candidate costs ``n_sub`` table lookups
+    over an 8-byte code instead of ``dim`` multiplies over a 256-byte
+    vector. Same output shape as :func:`cosine_topk`; self-matches are
+    excluded like :func:`cosine_topk_ivf`.
+
+    Job shape: one map-only corpus pass emits (cell, pq_code) per vector
+    — both the coarse assignment and the codes are plan-literal
+    expressions, no UDF. The query side is driver-sized by construction
+    (probe lists + LUTs are |Q| x n_sub x n_centroids doubles) and
+    broadcast into the cell join."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    n_sub, n_c, sub_dim = codebooks.shape
+
+    c_dots = _centroid_dots(vec_col, cents)
+    code_exprs = []
+    for s_i in range(n_sub):
+        sub = F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim)
+        scores = _pq_assign_scores(sub, codebooks[s_i])
+        code_exprs.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        (F.array_position(c_dots, F.array_max(c_dots)) - 1).alias("cell"),
+        F.array(*code_exprs).alias("pq_code"),
+    )
+
+    lut_rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        q = np.array(r[vec_col], dtype=np.float64)
+        probe = np.argsort(-(cents @ q))[:n_probe]
+        dlut, nlut = [], []
+        for s_i in range(n_sub):
+            qs = q[s_i * sub_dim : (s_i + 1) * sub_dim]
+            for c in codebooks[s_i]:
+                dlut.append(float(np.dot(qs, c)))
+                nlut.append(float(np.dot(c, c)))
+        for cell in probe:
+            lut_rows.append(
+                (int(r[id_col]), int(cell), float(np.linalg.norm(q)), dlut, nlut)
+            )
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows,
+        "query_id long, cell long, qnorm double,"
+        " dlut array<double>, nlut array<double>",
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
+
+    def _gather(lut):
+        picked = F.zip_with(
+            F.col("pq_code"),
+            idx,
+            lambda c, s: F.element_at(lut, s * F.lit(n_c) + c + 1),
+        )
+        return F.aggregate(picked, F.lit(0.0), lambda a, x: a + x)
+
+    sim = _gather(F.col("dlut")) / (
+        F.col("qnorm") * F.sqrt(_gather(F.col("nlut")))
+    )
+    scored = (
+        cb.join(F.broadcast(luts), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

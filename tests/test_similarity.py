@@ -158,3 +158,56 @@ def test_pq_deterministic_and_near_dup_recall(spark, emb):
     # source vector at its reconstruction's top — allow one miss for
     # vectors whose source sits on a centroid boundary
     assert hits >= 8
+
+
+def test_ivfpq_full_probe_matches_adc_and_near_dup_recall(spark, emb):
+    """Two contracts for the IVFADC composition. (1) Machinery: at full
+    probe (every cell visited) the result must be EXACTLY the plain
+    PQ-ADC ranking minus self-matches — same codebooks, same LUT math,
+    bit-equal sims — so cell pruning is provably the only approximation
+    IVF adds on top of PQ. (2) Retrieval: with real pruning (4 of 16
+    cells) a 0.01-sigma perturbed query still lands in its source
+    vector's coarse cell and finds it at rank 1 (the near-dup protocol
+    of the LSH/PQ tests; generic top-10-vs-exact recall is dominated by
+    PQ quantization error on unstructured random vectors and is
+    measured, not asserted, in bench.py's ann ladder)."""
+    books = S.pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # (1) full probe == pure ADC ranking (pq_topk keeps self-matches, so
+    # compare on the non-self pairs; k=11 covers the self-slot shift)
+    full = S.cosine_topk_ivfpq(
+        emb, queries, books, k=10, n_centroids=4, n_probe=4
+    )
+    adc = S.pq_topk(emb, queries, books, k=11)
+    full_pairs = {
+        (r["query_id"], r["neighbor_id"]): r["sim"] for r in full.collect()
+    }
+    adc_pairs = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in adc.collect()
+        if r["query_id"] != r["neighbor_id"]
+    }
+    assert full_pairs, "full-probe IVFPQ returned nothing"
+    for pair, sim in full_pairs.items():
+        assert pair in adc_pairs
+        assert abs(adc_pairs[pair] - sim) < 1e-12
+
+    # (2) planted near-dups survive pruning
+    pdf = emb.limit(10).toPandas()
+    rng = np.random.default_rng(1)
+    rows = []
+    for r in pdf.itertuples():
+        v = np.array(r.embedding, dtype=np.float32)
+        rows.append((
+            int(r.vec_id) + 100000,
+            (v + rng.normal(0, 0.01, v.shape).astype(np.float32)).tolist(),
+            int(r.label),
+        ))
+    perturbed = spark.createDataFrame(rows, emb.schema)
+    corpus = emb.unionByName(perturbed)
+    top = S.cosine_topk_ivfpq(
+        corpus, perturbed, books, k=1, n_centroids=16, n_probe=4
+    )
+    hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 100000).count()
+    assert hits >= 7
