@@ -55,3 +55,92 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_ANOMALY_OUTPUT = (
+    "key long, n_events bigint, ew_mean double, ew_var double, n_alerts bigint"
+)
+EWMA_ANOMALY_STATE = "n bigint, m double, v double, alerts bigint"
+
+
+def ewma_anomaly(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.1,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key streaming anomaly detector over an EWMA baseline: events
+    whose squared deviation from the key's exponentially-weighted mean
+    exceeds ``threshold² x`` the EW variance are counted as alerts; the
+    baseline then absorbs them (m_i = m + α·d, v_i = (1-α)(v + α·d²) —
+    the standard EW mean/variance recursion).
+
+    Alert decisions compare against the state as of the LAST COMMITTED
+    micro-batch (not row-by-row within the batch): that keeps the whole
+    batch vectorized — both recursions are exactly pandas
+    ``ewm(adjust=False)`` seeded with the prior state (no per-row
+    Python, matching the engine-wide no-row-loop rule) — and is the
+    semantics monitoring systems actually want (a burst of anomalies
+    within one batch should not teach the baseline mid-batch and
+    suppress its own tail). Rows are ordered by ``order_col`` (must be
+    unique per key) so replay after a crash reproduces identical state.
+    State is 4 scalars per key."""
+    one_minus = 1.0 - alpha
+    thr2 = threshold * threshold
+
+    def _ewm_seeded(seed: float, terms: pd.Series) -> pd.Series:
+        # s_i = (1-α)·s_{i-1} + α·y_i with s_0 = seed; prepending the
+        # seed makes pandas' adjust=False recursion start exactly there
+        full = pd.concat([pd.Series([seed]), terms], ignore_index=True)
+        return full.ewm(alpha=alpha, adjust=False).mean()
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, m, v, alerts = state.get if state.exists else (0, 0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            x = pdf[value_col].astype(float).fillna(0.0).reset_index(drop=True)
+            if not len(x):
+                continue
+            if n > 0:
+                if v > 0.0:
+                    alerts += int(((x - m) ** 2 > thr2 * v).sum())
+                xs = x
+            else:
+                # first-ever sample seeds the baseline exactly
+                m, v = float(x.iloc[0]), 0.0
+                xs = x.iloc[1:].reset_index(drop=True)
+            if len(xs):
+                # m_i = (1-α)·m_{i-1} + α·x_i  — plain seeded EWM
+                means = _ewm_seeded(m, xs)
+                m_prev = means.iloc[:-1].reset_index(drop=True)  # m_{i-1}
+                d2 = (xs - m_prev) ** 2
+                m = float(means.iloc[-1])
+                # v_i = (1-α)·(v_{i-1} + α·d_i²)
+                #     = (1-α)·v_{i-1} + α·((1-α)·d_i²)
+                # — the same recursion with y_i = (1-α)·d_i²
+                v = float(_ewm_seeded(v, one_minus * d2).iloc[-1])
+            n += int(len(x))
+        state.update((n, float(m), float(v), alerts))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "ew_mean": [float(m)],
+                "ew_var": [float(v)],
+                "n_alerts": [alerts],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=EWMA_ANOMALY_OUTPUT,
+        stateStructType=EWMA_ANOMALY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -78,6 +78,11 @@ HEADLINE = [
     "q_retention_cohort",
     "q_zorder_layout",
     "q_minhash_jaccard_est",
+    # late round-6 additions (appended; earlier entries stay comparable)
+    "q_gopher_rules",
+    "q_domain_cap",
+    "q_bigram_lift",
+    "q_mad_outlier",
 ]
 
 
@@ -177,6 +182,7 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
         cosine_topk,
         cosine_topk_ivf,
+        cosine_topk_ivfpq,
         cosine_topk_lsh,
         pq_topk,
         pq_train,
@@ -203,6 +209,11 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
             emb, queries, k=10, n_centroids=16, n_probe=4
         ),
         "pq": lambda: pq_topk(emb, queries, books, k=10),
+        # IVFADC: cell pruning over the 8-byte codes — the
+        # billion-vector configuration (recall ~= min(ivf, pq))
+        "ivfpq": lambda: cosine_topk_ivfpq(
+            emb, queries, books, k=10, n_centroids=16, n_probe=4
+        ),
     }
     for label, build in variants.items():
         materialize(build())  # warmup
@@ -218,7 +229,7 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     n_truth = sum(len(v) for v in truth.values())
     recall = {}
-    for label in ("lsh", "lsh_x8", "ivf", "pq"):
+    for label in ("lsh", "lsh_x8", "ivf", "pq", "ivfpq"):
         got: dict = {}
         for r in variants[label]().collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
