@@ -3178,6 +3178,65 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join: probe names with a one-character corruption
+    matched back to the customer dimension by edit distance <= 2 — the
+    entity-resolution / record-linkage op, in the only formulation that
+    survives scale: a BLOCKED equi-join (here on the digit suffix the
+    corruption provably leaves intact) with the Levenshtein filter
+    applied per candidate, never |probes| x |customers| distances. The
+    metric is identical in Spark and DuckDB, so candidates, distances,
+    and survivors all hash-match."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = cust.filter(F.col("c_custkey") % 60 == 7).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("X"), F.expr("substring(c_name, 11)")
+        ).alias("probe_name"),
+        F.expr("substring(c_name, 11)").alias("__blk"),
+    )
+    cands = cust.join(
+        probes, F.expr("substring(c_name, 11)") == probes["__blk"]
+    ).select(
+        "probe_id",
+        "probe_name",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("probe_name", "c_name").cast("long").alias("dist"),
+    )
+    return cands.filter(F.col("dist") <= 2).orderBy("probe_id", "c_custkey")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part<->supplier supply bipartite graph (edges =
+    distinct lineitem (partkey, suppkey) pairs, both directions; node
+    ids namespaced even/odd). Top-20 by rank. Rows-only: 10 float power
+    iterations have no SQL twin; the operator is verified against a
+    scalar reference recursion and for layout independence in
+    tests/test_graph.py (operators/graph.pagerank)."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, n_iters=5)
+    return (
+        ranks.select(
+            F.col("node").cast("long").alias("node"),
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.col("node") / 2).cast("long").alias("entity_id"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3209,14 +3268,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-17: round-6 session-2 additions (curation gates, collocation
-    #    lift, IVFADC composition) -------------------------------------
+    # -- 13-19: round-6 session-2 additions (curation gates, collocation
+    #    lift, IVFADC composition, fuzzy join, PageRank) ---------------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
     "q_mad_outlier": q_mad_outlier,
     "q_ivfpq_topk": q_ivfpq_topk,
-    # -- 18-36: flagship + representative greens (stay verified) -------
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_pagerank": q_pagerank,
+    # -- 20-38: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -4897,5 +4958,19 @@ ORACLES: dict[str, str] = {
                count(*)::bigint as n_rows
         from dev d join mad md using (l_returnflag)
         group by d.l_returnflag order by d.l_returnflag
+    """,
+    "q_fuzzy_join": """
+        with probes as (
+            select c_custkey as probe_id,
+                   substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+                       as probe_name,
+                   substr(c_name, 11) as blk
+            from customer where c_custkey % 60 = 7
+        )
+        select p.probe_id, p.probe_name, c.c_custkey, c.c_name,
+               levenshtein(p.probe_name, c.c_name)::bigint as dist
+        from probes p join customer c on substr(c.c_name, 11) = p.blk
+        where levenshtein(p.probe_name, c.c_name) <= 2
+        order by p.probe_id, c.c_custkey
     """,
 }

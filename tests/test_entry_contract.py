@@ -43,6 +43,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_profile_table_approx",  # HLL++ estimates are engine-specific
         "q_pq_topk",             # PQ codebooks from float k-means, recall pytest
         "q_ivfpq_topk",          # IVF+PQ composed, same reason as q_pq_topk
+        "q_pagerank",            # iterative float power iterations, pytest
     }
 
 
@@ -62,6 +63,7 @@ def test_driver_window_composition():
         "q_profile_table_approx",
         "q_pq_topk",
         "q_ivfpq_topk",
+        "q_pagerank",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -72,13 +74,15 @@ def test_driver_window_composition():
                         "q_minhash_jaccard_est"}
     assert rewrites_and_new <= set(window[5:12])
     late_round6 = ["q_gopher_rules", "q_domain_cap", "q_bigram_lift",
-                   "q_mad_outlier", "q_ivfpq_topk"]
-    assert window[12:17] == late_round6
+                   "q_mad_outlier", "q_ivfpq_topk", "q_fuzzy_join",
+                   "q_pagerank"]
+    assert window[12:19] == late_round6
     assert "q_star_join" in window  # flagship stays verified
-    # the five entries the 13-17 insert displaced past 50 are all
+    # the seven entries the 13-19 insert displaced past 50 are all
     # multi-round driver-green — nothing unverified leaves the window
-    displaced = list(qs)[50:55]
-    assert displaced == ["q_streaming_dedup", "q_streaming_enrich",
+    displaced = list(qs)[50:57]
+    assert displaced == ["q_pii_redact", "q_chunk_dedup",
+                         "q_streaming_dedup", "q_streaming_enrich",
                          "q_sequence_pack", "q_profile_table",
                          "q_incremental_rollup"]
 
