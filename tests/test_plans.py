@@ -241,3 +241,51 @@ def test_runtime_filter_join_injects_bloom(spark, sf_dir):
 def test_orc_roundtrip_scan_is_orc(spark, sf_dir):
     plan = plan_of(catalog.q_orc_roundtrip(spark, sf_dir))
     assert "orc" in plan.lower()
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """The compound quality gate must be a single map-only corpus pass:
+    no joins, no aggregation shuffle — the only exchange is the final
+    presentation sort."""
+    plan = plan_of(catalog.q_gopher_rules(spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_domain_cap_distributes_group_sorts(spark, sf_dir):
+    """A hot domain's rank must range-split across reducers (two-phase
+    grouped rank), never one-reducer-per-domain, and nothing
+    relation-sized may pass through a SinglePartition exchange."""
+    plan = plan_of(catalog.q_domain_cap(spark, sf_dir))
+    assert "rangepartitioning(source" in plan
+    assert "hashpartitioning(__gg_pid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_mad_outlier_distributes_group_sorts(spark, sf_dir):
+    """Both median passes ride the two-phase grouped rank; the final
+    (returned) plan is the deviation aggregate over literal medians —
+    group-partitioned, no data-path window, no SinglePartition."""
+    plan = plan_of(catalog.q_mad_outlier(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "partial_" in plan  # map-side combine before the group exchange
+
+
+def test_bigram_lift_reads_materialized_counts_not_text(spark, sf_dir):
+    """Marginals and the grand total must derive from the materialized
+    pair-count artifact — the corpus text is scanned ZERO times in the
+    returned plan (it was scanned once, at materialization)."""
+    plan = plan_of(catalog.q_bigram_lift(spark, sf_dir))
+    assert "documents.parquet" not in plan
+    assert "bigram_counts" in plan
+
+
+def test_fuzzy_join_is_blocked_hash_join_not_all_pairs(spark, sf_dir):
+    """Record linkage must candidate via the blocking-key equi-join;
+    a nested-loop/cartesian distance comparison is the all-pairs plan
+    that dies at scale."""
+    plan = plan_of(catalog.q_fuzzy_join(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
