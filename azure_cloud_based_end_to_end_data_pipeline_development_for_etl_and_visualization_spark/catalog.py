@@ -3237,6 +3237,74 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour rolling aggregate per user via a value-based
+    RANGE frame (``rangeBetween(-86400, 0)`` over epoch seconds) — the
+    time-window feature a row-count frame (q_window_frame) cannot
+    express: how many events / how much value in the PREVIOUS DAY,
+    however many rows that is. Epochs are truncated to whole seconds
+    identically in both engines, frame peers (equal epochs) are included
+    by RANGE semantics in both, and the sum rides the decimal cast so
+    accumulation order can't break the hash. Partitioned by user —
+    high-cardinality, so the window distributes; no global sort."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        epoch_seconds(F.col("ts")).cast("long").alias("epoch_s"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-86400, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_24h"),
+    ).orderBy("event_id")
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: per-user consecutive
+    event-type pairs (lag over (ts, event_id)) counted into a
+    (prev_type, next_type, n, share) matrix — the Markov-chain
+    statistics session-modeling and next-event-prediction features are
+    built from. ``share`` is the row-normalized probability as ONE IEEE
+    division of exact integer counts. One user-partitioned window (high
+    cardinality, distributes) + one pairs-sized aggregation."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3268,8 +3336,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-19: round-6 session-2 additions (curation gates, collocation
-    #    lift, IVFADC composition, fuzzy join, PageRank) ---------------
+    # -- 13-21: round-6 session-2 additions (curation gates, collocation
+    #    lift, IVFADC composition, fuzzy join, PageRank, time-RANGE
+    #    rolling window, transition matrix) ----------------------------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
@@ -3277,7 +3346,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivfpq_topk": q_ivfpq_topk,
     "q_fuzzy_join": q_fuzzy_join,
     "q_pagerank": q_pagerank,
-    # -- 20-38: flagship + representative greens (stay verified) -------
+    "q_rolling_time_window": q_rolling_time_window,
+    "q_transition_matrix": q_transition_matrix,
+    # -- 22-40: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -4972,5 +5043,44 @@ ORACLES: dict[str, str] = {
         from probes p join customer c on substr(c.c_name, 11) = p.blk
         where levenshtein(p.probe_name, c.c_name) <= 2
         order by p.probe_id, c.c_custkey
+    """,
+    "q_rolling_time_window": """
+        with e as (
+            -- floor before the cast: DuckDB's double->bigint cast ROUNDS
+            -- half the epochs up, Spark's truncates — floor matches both
+            select event_id, user_id, floor(epoch(ts))::bigint as epoch_s,
+                   value
+            from events
+        )
+        select event_id, user_id, epoch_s,
+               (count(*) over w)::bigint as n_24h,
+               cast(sum(cast(value as decimal(18,6))) over w as double)
+                   as sum_24h
+        from e
+        window w as (partition by user_id order by epoch_s
+                     range between 86400 preceding and current row)
+        order by event_id
+    """,
+    "q_transition_matrix": """
+        with pairs as (
+            select user_id,
+                   lag(event_type) over (partition by user_id
+                                         order by ts, event_id) as prev_type,
+                   event_type as next_type
+            from events
+        ),
+        counts as (
+            select prev_type, next_type, count(*)::bigint as n
+            from pairs where prev_type is not null
+            group by prev_type, next_type
+        ),
+        totals as (
+            select prev_type, sum(n)::bigint as row_total
+            from counts group by prev_type
+        )
+        select c.prev_type, c.next_type, c.n,
+               c.n::double / t.row_total::double as share
+        from counts c join totals t using (prev_type)
+        order by c.prev_type, c.next_type
     """,
 }

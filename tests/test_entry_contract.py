@@ -75,13 +75,15 @@ def test_driver_window_composition():
     assert rewrites_and_new <= set(window[5:12])
     late_round6 = ["q_gopher_rules", "q_domain_cap", "q_bigram_lift",
                    "q_mad_outlier", "q_ivfpq_topk", "q_fuzzy_join",
-                   "q_pagerank"]
-    assert window[12:19] == late_round6
+                   "q_pagerank", "q_rolling_time_window",
+                   "q_transition_matrix"]
+    assert window[12:21] == late_round6
     assert "q_star_join" in window  # flagship stays verified
-    # the seven entries the 13-19 insert displaced past 50 are all
+    # the nine entries the 13-21 insert displaced past 50 are all
     # multi-round driver-green — nothing unverified leaves the window
-    displaced = list(qs)[50:57]
-    assert displaced == ["q_pii_redact", "q_chunk_dedup",
+    displaced = list(qs)[50:59]
+    assert displaced == ["q_try_cast", "q_multimodal_chunks",
+                         "q_pii_redact", "q_chunk_dedup",
                          "q_streaming_dedup", "q_streaming_enrich",
                          "q_sequence_pack", "q_profile_table",
                          "q_incremental_rollup"]
