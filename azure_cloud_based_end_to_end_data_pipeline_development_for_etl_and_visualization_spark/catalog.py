@@ -3305,6 +3305,69 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact's four numeric
+    measures in ONE scan: a single map-side-combined aggregate collects
+    all 15 power sums (4 sums, 4 squares, 6 cross-products, count), and
+    every pairwise corr is closed-form arithmetic over that one row —
+    versus 6 separate corr() calls = 6 fact scans. Sums ride exact
+    decimals (decimal(38,8) for products: at 100 TB a price² sum reaches
+    ~1e22, past decimal(28,8)'s 1e20 capacity but far under 1e30), so
+    results are order-independent and bit-identical to the oracle's
+    identical expression tree."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": F.col("l_quantity"),
+        "price": F.col("l_extendedprice"),
+        "disc": F.col("l_discount"),
+        "tax": F.col("l_tax"),
+    }
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(
+            F.sum(cols[a].cast("decimal(24,6)")).cast("double").alias(f"s_{a}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum((cols[a] * cols[b]).cast("decimal(38,8)"))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    agg = li.agg(*aggs)
+
+    nd = F.col("n").cast("double")
+
+    def var(a: str) -> Column:
+        return (
+            F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / nd
+        ) / (nd - 1)
+
+    def corr(a: str, b: str) -> Column:
+        cov = (
+            F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / nd
+        ) / (nd - 1)
+        return cov / (F.sqrt(var(a)) * F.sqrt(var(b)))
+
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.col_x", "r.col_y", "r.corr")
+        .orderBy("col_x", "col_y")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3336,9 +3399,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-21: round-6 session-2 additions (curation gates, collocation
+    # -- 13-22: round-6 session-2 additions (curation gates, collocation
     #    lift, IVFADC composition, fuzzy join, PageRank, time-RANGE
-    #    rolling window, transition matrix) ----------------------------
+    #    rolling window, transition matrix, one-scan corr matrix) ------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
@@ -3348,7 +3411,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_rolling_time_window": q_rolling_time_window,
     "q_transition_matrix": q_transition_matrix,
-    # -- 22-40: flagship + representative greens (stay verified) -------
+    "q_corr_matrix": q_corr_matrix,
+    # -- 23-41: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -5082,5 +5146,63 @@ ORACLES: dict[str, str] = {
                c.n::double / t.row_total::double as share
         from counts c join totals t using (prev_type)
         order by c.prev_type, c.next_type
+    """,
+    "q_corr_matrix": """
+        with s as (
+            select count(*)::double as n,
+                   cast(sum(cast(l_quantity as decimal(24,6))) as double) as s_qty,
+                   cast(sum(cast(l_extendedprice as decimal(24,6))) as double) as s_price,
+                   cast(sum(cast(l_discount as decimal(24,6))) as double) as s_disc,
+                   cast(sum(cast(l_tax as decimal(24,6))) as double) as s_tax,
+                   cast(sum(cast(l_quantity * l_quantity as decimal(38,8))) as double) as s_qty_qty,
+                   cast(sum(cast(l_quantity * l_extendedprice as decimal(38,8))) as double) as s_qty_price,
+                   cast(sum(cast(l_quantity * l_discount as decimal(38,8))) as double) as s_qty_disc,
+                   cast(sum(cast(l_quantity * l_tax as decimal(38,8))) as double) as s_qty_tax,
+                   cast(sum(cast(l_extendedprice * l_extendedprice as decimal(38,8))) as double) as s_price_price,
+                   cast(sum(cast(l_extendedprice * l_discount as decimal(38,8))) as double) as s_price_disc,
+                   cast(sum(cast(l_extendedprice * l_tax as decimal(38,8))) as double) as s_price_tax,
+                   cast(sum(cast(l_discount * l_discount as decimal(38,8))) as double) as s_disc_disc,
+                   cast(sum(cast(l_discount * l_tax as decimal(38,8))) as double) as s_disc_tax,
+                   cast(sum(cast(l_tax * l_tax as decimal(38,8))) as double) as s_tax_tax
+            from lineitem
+        ),
+        m as (
+            select 'qty' as col_x, 'price' as col_y,
+                   ((s_qty_price - s_qty * s_price / n) / (n - 1))
+                     / (sqrt((s_qty_qty - s_qty * s_qty / n) / (n - 1))
+                        * sqrt((s_price_price - s_price * s_price / n) / (n - 1))) as corr
+            from s
+            union all
+            select 'qty', 'disc',
+                   ((s_qty_disc - s_qty * s_disc / n) / (n - 1))
+                     / (sqrt((s_qty_qty - s_qty * s_qty / n) / (n - 1))
+                        * sqrt((s_disc_disc - s_disc * s_disc / n) / (n - 1)))
+            from s
+            union all
+            select 'qty', 'tax',
+                   ((s_qty_tax - s_qty * s_tax / n) / (n - 1))
+                     / (sqrt((s_qty_qty - s_qty * s_qty / n) / (n - 1))
+                        * sqrt((s_tax_tax - s_tax * s_tax / n) / (n - 1)))
+            from s
+            union all
+            select 'price', 'disc',
+                   ((s_price_disc - s_price * s_disc / n) / (n - 1))
+                     / (sqrt((s_price_price - s_price * s_price / n) / (n - 1))
+                        * sqrt((s_disc_disc - s_disc * s_disc / n) / (n - 1)))
+            from s
+            union all
+            select 'price', 'tax',
+                   ((s_price_tax - s_price * s_tax / n) / (n - 1))
+                     / (sqrt((s_price_price - s_price * s_price / n) / (n - 1))
+                        * sqrt((s_tax_tax - s_tax * s_tax / n) / (n - 1)))
+            from s
+            union all
+            select 'disc', 'tax',
+                   ((s_disc_tax - s_disc * s_tax / n) / (n - 1))
+                     / (sqrt((s_disc_disc - s_disc * s_disc / n) / (n - 1))
+                        * sqrt((s_tax_tax - s_tax * s_tax / n) / (n - 1)))
+            from s
+        )
+        select col_x, col_y, corr from m order by col_x, col_y
     """,
 }
