@@ -3368,6 +3368,54 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic between event-type cohorts ('view' vs
+    'purchase' value distributions) — the A/B-experiment readout, from
+    ONE pass of exact-decimal power sums per cohort: t = (m1-m2) /
+    sqrt(v1/n1 + v2/n2), plus the Welch-Satterthwaite degrees of
+    freedom. Everything below the final sqrt/divisions is
+    order-independent decimal arithmetic, and sqrt/divide are single
+    IEEE ops identical in DuckDB, so the statistic hash-matches. (The
+    p-value needs the t CDF — a transcendental; by the engine's
+    chi-square precedent the STATISTIC is the oracle-checked surface
+    and thresholding happens downstream.)"""
+    ev = _events(spark, sf_dir)
+    g = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("ss").alias("ss2")
+    )
+    j = a.crossJoin(b)
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    dof = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        m1.alias("mean_view"),
+        m2.alias("mean_purchase"),
+        ((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3399,9 +3447,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-22: round-6 session-2 additions (curation gates, collocation
+    # -- 13-23: round-6 session-2 additions (curation gates, collocation
     #    lift, IVFADC composition, fuzzy join, PageRank, time-RANGE
-    #    rolling window, transition matrix, one-scan corr matrix) ------
+    #    rolling window, transition matrix, one-scan corr matrix,
+    #    Welch t-test gate) --------------------------------------------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
@@ -3412,7 +3461,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rolling_time_window": q_rolling_time_window,
     "q_transition_matrix": q_transition_matrix,
     "q_corr_matrix": q_corr_matrix,
-    # -- 23-41: flagship + representative greens (stay verified) -------
+    "q_ab_ttest": q_ab_ttest,
+    # -- 24-42: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -5204,5 +5254,37 @@ ORACLES: dict[str, str] = {
             from s
         )
         select col_x, col_y, corr from m order by col_x, col_y
+    """,
+    "q_ab_ttest": """
+        with g as (
+            select event_type,
+                   count(*) as n,
+                   cast(sum(cast(value as decimal(18,6))) as double) as s,
+                   cast(sum(cast(value * value as decimal(28,8))) as double)
+                       as ss
+            from events
+            where event_type in ('view', 'purchase')
+            group by event_type
+        ),
+        a as (select n as n1, s as s1, ss as ss1 from g
+              where event_type = 'view'),
+        b as (select n as n2, s as s2, ss as ss2 from g
+              where event_type = 'purchase')
+        select n1::bigint as n1, n2::bigint as n2,
+               s1 / n1 as mean_view,
+               s2 / n2 as mean_purchase,
+               ((s1 / n1) - (s2 / n2))
+                 / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                        + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) as t_stat,
+               (  (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                   + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                   + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2))
+                 / (  (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                    * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                    + (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                    * (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1))
+                 as welch_dof
+        from a cross join b
     """,
 }

@@ -83,6 +83,10 @@ HEADLINE = [
     "q_domain_cap",
     "q_bigram_lift",
     "q_mad_outlier",
+    "q_fuzzy_join",
+    "q_rolling_time_window",
+    "q_transition_matrix",
+    "q_corr_matrix",
 ]
 
 

@@ -76,13 +76,13 @@ def test_driver_window_composition():
     late_round6 = ["q_gopher_rules", "q_domain_cap", "q_bigram_lift",
                    "q_mad_outlier", "q_ivfpq_topk", "q_fuzzy_join",
                    "q_pagerank", "q_rolling_time_window",
-                   "q_transition_matrix", "q_corr_matrix"]
-    assert window[12:22] == late_round6
+                   "q_transition_matrix", "q_corr_matrix", "q_ab_ttest"]
+    assert window[12:23] == late_round6
     assert "q_star_join" in window  # flagship stays verified
-    # the ten entries the 13-22 insert displaced past 50 are all
+    # the eleven entries the 13-23 insert displaced past 50 are all
     # multi-round driver-green — nothing unverified leaves the window
-    displaced = list(qs)[50:60]
-    assert displaced == ["q_date_arith", "q_try_cast",
+    displaced = list(qs)[50:61]
+    assert displaced == ["q_unpivot", "q_date_arith", "q_try_cast",
                          "q_multimodal_chunks", "q_pii_redact",
                          "q_chunk_dedup", "q_streaming_dedup",
                          "q_streaming_enrich", "q_sequence_pack",
