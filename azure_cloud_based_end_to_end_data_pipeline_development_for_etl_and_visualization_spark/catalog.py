@@ -3416,6 +3416,52 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key EWMA anomaly detection
+    (streaming/stateful.ewma_anomaly) over the events file as a finite
+    availableNow stream — final per-key baseline state + cumulative
+    alert counts. Rows-only like q_streaming_running_totals: the EW
+    recursions are multiply-add folds whose SQL closed form would need
+    pow(), so cross-engine bit-equality is a pytest concern
+    (tests/test_stateful_rangejoin.py replays micro-batches against a
+    scalar reference recursion)."""
+    import shutil
+
+    from .streaming.stateful import ewma_anomaly
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ckpt = _tmp_path("ewma_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir)
+    out = ewma_anomaly(stream, "user_id", "value", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("engine_ewma_anomaly")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    res = spark.table("engine_ewma_anomaly")
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        res.select("*", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("user_id"),
+            "n_events",
+            "ew_mean",
+            "ew_var",
+            "n_alerts",
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3447,10 +3493,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-23: round-6 session-2 additions (curation gates, collocation
+    # -- 13-24: round-6 session-2 additions (curation gates, collocation
     #    lift, IVFADC composition, fuzzy join, PageRank, time-RANGE
     #    rolling window, transition matrix, one-scan corr matrix,
-    #    Welch t-test gate) --------------------------------------------
+    #    Welch t-test gate, streaming EWMA anomaly) ---------------------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
@@ -3462,7 +3508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_transition_matrix": q_transition_matrix,
     "q_corr_matrix": q_corr_matrix,
     "q_ab_ttest": q_ab_ttest,
-    # -- 24-42: flagship + representative greens (stay verified) -------
+    "q_streaming_anomaly": q_streaming_anomaly,
+    # -- 25-43: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
