@@ -3305,37 +3305,76 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_corr_matrix integerization scales: per-row scaled magnitudes stay
+#: <= ~5e11, so a 1e6-row input partition's long sum stays under 2^63 at
+#: any data volume (the fastagg bound) and every floored value is an
+#: exact double (< 2^53)
+_CORR_SCALE1 = {"qty": 6, "price": 10, "disc": 8, "tax": 8}
+_CORR_SCALE2 = {
+    ("qty", "qty"): 8, ("qty", "price"): 10, ("qty", "disc"): 8,
+    ("qty", "tax"): 8, ("price", "price"): 10, ("price", "disc"): 10,
+    ("price", "tax"): 10, ("disc", "disc"): 10, ("disc", "tax"): 10,
+    ("tax", "tax"): 10,
+}
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over the fact's four numeric
-    measures in ONE scan: a single map-side-combined aggregate collects
-    all 15 power sums (4 sums, 4 squares, 6 cross-products, count), and
-    every pairwise corr is closed-form arithmetic over that one row —
-    versus 6 separate corr() calls = 6 fact scans. Sums ride exact
-    decimals (decimal(38,8) for products: at 100 TB a price² sum reaches
-    ~1e22, past decimal(28,8)'s 1e20 capacity but far under 1e30), so
-    results are order-independent and bit-identical to the oracle's
-    identical expression tree."""
+    measures in ONE scan: a single aggregate collects all 15 power sums
+    (4 sums, 4 squares, 6 cross-products, count) and every pairwise corr
+    is closed-form arithmetic over that one row — versus 6 separate
+    corr() calls = 6 fact scans.
+
+    Sums ride the fastagg scheme, not decimals: Spark decimals past
+    precision 18 leave the long-backed fast path (measured 6.3 s at
+    sf0.1 with decimal(38,8) products vs 1.4 s here). Each value is
+    integerized as ``floor(x * 10^scale + 0.5) -> long`` (plain codegen;
+    F.round's per-row BigDecimal alone cost ~2x), summed as longs per
+    input partition, merged exactly as decimal(38,0), and unscaled with
+    exactly two IEEE roundings (int -> nearest double, / 10^scale) that
+    DuckDB reproduces operation-for-operation — so the matrix stays
+    hash-identical. Price is pre-divided by 2^17 (exact: exponent-only)
+    to keep its squares inside the per-partition overflow bound;
+    correlation is scale-invariant so the statistic is unchanged. The
+    moments carry ~1e-8 relative integerization error — q_stats_moments
+    remains the exact-decimal sibling."""
     li = _t(spark, sf_dir, "lineitem")
     cols = {
         "qty": F.col("l_quantity"),
-        "price": F.col("l_extendedprice"),
+        "price": F.col("l_extendedprice") / F.lit(131072.0),
         "disc": F.col("l_discount"),
         "tax": F.col("l_tax"),
     }
     names = list(cols)
-    aggs = [F.count(F.lit(1)).alias("n")]
+
+    def scaled(expr: Column, s: int) -> Column:
+        return F.floor(expr * F.lit(float(10**s)) + F.lit(0.5))
+
+    pid = F.spark_partition_id().alias("__cm_pid")
+    aggs = [F.count(F.lit(1)).alias("__cm_n")]
     for a in names:
+        aggs.append(F.sum(scaled(cols[a], _CORR_SCALE1[a])).alias(f"__l_{a}"))
+    for (a, b), s in _CORR_SCALE2.items():
         aggs.append(
-            F.sum(cols[a].cast("decimal(24,6)")).cast("double").alias(f"s_{a}")
+            F.sum(scaled(cols[a] * cols[b], s)).alias(f"__l_{a}_{b}")
         )
-    for i, a in enumerate(names):
-        for b in names[i:]:
-            aggs.append(
-                F.sum((cols[a] * cols[b]).cast("decimal(38,8)"))
-                .cast("double")
-                .alias(f"s_{a}_{b}")
-            )
-    agg = li.agg(*aggs)
+    stage1 = li.groupBy(pid).agg(*aggs)
+    finals = [F.sum("__cm_n").alias("n")]
+    for a in names:
+        finals.append(
+            (
+                F.sum(F.col(f"__l_{a}").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(10 ** _CORR_SCALE1[a]))
+            ).alias(f"s_{a}")
+        )
+    for (a, b), s in _CORR_SCALE2.items():
+        finals.append(
+            (
+                F.sum(F.col(f"__l_{a}_{b}").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(10**s))
+            ).alias(f"s_{a}_{b}")
+        )
+    agg = stage1.agg(*finals)
 
     nd = F.col("n").cast("double")
 
@@ -5244,24 +5283,29 @@ ORACLES: dict[str, str] = {
         from counts c join totals t using (prev_type)
         order by c.prev_type, c.next_type
     """,
-    "q_corr_matrix": """
-        with s as (
-            select count(*)::double as n,
-                   cast(sum(cast(l_quantity as decimal(24,6))) as double) as s_qty,
-                   cast(sum(cast(l_extendedprice as decimal(24,6))) as double) as s_price,
-                   cast(sum(cast(l_discount as decimal(24,6))) as double) as s_disc,
-                   cast(sum(cast(l_tax as decimal(24,6))) as double) as s_tax,
-                   cast(sum(cast(l_quantity * l_quantity as decimal(38,8))) as double) as s_qty_qty,
-                   cast(sum(cast(l_quantity * l_extendedprice as decimal(38,8))) as double) as s_qty_price,
-                   cast(sum(cast(l_quantity * l_discount as decimal(38,8))) as double) as s_qty_disc,
-                   cast(sum(cast(l_quantity * l_tax as decimal(38,8))) as double) as s_qty_tax,
-                   cast(sum(cast(l_extendedprice * l_extendedprice as decimal(38,8))) as double) as s_price_price,
-                   cast(sum(cast(l_extendedprice * l_discount as decimal(38,8))) as double) as s_price_disc,
-                   cast(sum(cast(l_extendedprice * l_tax as decimal(38,8))) as double) as s_price_tax,
-                   cast(sum(cast(l_discount * l_discount as decimal(38,8))) as double) as s_disc_disc,
-                   cast(sum(cast(l_discount * l_tax as decimal(38,8))) as double) as s_disc_tax,
-                   cast(sum(cast(l_tax * l_tax as decimal(38,8))) as double) as s_tax_tax
+    # integerized moments mirror q_corr_matrix operation-for-operation:
+    # floor(x * 10^s + 0.5)::bigint per row, exact integer sum, int ->
+    # nearest double, / 10^s (Spark: long-sum per partition + decimal
+    # merge — integer addition is associative, so the split is invisible)
+    "q_corr_matrix": f"""
+        with v as (
+            select l_quantity as qty,
+                   l_extendedprice / 131072.0 as price,
+                   l_discount as disc,
+                   l_tax as tax
             from lineitem
+        ),
+        s as (
+            select count(*)::double as n,
+                   {", ".join(
+                       f"sum(floor({a} * 1e{s} + 0.5)::bigint)::double / 1e{s} as s_{a}"
+                       for a, s in _CORR_SCALE1.items()
+                   )},
+                   {", ".join(
+                       f"sum(floor({a} * {b} * 1e{s} + 0.5)::bigint)::double / 1e{s} as s_{a}_{b}"
+                       for (a, b), s in _CORR_SCALE2.items()
+                   )}
+            from v
         ),
         m as (
             select 'qty' as col_x, 'price' as col_y,
