@@ -289,3 +289,18 @@ def test_fuzzy_join_is_blocked_hash_join_not_all_pairs(spark, sf_dir):
     assert "NestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_corr_matrix_is_two_level_long_sums(spark, sf_dir):
+    """The 15 power sums must ride the integerized two-level scheme:
+    stage 1 groups by input-partition id (hash exchange on pid only),
+    no per-row decimal arithmetic before the partition-count-sized
+    merge, no Window, no join."""
+    plan = plan_of(catalog.q_corr_matrix(spark, sf_dir))
+    # spark_partition_id projects as _nondeterministic; stage 1 shuffles
+    # only on it (narrow pre-aggregated rows)
+    assert "hashpartitioning(_nondeterministic" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # the fact-side partial aggregate sums FLOOR longs, never decimals
+    assert "partial_sum(FLOOR" in plan
