@@ -3090,21 +3090,29 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves dragged by outliers; median/MAD are not). Both medians
     are exact rank selections (value at row ceil(n/2) of a total order —
     the lower median, no interpolation, engine-independent), each from
-    the two-phase grouped rank so no reducer ever sorts a whole group
-    (3 return-flag groups over a 100 TB fact would otherwise mean three
-    ~33 TB single-reducer sorts). Deviations compare EXACTLY: prices are
-    doubles, |x - med| and 3*MAD are single IEEE operations, identical
-    in DuckDB. Output is groups-sized: per-group median, MAD, outlier
-    count, row count.
+    a VALUE HISTOGRAM, so the fact is scanned ONCE and shuffled ONCE
+    (the distinct (group, price) count aggregate — map-side combined);
+    the lower median is the first value whose cumulative row count
+    reaches ceil(n/2), the deviation multiset |x - med| derives from
+    the histogram itself (counts re-keyed by adev — another
+    histogram-sized op, the fact is never touched again), and MAD +
+    outlier counts come from the derived histogram. Deviations compare
+    EXACTLY: prices are doubles, |x - med| and 3*MAD are single IEEE
+    operations, identical in DuckDB — and rank selection by VALUE order
+    means tiebreak columns can't change the selected value, so the
+    rank-formulation oracle is unchanged.
 
-    The per-group medians/MADs are COLLECTED between passes and spliced
-    back as literal when-chains — the HWM/centroid pattern: both are
-    groups-sized by construction (one scalar per return flag), and
-    leaving them as a lazy subtree makes every downstream reference
-    re-run the whole first rank pass (measured 5.2 s -> 3.7 s at sf0.1
-    from this alone; at 100 TB it's the difference between 5 and 9 fact
-    scans)."""
-    from .operators.relational import with_grouped_row_number
+    Scale: every post-scan step is bounded by the VALUE DOMAIN (distinct
+    prices, ~1.8e7 max), which does NOT grow with data volume — the
+    per-group cumulative window runs over domain-bounded rows, never
+    the fact. At sf0.1 prices are still near-distinct (594k histogram
+    rows for 600k fact rows) so local time is flat vs the earlier
+    two-phase-rank form (~2.7 s); the win is the 100 TB shape — fact
+    work drops from two range shuffles + five scans to ONE scan + one
+    map-combined shuffle, and everything after is O(domain). The
+    per-group medians/MADs are COLLECTED between steps and spliced back
+    as literals (groups-sized by construction — the HWM/centroid
+    pattern)."""
 
     def _lit_map(rows: dict) -> Column:
         return F.coalesce(
@@ -3114,48 +3122,64 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    def _hist_median(hist: DataFrame, val_col: str) -> dict:
+        """Value at row-rank ceil(n/2) per group, from (group, value, c)."""
+        w_cum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_n = Window.partitionBy("l_returnflag")
+        cum = hist.select(
+            "l_returnflag",
+            val_col,
+            F.sum("c").over(w_cum).alias("__cum"),
+            F.sum("c").over(w_n).alias("__n"),
+        )
+        rows = (
+            cum.filter(F.col("__cum") >= F.ceil(F.col("__n") / 2))
+            .groupBy("l_returnflag")
+            .agg(F.min(val_col).alias("__med"))
+            .collect()
+        )
+        return {r["l_returnflag"]: r["__med"] for r in rows}
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # three downstream consumers (median job, deviation re-key, final
+    # stats) — pin the histogram as executor blocks so the fact groupBy
+    # runs once (localCheckpoint beats a parquet round-trip here; a
+    # 100 TB pipeline would persist the histogram as a real artifact,
+    # losing executor blocks mid-query is a local-mode non-risk)
+    hist = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    r1 = with_grouped_row_number(
-        li,
-        ["l_returnflag"],
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
-        rn_col="__rn",
-        n_col="__n",
+
+    med = _hist_median(hist, "l_extendedprice")
+    dev_hist = (
+        hist.select(
+            "l_returnflag",
+            F.abs(F.col("l_extendedprice") - _lit_map(med)).alias("adev"),
+            "c",
+        )
+        .groupBy("l_returnflag", "adev")
+        .agg(F.sum("c").alias("c"))
     )
-    med = {
-        r["l_returnflag"]: r["l_extendedprice"]
-        for r in r1.filter(F.col("__rn") == F.ceil(F.col("__n") / 2)).collect()
-    }
-    dev = li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_extendedprice") - _lit_map(med)).alias("adev"),
-    )
-    r2 = with_grouped_row_number(
-        dev,
-        ["l_returnflag"],
-        ["adev", "l_orderkey", "l_linenumber"],
-        rn_col="__rn2",
-        n_col="__n2",
-    )
-    mad = {
-        r["l_returnflag"]: r["adev"]
-        for r in r2.filter(F.col("__rn2") == F.ceil(F.col("__n2") / 2)).collect()
-    }
+    mad = _hist_median(dev_hist, "adev")
     return (
-        dev.groupBy("l_returnflag")
+        dev_hist.groupBy("l_returnflag")
         .agg(
             F.max(_lit_map(med)).alias("med"),
             F.max(_lit_map(mad)).alias("mad"),
             F.sum(
-                F.when(F.col("adev") > F.lit(3.0) * _lit_map(mad), 1).otherwise(0)
+                F.when(
+                    F.col("adev") > F.lit(3.0) * _lit_map(mad), F.col("c")
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_outliers"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c").cast("long").alias("n_rows"),
         )
         .orderBy("l_returnflag")
     )

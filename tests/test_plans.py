@@ -263,8 +263,9 @@ def test_domain_cap_distributes_group_sorts(spark, sf_dir):
 
 
 def test_mad_outlier_distributes_group_sorts(spark, sf_dir):
-    """Both median passes ride the two-phase grouped rank; the final
-    (returned) plan is the deviation aggregate over literal medians —
+    """Both median selections run over the value-domain-bounded
+    histogram during construction; the final (returned) plan is the
+    deviation-histogram aggregate over literal medians —
     group-partitioned, no data-path window, no SinglePartition."""
     plan = plan_of(catalog.q_mad_outlier(spark, sf_dir))
     assert "SinglePartition" not in plan
