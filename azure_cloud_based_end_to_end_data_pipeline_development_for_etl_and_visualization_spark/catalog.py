@@ -3525,6 +3525,58 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM perplexity per document — the classic
+    LM-based quality filter (CCNet, Wenzek et al. 2020: docs whose
+    perplexity under a reference LM is extreme are low-quality). Add-one
+    smoothed: nll(t) = -log2((c_t + 1) / (N + V)); per-doc output is
+    mean bits and ppl = 2^mean.
+
+    Job shape: ONE corpus scan builds the token-count table (map-side
+    combined, vocab-bounded, materialized as a parquet artifact — the
+    LM is a first-class reusable asset, and training + scoring both
+    reference it); scoring re-scans the corpus, explodes tokens, and
+    hash-joins the counts on the token key — vocab-sized build side, so
+    AQE broadcasts it at small scale and shuffles compact (token, count)
+    pairs at web scale. N and V ride a broadcast 1-row cross join.
+    Rows-only: log2 is a transcendental whose last ulp is libm-specific
+    (chi-square/t-test precedent keeps transcendentals out of oracle
+    surfaces); parity vs a pure-Python reference is asserted to 1e-9 in
+    tests/test_dedup_text.py."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    path = _tmp_path("unigram_lm")
+    counts.write.mode("overwrite").parquet(path)
+    counts = spark.read.parquet(path)
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    nll = -F.log2(
+        (F.col("c") + 1).cast("double") / (F.col("N") + F.col("V")).cast("double")
+    )
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(nll).alias("avg_nll_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_nll_bits",
+            F.pow(F.lit(2.0), F.col("avg_nll_bits")).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3556,10 +3608,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_multimodal_resize": q_multimodal_resize,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
-    # -- 13-24: round-6 session-2 additions (curation gates, collocation
+    # -- 13-25: round-6 session-2 additions (curation gates, collocation
     #    lift, IVFADC composition, fuzzy join, PageRank, time-RANGE
     #    rolling window, transition matrix, one-scan corr matrix,
-    #    Welch t-test gate, streaming EWMA anomaly) ---------------------
+    #    Welch t-test gate, streaming EWMA anomaly, LM perplexity) ------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
@@ -3572,7 +3624,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corr_matrix": q_corr_matrix,
     "q_ab_ttest": q_ab_ttest,
     "q_streaming_anomaly": q_streaming_anomaly,
-    # -- 25-43: flagship + representative greens (stay verified) -------
+    "q_unigram_perplexity": q_unigram_perplexity,
+    # -- 26-44: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,

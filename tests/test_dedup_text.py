@@ -182,3 +182,39 @@ def test_chunk_dedup_short_and_empty_docs(spark):
     # short docs form one sub-width chunk each; identical ones collapse
     rows = {r["first_doc"]: r["n_copies"] for r in out.collect()}
     assert rows[0] == 2 and rows[2] == 1
+
+
+def test_unigram_perplexity_matches_python_reference(spark, sf_dir):
+    """q_unigram_perplexity == a pure-Python add-one-smoothed unigram LM
+    over the same whitespace tokens, to 1e-9 relative (log2/pow are the
+    only transcendentals; everything upstream is exact counts)."""
+    import math
+    import re as _re
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        q_unigram_perplexity,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll_bits"], r["ppl"])
+        for r in q_unigram_perplexity(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok = {
+        r["doc_id"]: _re.split(r"\s+", r["text"].lower()) for r in docs
+    }
+    counts: dict[str, int] = {}
+    for ts in tok.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    N, V = sum(counts.values()), len(counts)
+    for doc_id, ts in tok.items():
+        n = len(ts)
+        nll = sum(-math.log2((counts[t] + 1) / (N + V)) for t in ts) / n
+        g = got[doc_id]
+        assert g[0] == n
+        assert abs(g[1] - nll) < 1e-9 * max(1.0, abs(nll)), doc_id
+        assert abs(g[2] - 2.0 ** nll) < 1e-9 * g[2]
+    # sanity: corpus-trained LM gives finite, positive perplexities
+    assert all(p > 1.0 for _, _, p in got.values())

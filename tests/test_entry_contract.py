@@ -45,6 +45,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_ivfpq_topk",          # IVF+PQ composed, same reason as q_pq_topk
         "q_pagerank",            # iterative float power iterations, pytest
         "q_streaming_anomaly",   # state-store EW recursions, pytest vs scalar
+        "q_unigram_perplexity",  # log2/pow ulps are libm-specific, pytest
     }
 
 
@@ -66,6 +67,7 @@ def test_driver_window_composition():
         "q_ivfpq_topk",
         "q_pagerank",
         "q_streaming_anomaly",
+        "q_unigram_perplexity",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -79,18 +81,18 @@ def test_driver_window_composition():
                    "q_mad_outlier", "q_ivfpq_topk", "q_fuzzy_join",
                    "q_pagerank", "q_rolling_time_window",
                    "q_transition_matrix", "q_corr_matrix", "q_ab_ttest",
-                   "q_streaming_anomaly"]
-    assert window[12:24] == late_round6
+                   "q_streaming_anomaly", "q_unigram_perplexity"]
+    assert window[12:25] == late_round6
     assert "q_star_join" in window  # flagship stays verified
-    # the twelve entries the 13-24 insert displaced past 50 are all
+    # the thirteen entries the 13-25 insert displaced past 50 are all
     # multi-round driver-green — nothing unverified leaves the window
-    displaced = list(qs)[50:62]
-    assert displaced == ["q_string_agg", "q_unpivot", "q_date_arith",
-                         "q_try_cast", "q_multimodal_chunks",
-                         "q_pii_redact", "q_chunk_dedup",
-                         "q_streaming_dedup", "q_streaming_enrich",
-                         "q_sequence_pack", "q_profile_table",
-                         "q_incremental_rollup"]
+    displaced = list(qs)[50:63]
+    assert displaced == ["q_bigram_counts", "q_string_agg", "q_unpivot",
+                         "q_date_arith", "q_try_cast",
+                         "q_multimodal_chunks", "q_pii_redact",
+                         "q_chunk_dedup", "q_streaming_dedup",
+                         "q_streaming_enrich", "q_sequence_pack",
+                         "q_profile_table", "q_incremental_rollup"]
 
 
 def test_entry_runs_on_plain_session(spark):
