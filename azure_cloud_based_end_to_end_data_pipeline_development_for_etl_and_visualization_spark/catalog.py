@@ -3577,6 +3577,59 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/join.interval_join_streams):
+    error events joined to the same user's clicks within the following
+    6 hours, replayed as a finite availableNow stream — Spark's
+    native stream-stream join IS the scale path (both sides hash-
+    partition on user_id; the watermark + time-range condition lets the
+    state store evict rows once they can no longer match, so state is
+    bounded by watermark horizon x arrival rate, not stream length).
+    Bounded replay completes in one micro-batch, so the result equals
+    the batch join and the DuckDB oracle hash-checks it — the same
+    check class as q_streaming_dedup/enrich."""
+    import shutil
+
+    from .streaming.join import interval_join_streams
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # state-store instances scale with shuffle width x join sides; the
+    # bounded 150-user replay needs few (fresh checkpoint per call, so
+    # the width is free to differ between runs)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = _tmp_path("sj_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir)
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join_streams(
+        errors, clicks, "user_id", "ts", "click_ts", 21600, watermark="12 hours"
+    ).select("error_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("engine_interval_join")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table("engine_interval_join")
+        .select("error_id", "click_id")
+        .orderBy("error_id", "click_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3611,7 +3664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 13-25: round-6 session-2 additions (curation gates, collocation
     #    lift, IVFADC composition, fuzzy join, PageRank, time-RANGE
     #    rolling window, transition matrix, one-scan corr matrix,
-    #    Welch t-test gate, streaming EWMA anomaly, LM perplexity) ------
+    #    Welch t-test gate, streaming EWMA anomaly, LM perplexity,
+    #    stream-stream interval join) ----------------------------------
     "q_gopher_rules": q_gopher_rules,
     "q_domain_cap": q_domain_cap,
     "q_bigram_lift": q_bigram_lift,
@@ -3625,7 +3679,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ab_ttest": q_ab_ttest,
     "q_streaming_anomaly": q_streaming_anomaly,
     "q_unigram_perplexity": q_unigram_perplexity,
-    # -- 26-44: flagship + representative greens (stay verified) -------
+    "q_streaming_interval_join": q_streaming_interval_join,
+    # -- 27-45: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -5454,5 +5509,21 @@ ORACLES: dict[str, str] = {
                     * (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1))
                  as welch_dof
         from a cross join b
+    """,
+    "q_streaming_interval_join": """
+        with e as (
+            select user_id, event_id as error_id, ts
+            from events where event_type = 'error'
+        ),
+        c as (
+            select user_id, event_id as click_id, ts as click_ts
+            from events where event_type = 'click'
+        )
+        select e.error_id, c.click_id
+        from e join c
+          on e.user_id = c.user_id
+         and c.click_ts >= e.ts
+         and c.click_ts <= e.ts + interval 21600 seconds
+        order by e.error_id, c.click_id
     """,
 }

@@ -81,18 +81,20 @@ def test_driver_window_composition():
                    "q_mad_outlier", "q_ivfpq_topk", "q_fuzzy_join",
                    "q_pagerank", "q_rolling_time_window",
                    "q_transition_matrix", "q_corr_matrix", "q_ab_ttest",
-                   "q_streaming_anomaly", "q_unigram_perplexity"]
-    assert window[12:25] == late_round6
+                   "q_streaming_anomaly", "q_unigram_perplexity",
+                   "q_streaming_interval_join"]
+    assert window[12:26] == late_round6
     assert "q_star_join" in window  # flagship stays verified
-    # the thirteen entries the 13-25 insert displaced past 50 are all
+    # the fourteen entries the 13-26 insert displaced past 50 are all
     # multi-round driver-green — nothing unverified leaves the window
-    displaced = list(qs)[50:63]
-    assert displaced == ["q_bigram_counts", "q_string_agg", "q_unpivot",
-                         "q_date_arith", "q_try_cast",
-                         "q_multimodal_chunks", "q_pii_redact",
-                         "q_chunk_dedup", "q_streaming_dedup",
-                         "q_streaming_enrich", "q_sequence_pack",
-                         "q_profile_table", "q_incremental_rollup"]
+    displaced = list(qs)[50:64]
+    assert displaced == ["q_bucketed_join", "q_bigram_counts",
+                         "q_string_agg", "q_unpivot", "q_date_arith",
+                         "q_try_cast", "q_multimodal_chunks",
+                         "q_pii_redact", "q_chunk_dedup",
+                         "q_streaming_dedup", "q_streaming_enrich",
+                         "q_sequence_pack", "q_profile_table",
+                         "q_incremental_rollup"]
 
 
 def test_entry_runs_on_plain_session(spark):
