@@ -116,6 +116,17 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_profile_table",
         "q_incremental_rollup",
         "q_cms_heavy_hitters",
+        # round-6 session-2 batch additions
+        "q_gopher_rules",
+        "q_domain_cap",
+        "q_bigram_lift",
+        "q_mad_outlier",
+        "q_fuzzy_join",
+        "q_rolling_time_window",
+        "q_transition_matrix",
+        "q_corr_matrix",
+        "q_ab_ttest",
+        "q_unigram_perplexity",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
