@@ -3630,6 +3630,300 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_linreg reuses q_corr_matrix's integerization scales for the
+#: (qty, price) measure pair — same per-partition long-sum overflow bound.
+_LINREG_SUMS = {
+    "sx": ("x", 6), "sy": ("y", 10),
+    "sxx": ("x * x", 8), "sxy": ("x * y", 10), "syy": ("y * y", 10),
+}
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares fit of l_extendedprice ~ l_quantity from
+    ONE fact scan: the five power sums (plus count) ride q_corr_matrix's
+    integerized fastagg scheme (floor(v * 10^s + 0.5) -> long per row,
+    long sums per input partition, exact decimal(38,0) merge, two IEEE
+    roundings back), and slope / intercept / r-squared are closed-form
+    arithmetic over that single row — the regression readout feature
+    pipelines want without 2+ passes or an ML-library dependency.
+
+    Price is pre-divided by 2^17 (exact, exponent-only) to keep its
+    squares inside the per-partition long bound; the slope and intercept
+    are un-scaled at the end by the same power of two (exact), and
+    r-squared is scale-invariant. Every post-aggregate op is mirrored
+    operation-for-operation in the DuckDB oracle, so the statistics
+    hash-match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / F.lit(131072.0)
+    exprs = {"x": x, "y": y, "x * x": x * x, "x * y": x * y, "y * y": y * y}
+
+    def scaled(expr: Column, s: int) -> Column:
+        return F.floor(expr * F.lit(float(10**s)) + F.lit(0.5))
+
+    pid = F.spark_partition_id().alias("__lr_pid")
+    stage1 = li.groupBy(pid).agg(
+        F.count(F.lit(1)).alias("__lr_n"),
+        *[
+            F.sum(scaled(exprs[e], s)).alias(f"__lr_{name}")
+            for name, (e, s) in _LINREG_SUMS.items()
+        ],
+    )
+    agg = stage1.agg(
+        F.sum("__lr_n").alias("n"),
+        *[
+            (
+                F.sum(F.col(f"__lr_{name}").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(10**s))
+            ).alias(name)
+            for name, (_e, s) in _LINREG_SUMS.items()
+        ],
+    )
+    nd = F.col("n").cast("double")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    slope_scaled = sxy_c / sxx_c
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        (slope_scaled * F.lit(131072.0)).alias("slope"),
+        (
+            (F.col("sy") / nd - slope_scaled * (F.col("sx") / nd))
+            * F.lit(131072.0)
+        ).alias("intercept"),
+        ((sxy_c * sxy_c) / (sxx_c * syy_c)).alias("r2"),
+    )
+
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by LINEAR INTERPOLATION: per user, a dense
+    6-hour grid between their first and last observed bucket; empty
+    buckets get prev + (next - prev) * elapsed-fraction instead of
+    q_resample_ffill's stair-step carry — the two-sided fill fixed-step
+    feature models prefer for slowly-varying signals.
+
+    Same distributed shape as the ffill sibling (bucketed means ->
+    sequence-exploded grid -> one user-partitioned window sort); the
+    previous/next observation value AND timestamp all come from
+    last/first(ignorenulls) over two frames of that one sort — no
+    self-join against the observation set. Interpolation arithmetic is
+    integer epoch deltas + three IEEE ops, mirrored in the oracle."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    bucketed = ev.groupBy(
+        "user_id", F.window("ts", "6 hours").start.alias("tb")
+    ).agg(dec_avg(F.col("value")).alias("mean_value"))
+    bounds = bucketed.groupBy("user_id").agg(
+        F.min("tb").alias("mn"), F.max("tb").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 6 HOURS"))
+        ).alias("tb"),
+    )
+    joined = grid.join(bucketed, ["user_id", "tb"], "left")
+    ep = epoch_seconds(F.col("tb")).cast("long")
+    obs_t = F.when(F.col("mean_value").isNotNull(), ep)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("tb")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pv = F.last("mean_value", ignorenulls=True).over(wp)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nv = F.first("mean_value", ignorenulls=True).over(wn)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    frac = (ep - pt).cast("double") / (nt - pt).cast("double")
+    return joined.select(
+        "user_id",
+        F.date_format("tb", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce(F.col("mean_value"), pv + (nv - pv) * frac).alias(
+            "value_interp"
+        ),
+        F.col("mean_value").isNull().alias("was_gap"),
+    )
+
+
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent STRICTLY-PRIOR click within a 7-day lookback — the marketing
+    attribution readout, and the conditional flavor of the as-of join
+    (the match is type-filtered, not just time-ordered).
+
+    One user-partitioned window sort over ALL events: the last preceding
+    click's id and epoch come from last(CASE WHEN click, ignorenulls)
+    over an UNBOUNDED..1 PRECEDING frame (ties broken by event_id in the
+    sort key, identically in the oracle), then purchases filter out and
+    the lookback horizon nulls stale credits. No event-x-event self-join
+    anywhere, so the 100 TB shape is exactly one shuffle of the fact."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    ep = epoch_seconds(F.col("ts")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ep.alias("ep"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("lc_id"),
+        F.last(F.when(is_click, ep), ignorenulls=True).over(w).alias("lc_ep"),
+    )
+    fresh = F.col("lc_ep") >= F.col("ep") - F.lit(7 * 86400)
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("lc_id")).alias("attrib_click_id"),
+            F.when(fresh, F.col("ep") - F.col("lc_ep")).alias("attrib_age_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _checksum_row(df: DataFrame, name: str, cols: list[Column]) -> DataFrame:
+    canon = F.concat_ws(
+        "|", *[F.coalesce(c.cast("string"), F.lit("null")) for c in cols]
+    )
+    digest = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(digest.alias("__d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # string output: a decimal(38,0) column would round-trip
+            # through the harness' pandas hop as float64 on the DuckDB
+            # side and lose the low digits — the one place the engine's
+            # "cast decimal sums back to double" rule can't apply
+            F.sum(F.col("__d").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        )
+        .select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per table — the integrity
+    check migrations and replication pipelines run on both sides of a
+    copy. Each row's canonical projection (nulls sentineled, money
+    columns re-decimalized, timestamps as epoch seconds) is SHA-256
+    hashed; the first 60 bits are summed as an exact decimal, so the
+    (count, checksum) pair is invariant to row order and partitioning
+    and never leaves the JVM. SHA-256 and the hex prefix parse behave
+    identically in DuckDB (probed: conv == '0x'-cast), making the
+    fingerprints cross-engine comparable — the point of the op.
+
+    Scale: map-only hash + one partial-aggregated scalar per table; no
+    shuffle wider than the 1-row partials."""
+    from .functions.timeutil import epoch_seconds
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    o = _checksum_row(
+        orders,
+        "orders",
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)"),
+            epoch_seconds(F.col("o_orderdate")).cast("long"),
+            F.col("o_orderpriority"),
+        ],
+    )
+    c = _checksum_row(
+        customer,
+        "customer",
+        [
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            F.col("c_acctbal").cast("decimal(18,2)"),
+            F.col("c_mktsegment"),
+        ],
+    )
+    n = _checksum_row(
+        nation,
+        "nation",
+        [F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")],
+    )
+    return o.unionAll(c).unionAll(n).orderBy("table_name")
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction surfaced end-to-end (plans/compact.py): the
+    orders table is deliberately fragmented into 24 task-sized files,
+    bin-packed back to ~target-size files with clustering restored on
+    o_orderkey (range repartition + within-partition sort), atomically
+    swapped in, and read BACK through the compacted directory — the
+    oracle is plain `select ... from orders`, so the driver hash proves
+    the maintenance op preserved every row and value. File-count
+    reduction and min/max clustering are pinned in tests/test_compact.py.
+
+    Scale: compaction is read + shuffle + write of only the partition
+    directory it's pointed at; see the module docstring for the
+    hive-partition routine."""
+    import shutil
+
+    from .functions.timeutil import epoch_seconds
+    from .plans.compact import compact_parquet_dir
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _t(spark, sf_dir, "orders")
+    path = _tmp_path("compact_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    src.repartition(24).write.mode("overwrite").parquet(path)
+    compact_parquet_dir(spark, path, target_mb=128, sort_cols=["o_orderkey"])
+    return (
+        spark.read.parquet(path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            epoch_seconds(F.col("o_orderdate")).cast("long").alias("order_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge training over the documents corpus
+    (operators/bpe.py): one corpus scan builds the word-frequency
+    vocabulary, then each of 12 merge rounds runs entirely over that
+    vocabulary-bounded relation (pair explode -> argmax collect of ONE
+    row -> JVM fold apply). Rows-only: 12 data-dependent iterations
+    don't express as one SQL query; tests/test_bpe.py pins the learned
+    rules against a pure-Python reference implementation (same
+    tokenization, tie-break, and greedy application)."""
+    from .operators.bpe import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", n_merges=12, min_count=2)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    ).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3680,7 +3974,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_streaming_anomaly": q_streaming_anomaly,
     "q_unigram_perplexity": q_unigram_perplexity,
     "q_streaming_interval_join": q_streaming_interval_join,
-    # -- 27-45: flagship + representative greens (stay verified) -------
+    # -- 27-32: round-6 session-3 additions (one-scan OLS fit, linear
+    #    gap interpolation, last-touch attribution, cross-engine table
+    #    checksum, compaction surfaced end-to-end, BPE merge training) --
+    "q_linreg": q_linreg,
+    "q_interpolate_linear": q_interpolate_linear,
+    "q_last_touch": q_last_touch,
+    "q_table_checksum": q_table_checksum,
+    "q_compact_files": q_compact_files,
+    "q_bpe_train": q_bpe_train,
+    # -- 33-45: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -5525,5 +5828,156 @@ ORACLES: dict[str, str] = {
          and c.click_ts >= e.ts
          and c.click_ts <= e.ts + interval 21600 seconds
         order by e.error_id, c.click_id
+    """,
+    # integerized moments mirror q_corr_matrix / q_linreg: floor(v * 10^s
+    # + 0.5)::bigint per row, exact sum, two IEEE roundings back; the
+    # closed-form slope/intercept/r2 arithmetic is operation-for-operation
+    # the Spark expression tree
+    "q_linreg": """
+        with v as (
+            select l_quantity as x, l_extendedprice / 131072.0 as y
+            from lineitem
+        ),
+        s as (
+            select count(*)::double as n,
+                   sum(floor(x * 1e6 + 0.5)::bigint)::double / 1e6 as sx,
+                   sum(floor(y * 1e10 + 0.5)::bigint)::double / 1e10 as sy,
+                   sum(floor(x * x * 1e8 + 0.5)::bigint)::double / 1e8 as sxx,
+                   sum(floor(x * y * 1e10 + 0.5)::bigint)::double / 1e10
+                       as sxy,
+                   sum(floor(y * y * 1e10 + 0.5)::bigint)::double / 1e10
+                       as syy
+            from v
+        )
+        select n::bigint as n,
+               ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * 131072.0
+                   as slope,
+               (sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                           * (sx / n)) * 131072.0 as intercept,
+               ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)) as r2
+        from s
+    """,
+    "q_interpolate_linear": """
+        with b as (
+            select user_id, time_bucket(interval 6 hours, ts) as tb,
+                   cast(sum(cast(value as decimal(18,6))) as double)
+                       / count(value) as mean_value
+            from events group by user_id, tb
+        ),
+        bounds as (
+            select user_id, min(tb) as mn, max(tb) as mx from b group by user_id
+        ),
+        grid as (
+            select user_id, unnest(generate_series(mn, mx, interval 6 hours)) as tb
+            from bounds
+        ),
+        j as (
+            select g.user_id, g.tb, b.mean_value
+            from grid g
+            left join b on g.user_id = b.user_id and g.tb = b.tb
+        ),
+        w as (
+            select user_id, tb, mean_value,
+                   floor(epoch(tb))::bigint as ep,
+                   last_value(mean_value ignore nulls) over wp as pv,
+                   last_value(case when mean_value is not null
+                                   then floor(epoch(tb))::bigint end
+                              ignore nulls) over wp as pt,
+                   first_value(mean_value ignore nulls) over wn as nv,
+                   first_value(case when mean_value is not null
+                                    then floor(epoch(tb))::bigint end
+                               ignore nulls) over wn as nt
+            from j
+            window wp as (partition by user_id order by tb
+                          rows between unbounded preceding and 1 preceding),
+                   wn as (partition by user_id order by tb
+                          rows between 1 following and unbounded following)
+        )
+        select user_id, strftime(tb, '%Y-%m-%d %H:%M:%S') as bucket,
+               coalesce(mean_value,
+                        pv + (nv - pv)
+                               * ((ep - pt)::double / (nt - pt)::double))
+                   as value_interp,
+               mean_value is null as was_gap
+        from w
+    """,
+    "q_last_touch": """
+        with t as (
+            select event_id, user_id, event_type,
+                   floor(epoch(ts))::bigint as ep,
+                   last_value(case when event_type = 'click'
+                                   then event_id end ignore nulls)
+                       over w as lc_id,
+                   last_value(case when event_type = 'click'
+                                   then floor(epoch(ts))::bigint end
+                              ignore nulls) over w as lc_ep
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between unbounded preceding and 1 preceding)
+        )
+        select event_id, user_id,
+               case when lc_ep >= ep - 604800 then lc_id end
+                   as attrib_click_id,
+               case when lc_ep >= ep - 604800 then ep - lc_ep end
+                   as attrib_age_s
+        from t
+        where event_type = 'purchase'
+        order by event_id
+    """,
+    # sha256 + first-15-hex-chars parse behave identically in both engines
+    # (Spark conv(substr(sha2), 16, 10) == DuckDB '0x'-prefixed cast,
+    # probed on a literal); sums are exact decimals
+    "q_table_checksum": """
+        with o as (
+            select concat_ws('|',
+                       coalesce(o_orderkey::varchar, 'null'),
+                       coalesce(o_custkey::varchar, 'null'),
+                       coalesce(o_orderstatus, 'null'),
+                       coalesce((o_totalprice::decimal(18,2))::varchar,
+                                'null'),
+                       coalesce((floor(epoch(o_orderdate))::bigint)::varchar,
+                                'null'),
+                       coalesce(o_orderpriority, 'null')) as c
+            from orders
+        ),
+        cu as (
+            select concat_ws('|',
+                       coalesce(c_custkey::varchar, 'null'),
+                       coalesce(c_name, 'null'),
+                       coalesce(c_nationkey::varchar, 'null'),
+                       coalesce((c_acctbal::decimal(18,2))::varchar, 'null'),
+                       coalesce(c_mktsegment, 'null')) as c
+            from customer
+        ),
+        na as (
+            select concat_ws('|',
+                       coalesce(n_nationkey::varchar, 'null'),
+                       coalesce(n_name, 'null'),
+                       coalesce(n_regionkey::varchar, 'null')) as c
+            from nation
+        )
+        select 'orders' as table_name, count(*)::bigint as n_rows,
+               (sum(('0x' || substr(sha256(c), 1, 15))::bigint)
+                   ::decimal(38,0))::varchar as checksum
+        from o
+        union all
+        select 'customer', count(*)::bigint,
+               (sum(('0x' || substr(sha256(c), 1, 15))::bigint)
+                   ::decimal(38,0))::varchar
+        from cu
+        union all
+        select 'nation', count(*)::bigint,
+               (sum(('0x' || substr(sha256(c), 1, 15))::bigint)
+                   ::decimal(38,0))::varchar
+        from na
+        order by table_name
+    """,
+    "q_compact_files": """
+        select o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               floor(epoch(o_orderdate))::bigint as order_epoch,
+               o_orderpriority
+        from orders
+        order by o_orderkey
     """,
 }

@@ -87,6 +87,11 @@ HEADLINE = [
     "q_rolling_time_window",
     "q_transition_matrix",
     "q_corr_matrix",
+    # round-6 session-3 additions (appended; earlier entries comparable)
+    "q_linreg",
+    "q_interpolate_linear",
+    "q_last_touch",
+    "q_table_checksum",
 ]
 
 

@@ -46,6 +46,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_pagerank",            # iterative float power iterations, pytest
         "q_streaming_anomaly",   # state-store EW recursions, pytest vs scalar
         "q_unigram_perplexity",  # log2/pow ulps are libm-specific, pytest
+        "q_bpe_train",           # iterative merge learning, pytest vs Python ref
     }
 
 
@@ -68,6 +69,7 @@ def test_driver_window_composition():
         "q_pagerank",
         "q_streaming_anomaly",
         "q_unigram_perplexity",
+        "q_bpe_train",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -84,11 +86,18 @@ def test_driver_window_composition():
                    "q_streaming_anomaly", "q_unigram_perplexity",
                    "q_streaming_interval_join"]
     assert window[12:26] == late_round6
+    session3 = ["q_linreg", "q_interpolate_linear", "q_last_touch",
+                "q_table_checksum", "q_compact_files", "q_bpe_train"]
+    assert window[26:32] == session3
     assert "q_star_join" in window  # flagship stays verified
-    # the fourteen entries the 13-26 insert displaced past 50 are all
-    # multi-round driver-green — nothing unverified leaves the window
-    displaced = list(qs)[50:64]
-    assert displaced == ["q_bucketed_join", "q_bigram_counts",
+    # the twenty entries the 13-26 and 27-32 inserts displaced past 50
+    # are all multi-round driver-green — nothing unverified leaves the
+    # window
+    displaced = list(qs)[50:70]
+    assert displaced == ["q_streaming_tumbling", "q_funnel_steps",
+                         "q_word_repetition", "q_tfidf_topk",
+                         "q_regex_extract", "q_salted_join",
+                         "q_bucketed_join", "q_bigram_counts",
                          "q_string_agg", "q_unpivot", "q_date_arith",
                          "q_try_cast", "q_multimodal_chunks",
                          "q_pii_redact", "q_chunk_dedup",

@@ -127,6 +127,11 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_corr_matrix",
         "q_ab_ttest",
         "q_unigram_perplexity",
+        # round-6 session-3 batch additions
+        "q_linreg",
+        "q_interpolate_linear",
+        "q_last_touch",
+        "q_table_checksum",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -316,3 +321,76 @@ def test_corr_matrix_is_two_level_long_sums(spark, sf_dir):
     assert "Window" not in plan
     # the fact-side partial aggregate sums FLOOR longs, never decimals
     assert "partial_sum(FLOOR" in plan
+
+
+def test_linreg_is_two_level_long_sums(spark, sf_dir):
+    """q_linreg's five power sums ride the same integerized scheme as
+    q_corr_matrix: stage 1 shuffles only narrow pid-grouped longs, the
+    fact-side partials sum FLOOR longs, and nothing joins or windows."""
+    plan = plan_of(catalog.q_linreg(spark, sf_dir))
+    assert "hashpartitioning(_nondeterministic" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum(FLOOR" in plan
+
+
+def test_interpolate_windows_partition_by_user(spark, sf_dir):
+    """Both interpolation frames (prev and next observation) must ride
+    user-partitioned windows over the grid — no un-partitioned sort, no
+    self-join against the observation set (the grid<-buckets LEFT join
+    is the only join)."""
+    plan = plan_of(catalog.q_interpolate_linear(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_last_touch_is_one_window_no_self_join(spark, sf_dir):
+    """Attribution must come from the conditional window over all
+    events, never a purchases x clicks self-join: one user-partitioned
+    shuffle of the fact, zero joins. (The trailing orderBy is the
+    presentation sort every catalog query carries.)"""
+    plan = plan_of(catalog.q_last_touch(spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window") == 1
+
+
+def test_table_checksum_is_map_only_partials(spark, sf_dir):
+    """Per-table fingerprints are map-side partial aggregates merged at
+    a 1-row final — no join, no window, no shuffle wider than the
+    scalar partials."""
+    plan = plan_of(catalog.q_table_checksum(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+    assert "sha2" in plan  # hashing happens JVM-side in the scan stage
+
+
+def test_bpe_pair_counting_stays_jvm_side(spark, sf_dir):
+    """The per-merge hot path (vocabulary pair explode -> count) must be
+    pure codegen: no Python eval, no join; pair extraction lowers to
+    transform/explode over the symbol arrays."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.bpe import (
+        chars,
+        word_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = word_counts(docs).select(chars(F.col("word")).alias("syms"), "wc")
+    pairs = vocab.filter(F.size("syms") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    ).groupBy("p.l", "p.r").agg(F.sum("wc").alias("c"))
+    plan = plan_of(pairs)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
