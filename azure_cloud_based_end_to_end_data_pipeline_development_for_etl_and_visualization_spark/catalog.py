@@ -3924,6 +3924,174 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_linreg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS: one slope/intercept/r² row per l_returnflag — the
+    segmented-regression readout (drift per cohort) from ONE fact scan.
+    Same integerized power-sum scheme as q_linreg, with the group key
+    simply joining the stage-1 grouping: stage 1 sums longs per
+    (returnflag, input partition), stage 2 merges exact decimals per
+    returnflag — a groups x partitions-sized intermediate, so adding the
+    dimension costs nothing over the global fit."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / F.lit(131072.0)
+    exprs = {"x": x, "y": y, "x * x": x * x, "x * y": x * y, "y * y": y * y}
+
+    def scaled(expr: Column, s: int) -> Column:
+        return F.floor(expr * F.lit(float(10**s)) + F.lit(0.5))
+
+    pid = F.spark_partition_id().alias("__lg_pid")
+    stage1 = li.groupBy(F.col("l_returnflag"), pid).agg(
+        F.count(F.lit(1)).alias("__lg_n"),
+        *[
+            F.sum(scaled(exprs[e], s)).alias(f"__lg_{name}")
+            for name, (e, s) in _LINREG_SUMS.items()
+        ],
+    )
+    agg = stage1.groupBy("l_returnflag").agg(
+        F.sum("__lg_n").alias("n"),
+        *[
+            (
+                F.sum(F.col(f"__lg_{name}").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(10**s))
+            ).alias(name)
+            for name, (_e, s) in _LINREG_SUMS.items()
+        ],
+    )
+    nd = F.col("n").cast("double")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    slope_scaled = sxy_c / sxx_c
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (slope_scaled * F.lit(131072.0)).alias("slope"),
+        (
+            (F.col("sy") / nd - slope_scaled * (F.col("sx") / nd))
+            * F.lit(131072.0)
+        ).alias("intercept"),
+        ((sxy_c * sxy_c) / (sxx_c * syy_c)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (plans/incremental.
+    incremental_join_delta): orders arrive in three append batches and
+    customers in two; the materialized orders⋈customer view is refreshed
+    per batch by appending ONLY the delta terms
+    (dO ⋈ C_sofar  ∪  O_prev ⋈ dC) — history x history is never
+    recomputed. The oracle is the full-recompute join, so the driver
+    hash proves the maintained view converges to it exactly.
+
+    Scale: each refresh joins a batch-sized side against one full side
+    (broadcast the batch); the maintained view is append-only parquet.
+    Updates/deletes need retraction rows — that's q_cdc_apply/SCD
+    territory, documented in the helper."""
+    import shutil
+
+    from .plans.incremental import incremental_join_delta
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_batch = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    c_old = cust.filter(F.col("c_custkey") % 2 == 0)
+    c_new = cust.filter(F.col("c_custkey") % 2 == 1)
+    on = F.col("o_custkey") == F.col("c_custkey")
+
+    view_path = _tmp_path("ij_view")
+    shutil.rmtree(view_path, ignore_errors=True)
+    # batch 1: initial load — dO=batch0 against the initial customers
+    d1 = incremental_join_delta(o_batch[0], None, None, c_old, on)
+    d1.write.mode("overwrite").parquet(view_path)
+    # batch 2: new orders AND new customers in the same refresh
+    d2 = incremental_join_delta(o_batch[1], o_batch[0], c_new, cust, on)
+    d2.write.mode("append").parquet(view_path)
+    # batch 3: orders only, against the now-complete customer side
+    d3 = incremental_join_delta(
+        o_batch[2], o_batch[0].unionByName(o_batch[1]), None, cust, on
+    )
+    d3.write.mode("append").parquet(view_path)
+    return (
+        spark.read.parquet(view_path)
+        .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the curation gate
+    that catches both mojibake/random strings (entropy too high) and
+    degenerate repetition (too low); complements the token-level
+    signals in q_text_quality / q_word_repetition.
+
+    Distributed shape: chars explode to (doc_id, ch) but the partial
+    aggregate collapses them to per-doc histograms BEFORE the exchange
+    (doc rows are contiguous within input partitions), so the shuffle
+    carries ~docs x alphabet rows, not corpus bytes. Rows-only like
+    q_unigram_perplexity — log2 ulps are libm-specific — with a 1e-9
+    Python-reference parity pytest (tests/test_bpe.py)."""
+    from .operators.bpe import chars
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            "doc_id", F.explode(chars(F.lower(F.col("text")))).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    ent = F.log2(n) - F.sum(F.col("c") * F.log2("c")).cast("double") / n
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            ent.alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "distinct_chars",
+            "entropy",
+            (F.col("entropy") < F.lit(3.0)).alias("low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: train 8 BPE merges on the corpus, then
+    segment the 20 most frequent words with the learned rules
+    (operators/bpe.encode_word — the char split + one JVM fold per
+    rule). The train/apply pair is the full tokenizer loop; per-doc
+    encoding at scale reuses the same expression over exploded words.
+    Rows-only for the same reason as q_bpe_train (iterative training);
+    the segmentations are pinned against the Python reference encoder
+    in tests/test_bpe.py."""
+    from .operators.bpe import encode_word, train_bpe_merges, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", n_merges=8, min_count=2)
+    top = (
+        word_counts(docs)
+        .orderBy(F.col("wc").desc(), "word")
+        .limit(20)
+        .select(
+            "word", "wc", encode_word(F.col("word"), merges).alias("seg")
+        )
+    )
+    return top.select(
+        "word",
+        "wc",
+        F.concat_ws("|", F.col("seg")).alias("segmented"),
+        F.size("seg").cast("long").alias("n_subwords"),
+    ).orderBy(F.col("wc").desc(), "word")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3983,7 +4151,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_checksum": q_table_checksum,
     "q_compact_files": q_compact_files,
     "q_bpe_train": q_bpe_train,
-    # -- 33-45: flagship + representative greens (stay verified) -------
+    # -- 33-36: round-6 session-4 additions (grouped OLS, incremental
+    #    join-view maintenance, char-entropy gate, BPE application) -----
+    "q_linreg_group": q_linreg_group,
+    "q_incremental_join": q_incremental_join,
+    "q_char_entropy": q_char_entropy,
+    "q_bpe_apply": q_bpe_apply,
+    # -- 37-45: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -5978,6 +6152,40 @@ ORACLES: dict[str, str] = {
                floor(epoch(o_orderdate))::bigint as order_epoch,
                o_orderpriority
         from orders
+        order by o_orderkey
+    """,
+    "q_linreg_group": """
+        with v as (
+            select l_returnflag,
+                   l_quantity as x, l_extendedprice / 131072.0 as y
+            from lineitem
+        ),
+        s as (
+            select l_returnflag,
+                   count(*)::double as n,
+                   sum(floor(x * 1e6 + 0.5)::bigint)::double / 1e6 as sx,
+                   sum(floor(y * 1e10 + 0.5)::bigint)::double / 1e10 as sy,
+                   sum(floor(x * x * 1e8 + 0.5)::bigint)::double / 1e8 as sxx,
+                   sum(floor(x * y * 1e10 + 0.5)::bigint)::double / 1e10
+                       as sxy,
+                   sum(floor(y * y * 1e10 + 0.5)::bigint)::double / 1e10
+                       as syy
+            from v group by l_returnflag
+        )
+        select l_returnflag, n::bigint as n,
+               ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * 131072.0
+                   as slope,
+               (sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                           * (sx / n)) * 131072.0 as intercept,
+               ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)) as r2
+        from s
+        order by l_returnflag
+    """,
+    # full recompute: the maintained view must converge to exactly this
+    "q_incremental_join": """
+        select o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        from orders join customer on o_custkey = c_custkey
         order by o_orderkey
     """,
 }

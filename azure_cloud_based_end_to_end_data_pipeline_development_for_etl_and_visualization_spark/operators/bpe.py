@@ -119,3 +119,16 @@ def train_bpe_merges(
         if (k + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
+
+
+def encode_word(col: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Segment a word with an ordered merge list: the char split followed
+    by one fold per learned rule, composed into a single JVM expression
+    tree (rule count is small and fixed — tokenizers ship thousands of
+    merges, but the expression depth here equals the merge count you
+    compose; production-sized vocabularies would move the loop into a
+    broadcast-joined longest-match table instead)."""
+    expr = chars(col)
+    for left, right, _count in merges:
+        expr = apply_merge(expr, left, right)
+    return expr

@@ -69,3 +69,40 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
             for c in value_cols
         ],
     )
+
+
+def incremental_join_delta(
+    delta_left: DataFrame | None,
+    prev_left: DataFrame | None,
+    delta_right: DataFrame | None,
+    new_right: DataFrame,
+    on,
+) -> DataFrame | None:
+    """Incremental equi-JOIN maintenance for append-only inputs: the
+    delta rows of ``L JOIN R`` when batches ``delta_left`` / ``delta_right``
+    arrive are exactly
+
+        dL JOIN (R_prev UNION dR)   union   L_prev JOIN dR
+
+    (the dL-x-dR cross term is inside the first join; no term rescans
+    L_prev x R_prev, which is the point — the materialized view appends
+    these rows and never recomputes history). ``new_right`` must be the
+    post-batch right side (R_prev UNION dR). Either delta may be None.
+
+    Scale: each term joins a BATCH-sized side against one full side —
+    broadcast the batch when it's small, hash-join otherwise; the
+    history-x-history recompute a naive refresh pays never happens. Both
+    sides append-only is the streaming-compatible case; updates/deletes
+    need retraction rows (CDC apply — ``operators/diff`` + ``plans/scd``
+    territory), deliberately out of this helper's scope."""
+    parts = []
+    if delta_left is not None:
+        parts.append(delta_left.join(new_right, on))
+    if delta_right is not None and prev_left is not None:
+        parts.append(prev_left.join(delta_right, on))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

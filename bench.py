@@ -92,6 +92,10 @@ HEADLINE = [
     "q_interpolate_linear",
     "q_last_touch",
     "q_table_checksum",
+    # round-6 session-4 additions
+    "q_linreg_group",
+    "q_char_entropy",
+    "q_incremental_join",
 ]
 
 

@@ -102,3 +102,58 @@ def test_merges_layout_independent(spark, sf_dir):
     base = train_bpe_merges(docs, "text", n_merges=6)
     shuffled = train_bpe_merges(docs.repartition(13), "text", n_merges=6)
     assert base == shuffled
+
+
+def test_bpe_apply_matches_python(spark, sf_dir, doc_texts):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
+        catalog,
+    )
+
+    got = {
+        r["word"]: (r["wc"], r["segmented"], r["n_subwords"])
+        for r in catalog.q_bpe_apply(spark, sf_dir).collect()
+    }
+    merges = ref_bpe(doc_texts, 8, min_count=2)
+    wc = Counter(
+        w for t in doc_texts for w in re.split(r"\s+", t.lower()) if w
+    )
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    for word, count in top:
+        syms = list(word)
+        for left, right, _c in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        assert got[word] == (count, "|".join(syms), len(syms)), word
+    assert len(got) == len(top)
+
+
+def test_char_entropy_matches_python(spark, sf_dir, doc_texts):
+    import math
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
+        catalog,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    rows = catalog.q_char_entropy(spark, sf_dir).collect()
+    got = {r["doc_id"]: r for r in rows}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert sorted(got) == sorted(ids)
+    for doc_id in ids[:200]:
+        c = Counter(texts[doc_id].lower())
+        n = sum(c.values())
+        ent = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        r = got[doc_id]
+        assert r["n_chars"] == n
+        assert r["distinct_chars"] == len(c)
+        assert abs(r["entropy"] - ent) < 1e-9
+        assert r["low_entropy"] == (r["entropy"] < 3.0)

@@ -47,6 +47,8 @@ def test_rows_only_queries_are_the_documented_set():
         "q_streaming_anomaly",   # state-store EW recursions, pytest vs scalar
         "q_unigram_perplexity",  # log2/pow ulps are libm-specific, pytest
         "q_bpe_train",           # iterative merge learning, pytest vs Python ref
+        "q_bpe_apply",           # applies the iteratively-learned rules, same
+        "q_char_entropy",        # log2 ulps are libm-specific, pytest parity
     }
 
 
@@ -70,6 +72,8 @@ def test_driver_window_composition():
         "q_streaming_anomaly",
         "q_unigram_perplexity",
         "q_bpe_train",
+        "q_char_entropy",
+        "q_bpe_apply",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -89,12 +93,17 @@ def test_driver_window_composition():
     session3 = ["q_linreg", "q_interpolate_linear", "q_last_touch",
                 "q_table_checksum", "q_compact_files", "q_bpe_train"]
     assert window[26:32] == session3
+    session4 = ["q_linreg_group", "q_incremental_join",
+                "q_char_entropy", "q_bpe_apply"]
+    assert window[32:36] == session4
     assert "q_star_join" in window  # flagship stays verified
-    # the twenty entries the 13-26 and 27-32 inserts displaced past 50
-    # are all multi-round driver-green — nothing unverified leaves the
+    # the twenty-four entries the round-6 inserts displaced past 50 are
+    # all multi-round driver-green — nothing unverified leaves the
     # window
-    displaced = list(qs)[50:70]
-    assert displaced == ["q_streaming_tumbling", "q_funnel_steps",
+    displaced = list(qs)[50:74]
+    assert displaced == ["q_runtime_filter_join", "q_resample_ffill",
+                         "q_sessionize", "q_range_join",
+                         "q_streaming_tumbling", "q_funnel_steps",
                          "q_word_repetition", "q_tfidf_topk",
                          "q_regex_extract", "q_salted_join",
                          "q_bucketed_join", "q_bigram_counts",

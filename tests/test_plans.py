@@ -132,6 +132,9 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_interpolate_linear",
         "q_last_touch",
         "q_table_checksum",
+        # round-6 session-4 batch additions
+        "q_linreg_group",
+        "q_char_entropy",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -393,4 +396,24 @@ def test_bpe_pair_counting_stays_jvm_side(spark, sf_dir):
     plan = plan_of(pairs)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_linreg_group_is_two_level_long_sums(spark, sf_dir):
+    """The grouped fit keeps the integerized two-level scheme: stage 1
+    shuffles narrow longs on (returnflag, pid), FLOOR partials on the
+    fact side, no window, no join."""
+    plan = plan_of(catalog.q_linreg_group(spark, sf_dir))
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum(FLOOR" in plan
+
+
+def test_char_entropy_combines_histogram_map_side(spark, sf_dir):
+    """The (doc_id, ch) explode must partially aggregate BEFORE the
+    exchange — the shuffle carries per-doc histograms (~docs x
+    alphabet), never raw corpus characters."""
+    plan = plan_of(catalog.q_char_entropy(spark, sf_dir))
+    assert "partial_count" in plan
     assert "Join" not in plan
