@@ -207,3 +207,113 @@ def test_sessionize_matches_python_reference(spark, events):
             expected[i] = seq
             prev = ts
     assert got == expected
+
+
+@prop
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # left key
+            st.integers(min_value=0, max_value=3),    # left batch tag
+        ),
+        min_size=0, max_size=40,
+    ),
+    right=st.dictionaries(
+        st.integers(min_value=0, max_value=30),       # right key
+        st.integers(min_value=0, max_value=1),        # right batch tag
+        min_size=0, max_size=20,
+    ),
+)
+def test_incremental_join_converges_on_any_schedule(spark, rows, right):
+    """plans/incremental.incremental_join_delta: for ANY assignment of
+    left rows to 4 append batches and right rows to 2, folding the
+    per-batch deltas (right's batch lands with left batch 1) equals the
+    full recompute — including duplicate keys on the left (join fanout)
+    and keys with no match ever."""
+    from pyspark.sql import functions as F
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.incremental import (
+        incremental_join_delta,
+    )
+
+    left_rows = [(i, k, b) for i, (k, b) in enumerate(rows)]
+    left = (
+        spark.createDataFrame(left_rows, "lid long, k long, b long")
+        if left_rows
+        else spark.createDataFrame([], "lid long, k long, b long")
+    )
+    right_rows = [(k, rb) for k, rb in sorted(right.items())]
+    rdf = (
+        spark.createDataFrame(right_rows, "rk long, rb long")
+        if right_rows
+        else spark.createDataFrame([], "rk long, rb long")
+    )
+    on = F.col("k") == F.col("rk")
+    r_old = rdf.filter(F.col("rb") == 0)
+    batches = [left.filter(F.col("b") == i) for i in range(4)]
+
+    view = None
+    for i in range(4):
+        prev = None
+        if i > 0:
+            prev = batches[0]
+            for b in batches[1:i]:
+                prev = prev.unionByName(b)
+        delta_right = rdf.filter(F.col("rb") == 1) if i == 1 else None
+        new_right = r_old if i == 0 else rdf
+        d = incremental_join_delta(batches[i], prev, delta_right, new_right, on)
+        if d is not None:
+            view = d if view is None else view.unionByName(d)
+
+    got = sorted(
+        (r["lid"], r["k"], r["rk"]) for r in (view.collect() if view else [])
+    )
+    want = sorted(
+        (lid, k, k) for lid, k, _b in left_rows if k in right
+    )
+    assert got == want
+
+
+@prop
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=12),       # grid slot
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=1, max_size=8,
+    )
+)
+def test_linear_interpolation_matches_python(spark, obs):
+    """The interpolation expression (prev/next via ignorenulls frames +
+    epoch-fraction blend) equals the scalar formula on arbitrary sparse
+    observations over a dense integer grid."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lo, hi = min(obs), max(obs)
+    grid = [(t, obs.get(t)) for t in range(lo, hi + 1)]
+    df = spark.createDataFrame(grid, "t long, v double")
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.orderBy("t").rowsBetween(1, Window.unboundedFollowing)
+    obs_t = F.when(F.col("v").isNotNull(), F.col("t"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    frac = (F.col("t") - pt).cast("double") / (nt - pt).cast("double")
+    out = {
+        r["t"]: r["vi"]
+        for r in df.select(
+            "t", F.coalesce(F.col("v"), pv + (nv - pv) * frac).alias("vi")
+        ).collect()
+    }
+    keys = sorted(obs)
+    for t in range(lo, hi + 1):
+        if t in obs:
+            assert out[t] == obs[t]
+            continue
+        p = max(k for k in keys if k < t)
+        n = min(k for k in keys if k > t)
+        want = obs[p] + (obs[n] - obs[p]) * ((t - p) / (n - p))
+        assert abs(out[t] - want) < 1e-9
+        assert min(obs[p], obs[n]) - 1e-9 <= out[t] <= max(obs[p], obs[n]) + 1e-9
