@@ -4092,6 +4092,105 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("wc").desc(), "word")
 
 
+def q_streaming_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-extension path
+    that makes streaming joins hard: an unmatched error can only be
+    declared unmatched once the WATERMARK passes its match horizon
+    (ts + 6 h), and the watermark micro-batch N uses was computed from
+    batch N-1's data. The replay therefore stages events as THREE files
+    consumed one per micro-batch (maxFilesPerTrigger=1): the real
+    events, then two sentinel batches (+2 d / +4 d, impossible user ids
+    on both join sides) whose only job is to drag event time forward —
+    batch 2 advances the watermark past every real horizon and batch 3
+    runs with that watermark, evicting-and-emitting all real unmatched
+    errors. The final filtered output equals the batch LEFT join, so
+    the full DuckDB oracle hash-checks null-extension semantics
+    (inner matches still emit eagerly in batch 1).
+
+    Scale: identical state bound to the inner variant (watermark
+    horizon x arrival rate) — outer adds only the per-row "seen a
+    match" bit; the sentinel staging is a replay-harness artifact, not
+    part of the operator."""
+    import datetime
+    import shutil
+
+    from .streaming.join import interval_join_streams
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+
+    stage = _tmp_path("lsj_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+
+    def write_batch(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = f"{stage}.__w"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_batch(ev, "batch0.parquet", now - 60)
+    for i, days in enumerate((2, 4), start=1):
+        ts = mx + datetime.timedelta(days=days)
+        uid = -(2 * i)
+        sent = spark.createDataFrame(
+            [
+                (-(4 * i), ts, uid, "error", 0.0, "{}"),
+                (-(4 * i) - 1, ts, uid - 1, "click", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+        write_batch(sent, f"batch{i}.parquet", now - 60 + 20 * i)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join_streams(
+        errors,
+        clicks,
+        "user_id",
+        "ts",
+        "click_ts",
+        21600,
+        watermark="1 minute",
+        how="left_outer",
+    ).select("error_id", "click_id")
+    ckpt = _tmp_path("lsj_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("engine_left_interval")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table("engine_left_interval")
+        .filter(F.col("error_id") >= 0)  # sentinels are harness plumbing
+        .orderBy("error_id", "click_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4157,7 +4256,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_join": q_incremental_join,
     "q_char_entropy": q_char_entropy,
     "q_bpe_apply": q_bpe_apply,
-    # -- 37-45: flagship + representative greens (stay verified) -------
+    # -- 37: streaming left-outer interval join (watermark-driven
+    #    null extension, staged 3-batch replay) -------------------------
+    "q_streaming_left_interval": q_streaming_left_interval,
+    # -- 38-45: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -6187,5 +6289,23 @@ ORACLES: dict[str, str] = {
         select o_orderkey, o_custkey, c_mktsegment, o_totalprice
         from orders join customer on o_custkey = c_custkey
         order by o_orderkey
+    """,
+    # the staged replay must converge to the batch LEFT join — the
+    # null-extended rows are exactly the watermark-evicted state
+    "q_streaming_left_interval": """
+        with e as (
+            select user_id, event_id as error_id, ts
+            from events where event_type = 'error'
+        ),
+        c as (
+            select user_id, event_id as click_id, ts as click_ts
+            from events where event_type = 'click'
+        )
+        select e.error_id, c.click_id
+        from e left join c
+          on e.user_id = c.user_id
+         and c.click_ts >= e.ts
+         and c.click_ts <= e.ts + interval 21600 seconds
+        order by e.error_id, c.click_id
     """,
 }

@@ -21,12 +21,27 @@ def interval_join_streams(
     right_ts: str,
     max_delay_seconds: int,
     watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join streaming ``left`` and ``right`` on ``key`` where
     ``left.ts <= right.ts <= left.ts + max_delay_seconds``. Both sides
-    must be streaming DataFrames; output is append-mode joinable."""
+    must be streaming DataFrames; output is append-mode joinable.
+
+    ``how='left_outer'`` adds the null-extended unmatched left rows.
+    Their emission is WATERMARK-DRIVEN: a left row can only be declared
+    unmatched once the watermark passes ``left.ts + max_delay`` (no
+    matching right row can arrive anymore), and the watermark used by
+    micro-batch N is computed from data seen through batch N-1 — so
+    unmatched rows surface one batch AFTER the event time that seals
+    them, and a finite replay needs trailing batches that advance event
+    time past the horizon (see q_streaming_left_interval's staged
+    sentinel batches)."""
     from .windows import _watermarkable
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"interval_join_streams supports how='inner'|'left_outer', got {how!r}"
+        )
     l = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
     r = _watermarkable(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
@@ -34,7 +49,7 @@ def interval_join_streams(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"interval {max_delay_seconds} seconds"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def enrich_stream(

@@ -94,25 +94,26 @@ def test_driver_window_composition():
                 "q_table_checksum", "q_compact_files", "q_bpe_train"]
     assert window[26:32] == session3
     session4 = ["q_linreg_group", "q_incremental_join",
-                "q_char_entropy", "q_bpe_apply"]
-    assert window[32:36] == session4
+                "q_char_entropy", "q_bpe_apply",
+                "q_streaming_left_interval"]
+    assert window[32:37] == session4
     assert "q_star_join" in window  # flagship stays verified
-    # the twenty-four entries the round-6 inserts displaced past 50 are
-    # all multi-round driver-green — nothing unverified leaves the
+    # the twenty-five entries the round-6 inserts displaced past 50 are
+    # all cumulatively driver-green — nothing unverified leaves the
     # window
-    displaced = list(qs)[50:74]
-    assert displaced == ["q_runtime_filter_join", "q_resample_ffill",
-                         "q_sessionize", "q_range_join",
-                         "q_streaming_tumbling", "q_funnel_steps",
-                         "q_word_repetition", "q_tfidf_topk",
-                         "q_regex_extract", "q_salted_join",
-                         "q_bucketed_join", "q_bigram_counts",
-                         "q_string_agg", "q_unpivot", "q_date_arith",
-                         "q_try_cast", "q_multimodal_chunks",
-                         "q_pii_redact", "q_chunk_dedup",
-                         "q_streaming_dedup", "q_streaming_enrich",
-                         "q_sequence_pack", "q_profile_table",
-                         "q_incremental_rollup"]
+    displaced = list(qs)[50:75]
+    assert displaced == ["q_orc_roundtrip", "q_runtime_filter_join",
+                         "q_resample_ffill", "q_sessionize",
+                         "q_range_join", "q_streaming_tumbling",
+                         "q_funnel_steps", "q_word_repetition",
+                         "q_tfidf_topk", "q_regex_extract",
+                         "q_salted_join", "q_bucketed_join",
+                         "q_bigram_counts", "q_string_agg",
+                         "q_unpivot", "q_date_arith", "q_try_cast",
+                         "q_multimodal_chunks", "q_pii_redact",
+                         "q_chunk_dedup", "q_streaming_dedup",
+                         "q_streaming_enrich", "q_sequence_pack",
+                         "q_profile_table", "q_incremental_rollup"]
 
 
 def test_entry_runs_on_plain_session(spark):
