@@ -252,6 +252,60 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def bench_incremental_refresh(spark, sf_dir: str, repeats: int) -> dict:
+    """Incremental JOIN-view maintenance vs full recompute
+    (plans/incremental.incremental_join_delta): a 20M-row generated
+    fact (2M on the fast sf0.01 path) of which the last 2.5% is the
+    arriving batch, joined to a 100k-row dim. ``full`` re-joins
+    everything; ``delta`` joins only the batch (the maintained view
+    pattern). The ratio is the point: refresh cost tracks |delta|, not
+    view size — at 1000x the history the full recompute scales with
+    history and the delta path doesn't. Generated (spark.range) like
+    bench_skew so the join dominates, not parquet IO."""
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.incremental import (
+        incremental_join_delta,
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    big = sf.replace(".", "").isdigit() and float(sf) >= 0.1
+    n = 20_000_000 if big else 2_000_000
+    cut = n - n // 40  # final 2.5% is the new batch
+    fact = spark.range(n).select(
+        F.col("id").alias("fid"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("grp")
+    )
+    history = fact.filter(F.col("fid") < cut)
+    batch = fact.filter(F.col("fid") >= cut)
+
+    def full():
+        return history.unionByName(batch).join(dim, "k")
+
+    def delta():
+        return incremental_join_delta(batch, history, None, dim, "k")
+
+    out = {}
+    for label, build in (("full_recompute", full), ("delta_refresh", delta)):
+        materialize(build())  # warmup
+        runs = []
+        for _ in range(repeats):
+            t0 = _t.time()
+            materialize(build())
+            runs.append(_t.time() - t0)
+        out[label] = round(_st.median(runs), 3)
+    out["ratio_full_over_delta"] = round(
+        out["full_recompute"] / out["delta_refresh"], 2
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -277,6 +331,7 @@ def main() -> None:
 
     skew = bench_skew(spark, sf_dir, repeats)
     ann = bench_ann(spark, sf_dir, repeats)
+    incr = bench_incremental_refresh(spark, sf_dir, repeats)
 
     print(
         json.dumps(
@@ -288,6 +343,7 @@ def main() -> None:
                 "spread": spread,
                 "skew_join": skew,
                 "ann": ann,
+                "incremental_refresh": incr,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
