@@ -4191,6 +4191,50 @@ def q_streaming_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    never straddle a split boundary (a test doc with a train-side
+    near-copy leaks the benchmark), so the assignment hashes the
+    NEAR-DUP CLUSTER REPRESENTATIVE, not the document — LSH candidate
+    pairs -> connected components (operators/components) -> the same
+    deterministic md5 bucket rule as q_split_assign applied to the rep.
+    Singletons hash their own id, so the two splits agree wherever
+    leakage is impossible.
+
+    Rows-only (the component labels come from iterative propagation,
+    q_dedup_clusters precedent); tests/test_leakage_split.py pins the
+    invariants: every cluster lands in exactly ONE split, every LSH
+    pair co-locates, and singleton assignments equal q_split_assign's.
+    Scale shape is the cluster pipeline's (banding equi-joins + narrow
+    label iterations) plus a map-only hash."""
+    from .functions import text as TX
+    from .operators.components import dedup_clusters
+    from .operators.dedup import minhash_near_duplicates
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        labeled = dedup_clusters(pairs, docs, "doc_id")
+        bucket = TX.hash32(F.col("cluster_rep").cast("string")) % 1000
+        out = labeled.select(
+            "doc_id",
+            "cluster_rep",
+            bucket.alias("bucket"),
+            F.when(bucket < 900, F.lit("train"))
+            .when(bucket < 950, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        ).orderBy("doc_id")
+        # connected_components already ran eagerly under the capped
+        # width (cache+count per iteration); the remaining tail is
+        # label-sized and fine at any width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4259,7 +4303,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 37: streaming left-outer interval join (watermark-driven
     #    null extension, staged 3-batch replay) -------------------------
     "q_streaming_left_interval": q_streaming_left_interval,
-    # -- 38-45: flagship + representative greens (stay verified) -------
+    # -- 38: leakage-safe split (near-dup clusters never straddle) ------
+    "q_leakage_safe_split": q_leakage_safe_split,
+    # -- 39-45: flagship + representative greens (stay verified) -------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,

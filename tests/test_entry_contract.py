@@ -49,6 +49,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_bpe_train",           # iterative merge learning, pytest vs Python ref
         "q_bpe_apply",           # applies the iteratively-learned rules, same
         "q_char_entropy",        # log2 ulps are libm-specific, pytest parity
+        "q_leakage_safe_split",  # iterative cluster labels, invariant pytest
     }
 
 
@@ -74,6 +75,7 @@ def test_driver_window_composition():
         "q_bpe_train",
         "q_char_entropy",
         "q_bpe_apply",
+        "q_leakage_safe_split",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -95,14 +97,15 @@ def test_driver_window_composition():
     assert window[26:32] == session3
     session4 = ["q_linreg_group", "q_incremental_join",
                 "q_char_entropy", "q_bpe_apply",
-                "q_streaming_left_interval"]
-    assert window[32:37] == session4
+                "q_streaming_left_interval", "q_leakage_safe_split"]
+    assert window[32:38] == session4
     assert "q_star_join" in window  # flagship stays verified
-    # the twenty-five entries the round-6 inserts displaced past 50 are
+    # the twenty-six entries the round-6 inserts displaced past 50 are
     # all cumulatively driver-green — nothing unverified leaves the
     # window
-    displaced = list(qs)[50:75]
-    assert displaced == ["q_orc_roundtrip", "q_runtime_filter_join",
+    displaced = list(qs)[50:76]
+    assert displaced == ["q_surrogate_key_fact",
+                         "q_orc_roundtrip", "q_runtime_filter_join",
                          "q_resample_ffill", "q_sessionize",
                          "q_range_join", "q_streaming_tumbling",
                          "q_funnel_steps", "q_word_repetition",
