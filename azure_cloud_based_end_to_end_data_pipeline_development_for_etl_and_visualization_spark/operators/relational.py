@@ -341,6 +341,94 @@ def with_grouped_row_number(
     return out
 
 
+def with_running_max(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running_max",
+    strict: bool = True,
+) -> DataFrame:
+    """Exact global running maximum under a total order WITHOUT a
+    single-reducer sort — the prefix-AGGREGATE twin of
+    :func:`with_global_row_number` (max is associative, so the same
+    two-phase decomposition applies to any running max/min/sum).
+
+    Phase 1: ``repartitionByRange(order_by)`` gives ascending key ranges
+    ascending partition ids; per-partition maxima are map-side combined
+    into one ``(pid, max)`` pair per range. An EXCLUSIVE running max over
+    those n_partitions rows (single-reducer, but partition-count-sized —
+    never the relation) is each range's carry-in from all earlier ranges.
+
+    Phase 2: broadcast the carry-ins back and combine each row's
+    within-range running max (window partitioned by range id — every
+    reducer sorts only its range) with its range's carry-in via
+    ``greatest`` (which skips NULLs, so the first range and the first row
+    of a range fall out naturally).
+
+    ``strict=True`` (default) excludes the current row — the form
+    dominance tests need; the result is NULL for the global first row.
+    ``order_by`` must be a total order (unique keys) for strictness to be
+    well-defined. ``df`` must be a deterministic source (evaluated once
+    per phase)."""
+    pid = "__rm_pid"
+    cols = [F.col(c) for c in order_by]
+    tagged = df.repartitionByRange(*cols).withColumn(pid, F.spark_partition_id())
+    part_max = tagged.groupBy(pid).agg(F.max(value_col).alias("__rm_max"))
+    w_carry = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    carries = part_max.select(
+        pid, F.max("__rm_max").over(w_carry).alias("__rm_carry")
+    )
+    upper = -1 if strict else 0
+    w_run = (
+        Window.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        tagged.join(F.broadcast(carries), pid)
+        .withColumn(
+            out_col,
+            F.greatest(F.max(value_col).over(w_run), F.col("__rm_carry")),
+        )
+        .drop(pid, "__rm_carry")
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated by any other row,
+    where ``q`` dominates ``p`` iff ``q.minimize <= p.minimize`` and
+    ``q.maximize >= p.maximize`` with at least one strict. Classic
+    multi-objective selection (Börzsönyi et al., ICDE 2001) — e.g. the
+    cheapest-largest tradeoff curve over a product catalog.
+
+    In 2-D the frontier has a closed sort-based form, which makes it
+    distributable without the quadratic dominance join the NOT EXISTS
+    formulation implies: aggregate to the per-``minimize``-value max of
+    ``maximize`` (ONE scan, map-side combined, bounded by the value
+    DOMAIN, not the row count), take the strict running max over
+    ascending ``minimize`` (two-phase :func:`with_running_max` — no
+    global sort), and keep values that strictly exceed every
+    strictly-cheaper value's best. Rows tied on both dimensions don't
+    dominate each other, so ALL rows matching a surviving
+    ``(minimize, max(maximize))`` pair are returned via a broadcast
+    semi-join on the frontier (frontier size <= distinct ``minimize``
+    values).
+
+    Returns ``df``'s rows on the frontier, all columns preserved."""
+    by_min = df.groupBy(minimize).agg(F.max(maximize).alias("__pf_best"))
+    ranked = with_running_max(
+        by_min, [minimize], "__pf_best", out_col="__pf_carry", strict=True
+    )
+    frontier = ranked.filter(
+        F.col("__pf_carry").isNull() | (F.col("__pf_best") > F.col("__pf_carry"))
+    ).select(minimize, F.col("__pf_best").alias(maximize))
+    return df.join(F.broadcast(frontier), [minimize, maximize])
+
+
 def high_water_mark(existing: DataFrame | None, key_col: str) -> int:
     """Scalar max-key fetch (ref gold_dim_branch.ipynb:60154-60162 cell 24).
 

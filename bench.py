@@ -96,6 +96,11 @@ HEADLINE = [
     "q_linreg_group",
     "q_char_entropy",
     "q_incremental_join",
+    # round-6 session-5 additions
+    "q_skyline",
+    "q_basket_rules",
+    "q_triangle_count",
+    "q_hll_incremental_distinct",
 ]
 
 

@@ -76,6 +76,7 @@ def test_driver_window_composition():
         "q_char_entropy",
         "q_bpe_apply",
         "q_leakage_safe_split",
+        "q_hll_incremental_distinct",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -99,12 +100,17 @@ def test_driver_window_composition():
                 "q_char_entropy", "q_bpe_apply",
                 "q_streaming_left_interval", "q_leakage_safe_split"]
     assert window[32:38] == session4
+    session5 = ["q_skyline", "q_basket_rules", "q_triangle_count",
+                "q_hll_incremental_distinct"]
+    assert window[38:42] == session5
     assert "q_star_join" in window  # flagship stays verified
-    # the twenty-six entries the round-6 inserts displaced past 50 are
+    # the thirty entries the round-6 inserts displaced past 50 are
     # all cumulatively driver-green — nothing unverified leaves the
     # window
-    displaced = list(qs)[50:76]
-    assert displaced == ["q_surrogate_key_fact",
+    displaced = list(qs)[50:80]
+    assert displaced == ["q_minhash_lsh_pairs", "q_cosine_topk",
+                         "q_decontaminate", "q_time_travel",
+                         "q_surrogate_key_fact",
                          "q_orc_roundtrip", "q_runtime_filter_join",
                          "q_resample_ffill", "q_sessionize",
                          "q_range_join", "q_streaming_tumbling",

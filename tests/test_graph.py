@@ -47,3 +47,53 @@ def test_pagerank_layout_independent(spark):
     r8 = {r["node"]: r["rank"] for r in pagerank(df8, n_iters=6).collect()}
     for v in r1:
         assert abs(r1[v] - r8[v]) < 1e-12
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Degree-ordered triangle census == brute-force enumeration on a
+    graph with hubs, a triangle-free appendage, and an isolated edge."""
+    from itertools import combinations
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # K4 on {1..4} + path 4-5-6 + isolated edge 7-8
+    edges = sorted(
+        {(a, b) for a, b in combinations(range(1, 5), 2)}
+        | {(4, 5), (5, 6), (7, 8)}
+    )
+    adj = set(edges)
+    want_tri = sum(
+        1
+        for a, b, c in combinations(sorted({n for e in edges for n in e}), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    row = triangle_stats(df).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == want_wedges
+    assert row["n_triangles"] == want_tri == 4  # the 4 faces of K4
+    assert abs(row["clustering_coeff"] - 3.0 * want_tri / want_wedges) < 1e-15
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    """Uniform-degree graph (C5 has all degrees 2, every tie broken by id)
+    still counts correctly — guards the (deg, id) total-order tiebreak."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    c5 = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]  # cycle: no triangles
+    row = triangle_stats(spark.createDataFrame(c5, "src long, dst long")).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 5
+    k3 = [(1, 2), (2, 3), (1, 3)]
+    row = triangle_stats(spark.createDataFrame(k3, "src long, dst long")).collect()[0]
+    assert row["n_triangles"] == 1 and row["clustering_coeff"] == 1.0

@@ -135,6 +135,10 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         # round-6 session-4 batch additions
         "q_linreg_group",
         "q_char_entropy",
+        # round-6 session-5 batch additions
+        "q_skyline",
+        "q_basket_rules",
+        "q_triangle_count",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -417,3 +421,44 @@ def test_char_entropy_combines_histogram_map_side(spark, sf_dir):
     plan = plan_of(catalog.q_char_entropy(spark, sf_dir))
     assert "partial_count" in plan
     assert "Join" not in plan
+
+
+def test_skyline_is_sort_based_not_dominance_join(spark, sf_dir):
+    """The skyline must run the LINEAR plan: range-partitioned prefix-max
+    over the domain-bounded per-price aggregate (one rangepartitioning
+    of that aggregate, one SinglePartition carry window over
+    partition-count-sized maxima) and a broadcast frontier re-attach —
+    never the quadratic dominance join the NOT EXISTS oracle implies."""
+    plan = plan_of(catalog.q_skyline(spark, sf_dir))
+    assert "rangepartitioning(p_retailprice" in plan
+    assert plan.count("SinglePartition") == 1  # the carry cumsum only
+    assert "BroadcastHashJoin" in plan  # frontier-sized re-attach
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+
+
+def test_basket_pair_join_is_keyed_not_cartesian(spark, sf_dir):
+    """Pair generation must be basket-local array expansion over the
+    materialized basket artifact (no pair self-join at all) — never a
+    cartesian/nested-loop pair space. Marginals and totals read the
+    same artifact, not the raw fact."""
+    plan = plan_of(catalog.q_basket_rules(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the broadcast 1-row totals attach
+    assert plan.count("NestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) == 1
+    assert plan.count("Scan parquet") >= 3  # incidence artifact reused
+    assert "lineitem" not in plan  # raw fact never re-scanned
+
+
+def test_triangle_joins_are_keyed_not_cartesian(spark, sf_dir):
+    """Both triangle joins (wedge build + closure) must be equi-joins on
+    node ids; the closure is a LeftSemi (no payload materialized)."""
+    plan = plan_of(catalog.q_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loops allowed are the broadcast 1-row stat attaches
+    assert plan.count("NestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) == 2
+    assert "LeftSemi" in plan

@@ -113,6 +113,47 @@ def test_grouped_row_number_matches_window(spark):
     assert totals == {0: 200, 1: 200, 2: 200}
 
 
+def test_running_max_matches_window_and_is_layout_independent(spark):
+    """Two-phase range prefix-max == un-partitioned running-max window
+    (strict and inclusive forms) on any input partitioning."""
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 37) % 101, ((i * 13) % 41) - 20) for i in range(500)]
+    base = spark.createDataFrame(rows, ["k", "o", "v"])
+    w = Window.orderBy("o", "k")
+    for strict, upper in ((True, -1), (False, 0)):
+        wf = w.rowsBetween(Window.unboundedPreceding, upper)
+        want = {
+            (r["k"], r["rm"])
+            for r in base.withColumn("rm", F.max("v").over(wf)).collect()
+        }
+        for parts in (1, 7):
+            got = R.with_running_max(
+                base.repartition(parts), ["o", "k"], "v",
+                out_col="rm", strict=strict,
+            )
+            assert {(r["k"], r["rm"]) for r in got.collect()} == want
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Sort-based 2-D skyline == quadratic dominance filter, with ties on
+    both dimensions kept (mutually non-dominating duplicates)."""
+    pts = [(i, float((i * 29) % 23), (i * 17) % 19) for i in range(120)]
+    pts += [(900, 3.0, 18), (901, 3.0, 18)]  # exact duplicate pair
+    base = spark.createDataFrame(pts, ["id", "cost", "gain"]).repartition(6)
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    got = R.pareto_frontier_2d(base, minimize="cost", maximize="gain")
+    assert {r["id"] for r in got.collect()} == want
+    assert {900, 901} <= want  # the duplicate pair is mutually safe
+
+
 @pytest.mark.parametrize("name", sorted(catalog.QUERIES))
 def test_catalog_query_runs(spark, sf_dir, name):
     df = catalog.QUERIES[name](spark, sf_dir)

@@ -51,3 +51,38 @@ def test_cms_merges_cellwise(spark):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_merge_is_lossless_and_within_error(spark):
+    """Incremental distinct via persisted HLL partials: (a) merging daily
+    sketches gives the IDENTICAL estimate a direct coarse-grain pass
+    yields (HLL union is lossless at fixed lgK — the property that makes
+    the partials a safe materialized artifact), and (b) the estimate
+    lands within the published ~1.04/sqrt(2^lgK) envelope of exact."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.sketch import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    rows = [(d, f"u{(d * 131 + i * 7) % 400}") for d in range(14) for i in range(300)]
+    df = spark.createDataFrame(rows, "day int, user string").withColumn(
+        "week", (F.col("day") / 7).cast("int")
+    )
+    daily = hll_partials(df, ["week", "day"], "user")
+    merged = {
+        r["week"]: r["n"]
+        for r in hll_rollup(daily, ["week"], out_col="n").collect()
+    }
+    direct = {
+        r["week"]: r["n"]
+        for r in hll_rollup(
+            hll_partials(df, ["week"], "user"), ["week"], out_col="n"
+        ).collect()
+    }
+    assert merged == direct  # lossless merge, bit-equal estimates
+    exact = {
+        r["week"]: r["n"]
+        for r in df.groupBy("week").agg(F.countDistinct("user").alias("n")).collect()
+    }
+    for wk, est in merged.items():
+        assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
