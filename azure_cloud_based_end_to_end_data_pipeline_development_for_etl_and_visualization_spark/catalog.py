@@ -2858,6 +2858,12 @@ _Z_DUCK = " + ".join(
     f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
     for i in range(16)
 )
+#: 8-bit-per-dimension Morton twin for q_zorder_pruning_stats, whose
+#: dimensions are range-normalized to 0..255 before interleaving.
+_Z8_DUCK = " + ".join(
+    f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4420,6 +4426,409 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.orderBy("week")
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (user, 6-hour bucket) open/high/low/close
+    value bars + event count and decimal-exact volume — the time-series
+    compaction every monitoring/market pipeline runs. Open/close are
+    ``min_by``/``max_by`` over the event time (deterministic: (user, ts)
+    is unique in the data; DuckDB's ``arg_min``/``arg_max`` are the
+    oracle twins), so the whole bar is ONE map-side-combinable aggregate
+    — no window, no sort, one shuffle of (user, bucket) groups. Bucket
+    epochs floor identically in both engines (q_rolling_time_window's
+    floor-before-cast convention)."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(epoch_seconds(F.col("ts")) / 21600) * 21600).cast("long")
+    return (
+        ev.select("user_id", bucket.alias("bucket_s"), "ts", "value")
+        .groupBy("user_id", "bucket_s")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value")).alias("volume"),
+        )
+        .orderBy("user_id", "bucket_s")
+    )
+
+
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per day, plus same-day DAU —
+    the windowed COUNT(DISTINCT) that no frame-based window can express
+    (distinct doesn't decompose over sliding frames). Exact formulation:
+    the (day, user) incidence dedups in ONE events scan (map-side
+    combined) and materializes (it is users x active-days — orders of
+    magnitude below event volume); each incidence row then FANS OUT to
+    the <= 7 window anchors it serves (codegen sequence + explode),
+    anchors restrict to observed days, and a count-distinct per anchor
+    finishes. Shuffle volume is 7x the incidence, never 7x the events.
+    At 100 TB the sketch twin (q_rolling_dau_hll) replaces the fan-out
+    of user ids with a fan-out of per-day HLL sketches — 7 x ~4 KB per
+    day total — which is the recommended scale path; this exact form is
+    the oracle-checkable spec."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    path = _tmp_path("user_day_incidence")
+    ud.write.mode("overwrite").parquet(path)
+    ud = spark.read.parquet(path)
+    days = ud.select("day").distinct()
+    fan = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        fan.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            # engine-neutral string day key (q_retention_cohort precedent)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+        )
+        .orderBy("day")
+    )
+
+
+def q_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for q_rolling_dau: per-day HLL partials
+    (operators/sketch.hll_partials — the same persisted artifact
+    q_hll_incremental_distinct materializes) fan out to their <= 7
+    window anchors and union per anchor. The shuffle carries ~7 sketch
+    binaries (~4 KB each) PER DAY — independent of user volume — versus
+    the exact form's 7x user-day incidence. Rows-only (Datasketches
+    internal hash); tests/test_sketch.py pins the estimates against the
+    exact rolling counts within the published error envelope, and
+    sketch-union losslessness is pinned by the incremental-distinct
+    test."""
+    from .operators.sketch import hll_partials
+
+    ev = _events(spark, sf_dir)
+    daily = hll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id"
+    )
+    path = _tmp_path("hll_daily_rolling")
+    daily.write.mode("overwrite").parquet(path)
+    daily = spark.read.parquet(path)
+    days = daily.select("day")
+    fan = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "hll_sketch",
+    )
+    return (
+        fan.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("hll_sketch"), F.lit(False))
+            ).alias("wau_approx")
+        )
+        .orderBy("day")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (operators/similarity.semantic_dedup; Abbas et al. 2023): k-means
+    clusters the space, near-dup pairs are searched ONLY within each
+    cluster (equi-join on the cell id — the pair space is
+    cluster-bounded, never all-pairs), and each qualifying pair keeps
+    its more-central member (centroid cosine, id tiebreak). The
+    embedding-space sibling of the MinHash/SimHash text dedup ladder —
+    catches paraphrases lexical fingerprints miss. Rows-only (iterative
+    k-means, q_dedup_clusters precedent); determinism and the planted
+    near-dup drop behavior are pinned in tests/test_similarity.py."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.93,
+        n_centroids=16,
+        n_iters=2,
+        materialize_path=_tmp_path("semdedup_cells"),
+    ).orderBy("vec_id")
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — the next rung
+    above q_unigram_perplexity on the LM-quality-filter ladder:
+    p(w|prev) = 0.7 * c(prev,w)/c(prev) + 0.3 * (c(w)+1)/(N+V), the
+    Jelinek-Mercer mixture (bigram ML estimate backed by the add-one
+    unigram); a document's first token scores unigram-only. Repetitive
+    boilerplate scores LOW perplexity under the bigram term — this is
+    the standard detector for templated/spun text.
+
+    Job shape: tokens explode ONCE with positions; bigram and unigram
+    count tables build from that relation (map-side combined) and
+    materialize as parquet LM artifacts (training and scoring are
+    separate jobs at scale — the unigram-LM lesson); scoring hash-joins
+    the vocab-bounded counts on token keys (broadcast at small scale via
+    AQE, compact pairs at web scale). The per-doc lag window partitions
+    by doc_id — high cardinality, distributes. Rows-only (log2 ulps are
+    libm-specific); 1e-9 parity vs a pure-Python reference in
+    tests/test_dedup_text.py."""
+    from .functions import text as TX
+
+    lam = 0.7
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id", "pos", F.lag("tok").over(w).alias("prev"), F.col("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w"))
+    big = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    uni_path, big_path = _tmp_path("bigram_lm_uni"), _tmp_path("bigram_lm_big")
+    uni.write.mode("overwrite").parquet(uni_path)
+    big.write.mode("overwrite").parquet(big_path)
+    uni = spark.read.parquet(uni_path)
+    big = spark.read.parquet(big_path)
+    totals = uni.agg(
+        F.sum("c_w").cast("long").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    prev_c = uni.select(
+        F.col("tok").alias("prev"), F.col("c_w").alias("c_prev")
+    )
+    scored = (
+        seq.join(uni, "tok")
+        .join(F.broadcast(totals))
+        .join(prev_c, "prev", "left")
+        .join(big, ["prev", "tok"], "left")
+    )
+    p_uni = (F.col("c_w") + 1).cast("double") / (
+        F.col("N") + F.col("V")
+    ).cast("double")
+    p_big = F.coalesce(F.col("c_bg"), F.lit(0)).cast("double") / F.col(
+        "c_prev"
+    ).cast("double")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log2(p)).alias("avg_nll_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_nll_bits",
+            F.pow(F.lit(2.0), F.col("avg_nll_bits")).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping PAYOFF of q_zorder_layout, measured: per-file
+    min/max statistics (the Delta/Iceberg skipping metadata a writer
+    records) under (a) the Morton z-order file layout and (b) a
+    single-column partkey-clustered layout, probed with a SUPPLIER-band
+    predicate — the dimension the single-column sort cannot prune.
+    Emits per-layout file counts, skippable-file counts (stats range
+    disjoint from the predicate band), and the skip fraction. Z-order
+    interleaving keeps both dimensions partially sorted within each
+    file, so a ~N^(1/2) fraction of files overlaps any 1-D band; the
+    partkey-sorted layout scatters suppkey uniformly through every
+    file (skip fraction ~0). Everything is two map-side-combined
+    aggregates over codegen'd bit ops — exact, so the DuckDB oracle
+    hash-checks the claim rather than taking it on faith.
+
+    Both dimensions are RANGE-NORMALIZED to a common 8-bit domain before
+    interleaving (floor-scale by the key maxima, attached via a
+    broadcast 1-row cross join — no literal splicing): raw Morton over
+    unequal key widths degenerates (a 7-bit suppkey contributes nothing
+    to the top interleave bits, making 'z-order' ≈ a partkey sort and
+    the measured skip fraction 0 — exactly the bug this query existed to
+    catch). With normalization the result is scale-invariant: 56 of 64
+    z-files skip the ~10%-band probe, 0 of 64 partkey-sorted files do."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.max("l_partkey").alias("xm"), F.max("l_suppkey").alias("ym")
+    )
+    scaled = (
+        li.select("l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.expr("(l_partkey * 256) div (xm + 1)").alias("zx"),
+            F.expr("(l_suppkey * 256) div (ym + 1)").alias("zy"),
+        )
+    )
+    z8 = " + ".join(
+        f"shiftleft((shiftright(zx, {i}) & 1), {2 * i})"
+        f" + shiftleft((shiftright(zy, {i}) & 1), {2 * i + 1})"
+        for i in range(8)
+    )
+    files = scaled.select(
+        "zy",
+        F.shiftright(F.expr(f"({z8})").cast("long"), 10).alias("zorder_f"),
+        F.shiftright(F.col("zx"), 2).cast("long").alias("partsort_f"),
+    )
+    lo, hi = 102, 127  # the scaled ~10% supplier band
+
+    def stats(file_col: str, layout: str) -> DataFrame:
+        per_file = files.groupBy(file_col).agg(
+            F.min("zy").alias("min_zy"), F.max("zy").alias("max_zy")
+        )
+        skip = (F.col("max_zy") < lo) | (F.col("min_zy") > hi)
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(skip.cast("long")).cast("long").alias("n_skippable"),
+        ).select(
+            "layout",
+            "n_files",
+            "n_skippable",
+            (F.col("n_skippable").cast("double") / F.col("n_files").cast("double")).alias(
+                "skip_frac"
+            ),
+        )
+
+    return (
+        stats("zorder_f", "zorder")
+        .unionByName(stats("partsort_f", "partkey_sort"))
+        .orderBy("layout")
+    )
+
+
+def q_streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch MAINTENANCE: the corpus arrives as three
+    micro-batches (staged files, one per trigger) and a count-min sketch
+    is incrementally accumulated in foreachBatch — each batch builds its
+    own sketch and cell-wise merges it into a BATCH-ID-VERSIONED parquet
+    state (operators/sketch.cms_merge; writing state_v{n} from
+    state_v{n-1} is idempotent under micro-batch replay, the versioned-
+    publish crash story). Because cell addition commutes, the final
+    accumulated sketch is BIT-IDENTICAL to the batch-built one, so the
+    stopword estimates hash-match the full DuckDB oracle — a streaming
+    continuous query whose state artifact is exactly verifiable, the
+    q_streaming_dedup check class applied to sketch state. At 100 TB
+    the per-batch state is a kilobyte grid regardless of stream volume."""
+    import os
+    import shutil
+
+    from .functions import text as TX
+    from .operators.sketch import cms_build, cms_estimate, cms_merge
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        stage = _tmp_path("cms_stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        for i in range(3):
+            docs.filter(F.pmod(F.col("doc_id"), 3) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        state_dir = _tmp_path("cms_state")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        ckpt = _tmp_path("cms_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        def accumulate(batch_df: DataFrame, batch_id: int) -> None:
+            tok = batch_df.select(
+                F.explode(TX.tokens(F.col("text"))).alias("term")
+            )
+            sk = cms_build(tok, "term", depth=4, width=1024)
+            prev = os.path.join(state_dir, f"v{batch_id - 1}")
+            if batch_id > 0 and os.path.exists(prev):
+                sk = cms_merge(spark.read.parquet(prev), sk)
+            sk.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(accumulate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        last = max(
+            int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+        )
+        final = spark.read.parquet(os.path.join(state_dir, f"v{last}"))
+        keys = spark.createDataFrame(
+            [(w,) for w in TX.EN_STOPWORDS], ["term"]
+        )
+        out = (
+            cms_estimate(final, keys, "term", depth=4, width=1024)
+            .select("term", F.col("cms_count").cast("long").alias("cms_count"))
+            .orderBy("term")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def q_cube_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users across the whole (event_type x day) CUBE lattice
+    from ONE scan: the events table sketches once at the finest grain
+    (per-(type, day) HLL partials), and every coarser cell — per-type,
+    per-day, grand total — is a kilobyte-weight sketch UNION
+    (operators/sketch.hll_rollup), never a rescan. COUNT(DISTINCT) does
+    not decompose over GROUP BY CUBE (Spark's cube + countDistinct
+    re-expands the input per grouping set); mergeable sketches restore
+    the rollup property approximately — the standard OLAP-cube
+    materialization pattern for distinct measures. Rows-only
+    (Datasketches hashes); tests/test_sketch.py checks every lattice
+    cell against its exact distinct count within the error envelope."""
+    from .operators.sketch import hll_partials, hll_rollup
+
+    ev = _events(spark, sf_dir)
+    base = hll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    path = _tmp_path("hll_cube_base")
+    base.write.mode("overwrite").parquet(path)
+    base = spark.read.parquet(path)
+    day_s = F.date_format("day", "yyyy-MM-dd")
+    c_td = hll_rollup(base, ["event_type", "day"], out_col="approx_users").select(
+        "event_type", day_s.alias("day"), "approx_users"
+    )
+    c_t = hll_rollup(base, ["event_type"], out_col="approx_users").select(
+        "event_type", F.lit("ALL").alias("day"), "approx_users"
+    )
+    c_d = hll_rollup(base, ["day"], out_col="approx_users").select(
+        F.lit("ALL").alias("event_type"), day_s.alias("day"), "approx_users"
+    )
+    c_all = hll_rollup(base, [], out_col="approx_users").select(
+        F.lit("ALL").alias("event_type"),
+        F.lit("ALL").alias("day"),
+        "approx_users",
+    )
+    return (
+        c_td.unionByName(c_t).unionByName(c_d).unionByName(c_all)
+        .orderBy("event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4497,7 +4906,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_basket_rules": q_basket_rules,
     "q_triangle_count": q_triangle_count,
     "q_hll_incremental_distinct": q_hll_incremental_distinct,
-    # -- 43-: flagship + representative greens (stay verified) ---------
+    # -- 43-47: round-6 session-5 batch B (OHLC bars, rolling distinct
+    #    exact + sketch twin, semantic dedup, bigram-LM perplexity) -----
+    "q_ohlc_bars": q_ohlc_bars,
+    "q_rolling_dau": q_rolling_dau,
+    "q_rolling_dau_hll": q_rolling_dau_hll,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_bigram_perplexity": q_bigram_perplexity,
+    # -- 48-50: session-5 batch C (z-order pruning payoff, streaming
+    #    CMS maintenance, sketch-based distinct cube). The round-6 window
+    #    is now EXACTLY the 50 queries with no driver row yet; the
+    #    flagship leaves the window for the first time — it is
+    #    triple-driver-green (r1/r2/r5) and plan-pinned, so every slot
+    #    goes to a query the driver has never seen -----------------------
+    "q_zorder_pruning_stats": q_zorder_pruning_stats,
+    "q_streaming_cms_topk": q_streaming_cms_topk,
+    "q_cube_distinct_sketch": q_cube_distinct_sketch,
+    # -- 51-: flagship + representative greens --------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -6629,5 +7054,110 @@ ORACLES: dict[str, str] = {
                tri.t as n_triangles,
                3.0::double * tri.t / ns.n_wedges as clustering_coeff
         from ns cross join es cross join tri
+    """,
+    # (user_id, ts) is unique, so arg_min/arg_max over ts are
+    # deterministic twins of min_by/max_by. Bucket epochs floor before
+    # the cast (the q_rolling_time_window convention).
+    "q_ohlc_bars": """
+        select user_id,
+               (floor(epoch(ts) / 21600) * 21600)::bigint as bucket_s,
+               arg_min(value, ts) as open,
+               max(value) as high,
+               min(value) as low,
+               arg_max(value, ts) as close,
+               count(*) as n_events,
+               cast(sum(cast(value as decimal(18,6))) as double) as volume
+        from events
+        group by 1, 2
+        order by user_id, bucket_s
+    """,
+    "q_rolling_dau": """
+        with ud as (
+            select distinct cast(date_trunc('day', ts) as date) as day,
+                   user_id
+            from events
+        ),
+        days as (select distinct day from ud),
+        wau as (
+            select d.day, count(distinct u.user_id) as wau
+            from days d
+            join ud u on u.day between d.day - 6 and d.day
+            group by d.day
+        ),
+        dau as (select day, count(distinct user_id) as dau from ud group by day)
+        select strftime(days.day, '%Y-%m-%d') as day, dau.dau, wau.wau
+        from days join dau using (day) join wau using (day)
+        order by day
+    """,
+    "q_zorder_pruning_stats": f"""
+        with m as (
+            select max(l_partkey) as xm, max(l_suppkey) as ym from lineitem
+        ),
+        zxy as (
+            select (l_partkey * 256) // (xm + 1) as zx,
+                   (l_suppkey * 256) // (ym + 1) as zy
+            from lineitem cross join m
+        ),
+        files as (
+            select zy,
+                   (({_Z8_DUCK})::bigint >> 10) as zorder_f,
+                   (zx >> 2)::bigint as partsort_f
+            from zxy
+        ),
+        z as (
+            select zorder_f, min(zy) as min_zy, max(zy) as max_zy
+            from files group by 1
+        ),
+        p as (
+            select partsort_f, min(zy) as min_zy, max(zy) as max_zy
+            from files group by 1
+        ),
+        zs as (
+            select 'zorder' as layout, count(*) as n_files,
+                   cast(sum(case when max_zy < 102 or min_zy > 127
+                                 then 1 else 0 end) as bigint) as n_skippable
+            from z
+        ),
+        ps as (
+            select 'partkey_sort' as layout, count(*) as n_files,
+                   cast(sum(case when max_zy < 102 or min_zy > 127
+                                 then 1 else 0 end) as bigint) as n_skippable
+            from p
+        )
+        select layout, n_files, n_skippable,
+               n_skippable::double / n_files::double as skip_frac
+        from (select * from zs union all select * from ps)
+        order by layout
+    """,
+    # the streaming-accumulated sketch is cell-identical to a batch
+    # build (cell addition commutes), so the full-corpus oracle applies
+    "q_streaming_cms_topk": """
+        with tok as (
+            select unnest(string_split_regex(lower(text), '\\s+')) as term
+            from documents
+        ),
+        cells as (
+            select k.d as depth_idx,
+                   ('0x' || substr(md5('cms:' || term), 1 + 8 * k.d, 8))::bigint
+                       % 1024 as bucket,
+                   count(*) as cnt
+            from tok cross join (values (0), (1), (2), (3)) as k(d)
+            group by 1, 2
+        ),
+        stop(term) as (
+            values ('the'), ('and'), ('of'), ('to'), ('a'), ('in'), ('is'),
+                   ('it'), ('for'), ('on'), ('with'), ('as')
+        ),
+        probes as (
+            select term, k.d as depth_idx,
+                   ('0x' || substr(md5('cms:' || term), 1 + 8 * k.d, 8))::bigint
+                       % 1024 as bucket
+            from stop cross join (values (0), (1), (2), (3)) as k(d)
+        )
+        select p.term, min(coalesce(c.cnt, 0))::bigint as cms_count
+        from probes p
+        left join cells c using (depth_idx, bucket)
+        group by 1
+        order by p.term
     """,
 }

@@ -120,22 +120,33 @@ def lsh_bucket(
     Planes are seeded constants compiled into the plan as array literals, so
     bucketing is a pure JVM expression — no UDF, no shuffle."""
     planes = _hyperplanes(n_planes, dim, seed)
-    bucket = None
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(V.dot(F.col(vec_col), arr) > 0, F.lit(2**i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn(out_col, bucket.cast("long"))
+    bits = " + ".join(
+        f"(case when {_lit_dot_sql(vec_col, plane)} > 0 then {2**i} else 0 end)"
+        for i, plane in enumerate(planes)
+    )
+    return df.withColumn(out_col, F.expr(f"cast({bits} as bigint)"))
+
+
+def _lit_dot_sql(vec_col: str, vec) -> str:
+    """SQL text of dot(vec_col, literal vector) — the same
+    transform-cast + zip_with + left-fold tree as functions.vectors.dot
+    (literal elements are typed double directly, so their cast is
+    elided; values are bit-identical). Generated as ONE expression
+    string because building dim x n_centroids literals through the
+    Column API costs thousands of py4j round-trips per plan — measured
+    at seconds of driver time per k-means iteration."""
+    arr = "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+    return (
+        f"aggregate(zip_with(transform({vec_col}, x -> cast(x as double)), "
+        f"{arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _centroid_dots(vec_col: str, centroids: np.ndarray) -> "F.Column":
     """Array of dot(vec, centroid_i) — pure JVM expression, centroids
-    compiled in as literals."""
-    return F.array(
-        *[
-            V.dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+    compiled in as literals (single generated-SQL expression)."""
+    return F.expr(
+        "array(" + ",".join(_lit_dot_sql(vec_col, c) for c in centroids) + ")"
     )
 
 
@@ -626,4 +637,90 @@ def cosine_topk_ivfpq(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    materialize_path: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): k-means
+    the embedding space, then look for near-duplicate pairs ONLY inside
+    each cluster (pairwise cosine >= ``threshold``), keeping from every
+    qualifying pair the member MORE representative of its cluster
+    (higher cosine to the centroid, id ascending as the tiebreak).
+    Returns the surviving rows plus their ``cell`` and
+    ``centroid_cos`` — the kept corpus, ready to write.
+
+    Scale shape: the pair space is cluster-bounded (an equi-self-join on
+    the cell id — never all-pairs; with n_centroids ~ sqrt(N) cells the
+    candidate volume is ~N·cluster_size, the reason SemDeDup runs at
+    web scale), centroid assignment and both cosines are pure JVM
+    expressions over centroid literals, and only centroid-sized state
+    (kmeans_centroids) ever reaches the driver. Known tradeoff, also
+    SemDeDup's: near-dups that straddle a cluster boundary are missed —
+    raise n_iters/n_centroids quality, or run LSH dedup for recall.
+
+    Deterministic end-to-end (seeded k-means init, exact argmax cell
+    assignment, total-order keep rule), so results are layout-independent
+    and pytest-pinnable."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    cnorms = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
+    dots = _centroid_dots(vec_col, cents)
+    norms_lit = F.array(*[F.lit(float(x)) for x in cnorms])
+    # the argmax dot is reused as the cosine numerator: cell norms ride
+    # in as a 16-float literal, so no second dot pass over the vector
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
+        F.array_max(dots).alias("__best_dot"),
+    ).withColumn(
+        "centroid_cos",
+        F.col("__best_dot")
+        / (
+            F.element_at(norms_lit, F.col("cell").cast("int") + 1)
+            * V.norm(F.col(vec_col))
+        ),
+    ).drop("__best_dot")
+    if materialize_path is not None:
+        # the pair join references `assigned` on both sides; without
+        # materialization each side re-evaluates the n_centroids x dim
+        # literal dot expression (and at web scale, re-scans the corpus)
+        # — the materialized_signatures lesson applied to cell assignment
+        assigned.write.mode("overwrite").parquet(materialize_path)
+        assigned = corpus.sparkSession.read.parquet(materialize_path)
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("__a_id"),
+        F.col(vec_col).alias("__a_vec"),
+        F.col("centroid_cos").alias("__a_cc"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("__b_id"),
+        F.col(vec_col).alias("__b_vec"),
+        F.col("centroid_cos").alias("__b_cc"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .filter(V.cosine(F.col("__a_vec"), F.col("__b_vec")) >= threshold)
+    )
+    # the less-representative member of each qualifying pair is dropped;
+    # ties on centroid_cos break by id so exactly one of an exact-dup
+    # pair survives
+    a_loses = (F.col("__a_cc") < F.col("__b_cc")) | (
+        (F.col("__a_cc") == F.col("__b_cc")) & (F.col("__a_id") > F.col("__b_id"))
+    )
+    losers = pairs.select(
+        F.when(a_loses, F.col("__a_id")).otherwise(F.col("__b_id")).alias(id_col)
+    ).distinct()
+    return assigned.join(losers, id_col, "left_anti").select(
+        id_col, "cell", "centroid_cos"
     )

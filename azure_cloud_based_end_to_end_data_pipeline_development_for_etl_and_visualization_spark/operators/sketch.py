@@ -83,6 +83,20 @@ def cms_build(
     )
 
 
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise merge of two sketches built with the same (depth, width):
+    union + per-cell sum. Addition commutes and associates, so ANY merge
+    order — batch order, tree reduction, streaming accumulation —
+    produces the identical sketch; this is what makes the sketch an
+    incrementally-maintainable artifact (and why a streaming build can
+    hash-match the batch oracle exactly)."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,

@@ -101,6 +101,13 @@ HEADLINE = [
     "q_basket_rules",
     "q_triangle_count",
     "q_hll_incremental_distinct",
+    "q_ohlc_bars",
+    "q_rolling_dau",
+    "q_rolling_dau_hll",
+    "q_semantic_dedup",
+    "q_bigram_perplexity",
+    "q_zorder_pruning_stats",
+    "q_cube_distinct_sketch",
 ]
 
 

@@ -218,3 +218,51 @@ def test_unigram_perplexity_matches_python_reference(spark, sf_dir):
         assert abs(g[2] - 2.0 ** nll) < 1e-9 * g[2]
     # sanity: corpus-trained LM gives finite, positive perplexities
     assert all(p > 1.0 for _, _, p in got.values())
+
+
+def test_bigram_perplexity_matches_python_reference(spark, sf_dir):
+    """q_bigram_perplexity == a pure-Python Jelinek-Mercer interpolated
+    bigram LM (lambda=0.7, add-one unigram back-off component, first
+    token unigram-only) over the same tokens, to 1e-9 relative."""
+    import math
+    import re as _re
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        q_bigram_perplexity,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll_bits"], r["ppl"])
+        for r in q_bigram_perplexity(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok = {r["doc_id"]: _re.split(r"\s+", r["text"].lower()) for r in docs}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for ts in tok.values():
+        for i, t in enumerate(ts):
+            uni[t] = uni.get(t, 0) + 1
+            if i > 0:
+                big[(ts[i - 1], t)] = big.get((ts[i - 1], t), 0) + 1
+    N, V = sum(uni.values()), len(uni)
+    lam = 0.7
+    for doc_id, ts in tok.items():
+        nll = 0.0
+        for i, t in enumerate(ts):
+            p_u = (uni[t] + 1) / (N + V)
+            if i == 0:
+                p = p_u
+            else:
+                p = lam * big.get((ts[i - 1], t), 0) / uni[ts[i - 1]] + (
+                    1 - lam
+                ) * p_u
+            nll += -math.log2(p)
+        nll /= len(ts)
+        g = got[doc_id]
+        assert g[0] == len(ts)
+        assert abs(g[1] - nll) < 1e-9 * max(1.0, abs(nll)), doc_id
+        assert abs(g[2] - 2.0 ** nll) < 1e-9 * g[2]
+    # the bigram term can only sharpen the model: corpus-level mean nll
+    # should not exceed the unigram LM's by construction on real text
+    assert all(p > 1.0 for _, _, p in got.values())

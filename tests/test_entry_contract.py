@@ -50,6 +50,11 @@ def test_rows_only_queries_are_the_documented_set():
         "q_bpe_apply",           # applies the iteratively-learned rules, same
         "q_char_entropy",        # log2 ulps are libm-specific, pytest parity
         "q_leakage_safe_split",  # iterative cluster labels, invariant pytest
+        "q_hll_incremental_distinct",  # Datasketches HLL, lossless-merge pytest
+        "q_rolling_dau_hll",     # same sketch, error-envelope pytest vs exact
+        "q_semantic_dedup",      # iterative k-means cells, planted-dup pytest
+        "q_bigram_perplexity",   # log2 ulps are libm-specific, pytest parity
+        "q_cube_distinct_sketch",  # HLL lattice, per-cell envelope pytest
     }
 
 
@@ -77,6 +82,10 @@ def test_driver_window_composition():
         "q_bpe_apply",
         "q_leakage_safe_split",
         "q_hll_incremental_distinct",
+        "q_rolling_dau_hll",
+        "q_semantic_dedup",
+        "q_bigram_perplexity",
+        "q_cube_distinct_sketch",
     ]
     never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
                       "q_profile_table_approx", "q_pq_topk"]
@@ -101,14 +110,26 @@ def test_driver_window_composition():
                 "q_streaming_left_interval", "q_leakage_safe_split"]
     assert window[32:38] == session4
     session5 = ["q_skyline", "q_basket_rules", "q_triangle_count",
-                "q_hll_incremental_distinct"]
-    assert window[38:42] == session5
-    assert "q_star_join" in window  # flagship stays verified
-    # the thirty entries the round-6 inserts displaced past 50 are
+                "q_hll_incremental_distinct", "q_ohlc_bars",
+                "q_rolling_dau", "q_rolling_dau_hll",
+                "q_semantic_dedup", "q_bigram_perplexity",
+                "q_zorder_pruning_stats", "q_streaming_cms_topk",
+                "q_cube_distinct_sketch"]
+    assert window[38:50] == session5
+    # round 6 fills the window with EXACTLY the 50 queries that have no
+    # current driver row; the flagship leaves the window for the first
+    # time — it is triple-driver-green (r1/r2/r5) and plan-pinned, so
+    # every slot goes to a query the driver has never checked
+    assert list(qs)[50] == "q_star_join"
+    # the thirty-eight entries the round-6 inserts displaced past 50 are
     # all cumulatively driver-green — nothing unverified leaves the
     # window
-    displaced = list(qs)[50:80]
-    assert displaced == ["q_minhash_lsh_pairs", "q_cosine_topk",
+    displaced = list(qs)[51:88]
+    assert displaced == ["q_scd1_merge", "q_scd2_merge",
+                         "q_window_tumbling", "q_window_session",
+                         "q_asof_join", "q_dedup_exact",
+                         "q_dedup_minhash",
+                         "q_minhash_lsh_pairs", "q_cosine_topk",
                          "q_decontaminate", "q_time_travel",
                          "q_surrogate_key_fact",
                          "q_orc_roundtrip", "q_runtime_filter_join",

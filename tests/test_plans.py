@@ -139,6 +139,11 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_skyline",
         "q_basket_rules",
         "q_triangle_count",
+        "q_ohlc_bars",
+        "q_rolling_dau",
+        "q_rolling_dau_hll",
+        "q_semantic_dedup",
+        "q_bigram_perplexity",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -462,3 +467,56 @@ def test_triangle_joins_are_keyed_not_cartesian(spark, sf_dir):
         "BroadcastNestedLoopJoin BuildRight, Cross"
     ) == 2
     assert "LeftSemi" in plan
+
+
+def test_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    """The whole OHLC bar must be ONE map-side-combinable aggregate —
+    min_by/max_by partials, no sort-based window, no join."""
+    plan = plan_of(catalog.q_ohlc_bars(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_rolling_dau_reads_incidence_artifact_not_events(spark, sf_dir):
+    """All three readouts (days, 7-day fan-out, same-day DAU) must read
+    the materialized user-day incidence — the raw events relation never
+    re-scans after the dedup pass."""
+    plan = plan_of(catalog.q_rolling_dau(spark, sf_dir))
+    assert "events" not in plan
+    assert plan.count("Scan parquet") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_space_is_cell_bounded(spark, sf_dir):
+    """The near-dup search must be an equi-join on the cell id (cluster-
+    bounded candidates), never an all-pairs product, and the keep rule
+    an anti-join — all JVM-side."""
+    plan = plan_of(catalog.q_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_pruning_stats_is_two_aggregates(spark, sf_dir):
+    """File stats must come from map-side-combined aggregates over
+    codegen'd bit ops; the only nested-loop is the broadcast 1-row
+    key-maxima attach."""
+    plan = plan_of(catalog.q_zorder_pruning_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("NestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_cube_sketch_unions_base_partials(spark, sf_dir):
+    """Every lattice cell must derive from the materialized base-grain
+    sketch artifact — the events relation never re-scans, and all four
+    rollups are hll_union_agg over the artifact."""
+    plan = plan_of(catalog.q_cube_distinct_sketch(spark, sf_dir))
+    assert "events" not in plan
+    assert plan.count("hll_union_agg") >= 4
+    assert "Expand" not in plan  # no cube re-expansion of the input

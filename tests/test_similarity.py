@@ -211,3 +211,40 @@ def test_ivfpq_full_probe_matches_adc_and_near_dup_recall(spark, emb):
     )
     hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 100000).count()
     assert hits >= 7
+
+
+def test_semantic_dedup_drops_planted_neardups(spark):
+    """SemDeDup keep-rule: exact/near duplicate pairs inside a cluster
+    lose their less-central member (id tiebreak on exact scalings, which
+    are cosine-identical); dissimilar vectors all survive. Deterministic
+    across input layouts."""
+    import numpy as np
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((12, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted dups: 100 = 2.0 * vec0 (cosine exactly 1 -> id tiebreak),
+    # 101 = vec1 + tiny noise (cosine ~ 1)
+    rows.append((100, [float(x) for x in 2.0 * base[0]]))
+    rows.append((101, [float(x) for x in base[1] + 1e-3 * rng.standard_normal(8)]))
+    survivors = {}
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(parts)
+        out = semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99, n_centroids=4, n_iters=2
+        )
+        survivors[parts] = {r["vec_id"] for r in out.collect()}
+    assert survivors[1] == survivors[7]  # layout-independent
+    kept = survivors[1]
+    assert 100 not in kept and 0 in kept  # exact scaling: lower id wins
+    assert len({1, 101} & kept) == 1  # noisy dup pair: exactly one lives
+    # every vector without a planted partner survives
+    assert {i for i in range(2, 12)} <= kept

@@ -86,3 +86,78 @@ def test_hll_merge_is_lossless_and_within_error(spark):
     }
     for wk, est in merged.items():
         assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
+
+
+def test_rolling_hll_tracks_exact_rolling_distinct(spark, sf_dir):
+    """The sketch-weight rolling WAU must land within the HLL error
+    envelope of the exact fan-out formulation, day by day."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        q_rolling_dau,
+        q_rolling_dau_hll,
+    )
+
+    exact = {r["day"]: r["wau"] for r in q_rolling_dau(spark, sf_dir).collect()}
+    approx = {
+        r["day"].strftime("%Y-%m-%d"): r["wau_approx"]
+        for r in q_rolling_dau_hll(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) / n < 0.05, (day, approx[day], n)
+
+
+def test_cms_streaming_merge_equals_batch_build(spark):
+    """Accumulating per-slice sketches with cms_merge must equal the
+    batch-built sketch cell-for-cell in ANY merge order — the property
+    that lets q_streaming_cms_topk hash against the full-corpus oracle."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+    )
+
+    rows = [(f"t{i % 37}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "term string")
+    whole = cms_build(df, "term")
+    slices = [
+        cms_build(df.filter(F.crc32(F.col("term")) % 3 == i), "term")
+        for i in range(3)
+    ]
+    for order in ((0, 1, 2), (2, 0, 1)):
+        acc = slices[order[0]]
+        for i in order[1:]:
+            acc = cms_merge(acc, slices[i])
+        got = {(r["depth_idx"], r["bucket"]): r["cnt"] for r in acc.collect()}
+        want = {(r["depth_idx"], r["bucket"]): r["cnt"] for r in whole.collect()}
+        assert got == want
+
+
+def test_cube_distinct_sketch_tracks_exact_cells(spark, sf_dir):
+    """Every cell of the sketch-built distinct cube — finest grain, both
+    1-D margins, grand total — must land within the HLL error envelope
+    of the exact COUNT(DISTINCT) for that cell."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.catalog import (
+        _events,
+        q_cube_distinct_sketch,
+    )
+
+    got = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in q_cube_distinct_sketch(spark, sf_dir).collect()
+    }
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    exact_rows = (
+        ev.cube("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    exact = {
+        (r["event_type"] or "ALL", r["day"] or "ALL"): r["n"]
+        for r in exact_rows
+    }
+    assert set(got) == set(exact)
+    for cell, n in exact.items():
+        assert abs(got[cell] - n) / max(n, 1) < 0.05, (cell, got[cell], n)
