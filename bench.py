@@ -318,6 +318,90 @@ def bench_incremental_refresh(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def bench_layout_pruning(spark, sf_dir: str, repeats: int) -> dict:
+    """Measured data-skipping payoff of the z-order layout — the
+    mechanism q_zorder_pruning_stats counts, exercised the way a
+    stats-aware table format (Delta/Iceberg) uses it: per-file min/max
+    stats translate the probe's band predicate into a FILE-LIST
+    predicate (partition pruning on the bucket column), and the probe
+    reads only surviving files. The same 2-D-keyed fact is written
+    under the Morton bucketing and under single-column clustering;
+    under z-order the stats exclude most files for a band on EITHER
+    dimension, under linear clustering the off-dimension band excludes
+    none — so the measured stats-pruned probes differ by actual IO,
+    not plan shape. Generated data (bench_skew precedent), ~10% band.
+    Reported per layout: files kept by the stats (hard count) and the
+    median stats-pruned probe time; ratio is linear/zorder."""
+    import shutil
+    import statistics as _st
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    # Local wall-clock is decode-bound, not IO-bound (page cache + 32
+    # cores), so the load-bearing outputs are the files_kept counts —
+    # the 8x IO reduction they imply is what matters on object storage.
+    n = 8_000_000 if sf_dir.rstrip("/").endswith("0.1") else 800_000
+    z8 = " + ".join(
+        f"shiftleft((shiftright(zx, {i}) & 1), {2 * i})"
+        f" + shiftleft((shiftright(zy, {i}) & 1), {2 * i + 1})"
+        for i in range(8)
+    )
+    base = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(256)).alias("zx"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)).alias("zy"),
+        F.col("id").alias("payload"),
+    )
+    layouts = {
+        "zorder": F.shiftright(F.expr(f"({z8})").cast("long"), 10),
+        "linear": F.shiftright(F.col("zx"), 2).cast("long"),
+    }
+    lo, hi = 102, 127
+    root = tempfile.mkdtemp(prefix="bench_layout_")
+    out = {}
+    try:
+        for label, file_expr in layouts.items():
+            path = f"{root}/{label}"
+            (
+                base.withColumn("f", file_expr)
+                .repartition(64, "f")
+                .write.mode("overwrite")
+                .partitionBy("f")
+                .parquet(path)
+            )
+            # the writer-side stats table: per-file min/max of the
+            # probed column (what a lakehouse log records at commit)
+            stats = (
+                spark.read.parquet(path)
+                .groupBy("f")
+                .agg(F.min("zy").alias("mn"), F.max("zy").alias("mx"))
+                .collect()
+            )
+            keep = [r["f"] for r in stats if not (r["mx"] < lo or r["mn"] > hi)]
+            out[f"{label}_files_kept"] = len(keep)
+            out[f"{label}_files_total"] = len(stats)
+            probe = (
+                spark.read.parquet(path)
+                .filter(F.col("f").isin(keep))  # stats-driven pruning
+                .filter((F.col("zy") >= lo) & (F.col("zy") <= hi))
+                .agg(F.sum("payload"))
+            )
+            materialize(probe)  # warmup
+            runs = []
+            for _ in range(repeats):
+                t0 = _t.time()
+                materialize(probe)
+                runs.append(_t.time() - t0)
+            out[label] = round(_st.median(runs), 3)
+        out["ratio_linear_over_zorder"] = round(
+            out["linear"] / out["zorder"], 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -344,6 +428,7 @@ def main() -> None:
     skew = bench_skew(spark, sf_dir, repeats)
     ann = bench_ann(spark, sf_dir, repeats)
     incr = bench_incremental_refresh(spark, sf_dir, repeats)
+    layout = bench_layout_pruning(spark, sf_dir, repeats)
 
     print(
         json.dumps(
@@ -356,6 +441,7 @@ def main() -> None:
                 "skew_join": skew,
                 "ann": ann,
                 "incremental_refresh": incr,
+                "layout_pruning": layout,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
