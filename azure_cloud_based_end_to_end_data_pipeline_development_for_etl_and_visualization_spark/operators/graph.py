@@ -89,9 +89,12 @@ def triangle_stats(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
-                "clustering_coeff"
-            ),
+            # NULL (not 0/0) when the graph has no wedges at all — e.g.
+            # a perfect matching; caught by the hypothesis property test
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("clustering_coeff"),
         )
     )
 

@@ -317,3 +317,76 @@ def test_linear_interpolation_matches_python(spark, obs):
         want = obs[p] + (obs[n] - obs[p]) * ((t - p) / (n - p))
         assert abs(out[t] - want) < 1e-9
         assert min(obs[p], obs[n]) - 1e-9 <= out[t] <= max(obs[p], obs[n]) + 1e-9
+
+
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@prop
+@given(pts=POINTS)
+def test_pareto_frontier_matches_bruteforce_property(spark, pts):
+    """Sort-based 2-D skyline == quadratic dominance filter on arbitrary
+    integer point sets, including duplicates and total ties."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    rows = [(i, float(c), g) for i, (c, g) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, cost double, gain long")
+    got = {r["id"] for r in pareto_frontier_2d(df, "cost", "gain").collect()}
+    want = {
+        i
+        for i, (c, g) in enumerate(pts)
+        if not any(
+            qc <= c and qg >= g and (qc < c or qg > g) for qc, qg in pts
+        )
+    }
+    assert got == want
+
+
+EDGE_SETS = st.sets(
+    st.tuples(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+    ).filter(lambda e: e[0] < e[1]),
+    min_size=1,
+    max_size=18,
+)
+
+
+@prop
+@given(edges=EDGE_SETS)
+def test_triangle_stats_matches_bruteforce_property(spark, edges):
+    """Degree-ordered triangle census == brute-force enumeration on
+    arbitrary simple graphs (<= 9 nodes), wedges included."""
+    from itertools import combinations
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    es = sorted(edges)
+    adj = set(es)
+    nodes = sorted({n for e in es for n in e})
+    want_tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    deg: dict[int, int] = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want_w = sum(d * (d - 1) // 2 for d in deg.values())
+    row = triangle_stats(
+        spark.createDataFrame(es, "src long, dst long")
+    ).collect()[0]
+    assert (row["n_nodes"], row["n_edges"]) == (len(nodes), len(es))
+    assert (row["n_wedges"], row["n_triangles"]) == (want_w, want_tri)
