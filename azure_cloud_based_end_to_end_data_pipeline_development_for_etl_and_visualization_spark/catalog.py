@@ -4829,6 +4829,169 @@ def q_cube_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshot over the SCD2 history
+    (plans/scd2.as_of): the q_scd2_merge 3-batch state queried AS OF
+    2024-02-15 — keys whose version changed on 2024-03-01 must surface
+    their 2024-02-01 version, everything else its original. The lookup
+    is a pushed-down validity-interval FILTER (no join, no window); at
+    100 TB a temporal fact enrichment equi-joins against this pruned
+    snapshot — the batch twin of a streaming temporal lookup, and the
+    capability Delta's time travel gives by version where SCD2 gives it
+    by BUSINESS time."""
+    import datetime as _dt
+
+    from .plans.scd2 import as_of, merge_scd2_df
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    b1 = cust.filter(F.col("c_custkey") % 10 == 0)
+    b2 = b1.withColumn("c_name", F.concat(F.col("c_name"), F.lit(" up")))
+    state = merge_scd2_df(None, b0, ["c_custkey"], _dt.datetime(2024, 1, 1))
+    state = merge_scd2_df(state, b1, ["c_custkey"], _dt.datetime(2024, 2, 1))
+    state = merge_scd2_df(state, b2, ["c_custkey"], _dt.datetime(2024, 3, 1))
+    return (
+        as_of(state, _dt.datetime(2024, 2, 15))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("version_from"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve readout — the tokenizer-ablation
+    statistic: what share of all corpus token OCCURRENCES is covered by
+    the top-k vocabulary entries, for k in {10, 100, 1000}. High
+    coverage at small k signals a heavily skewed (compressible) token
+    distribution; the curve decides vocab size before training a
+    tokenizer.
+
+    Job shape: token counts build in ONE corpus scan (map-side
+    combined, vocab-bounded) and the frequency ranking runs as the
+    two-phase range rank over the COUNT table
+    (relational.with_global_row_number on (-count, token) — the vocab
+    relation grows with corpus, so even this sort avoids a single
+    reducer). Each k's covered mass is then a conditional aggregate
+    over rn — no cumulative-sum window at all. Counts and shares are
+    exact (one IEEE division per row)."""
+    from .functions import text as TX
+    from .operators.relational import with_global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("negc", -F.col("c"))
+    )
+    path = _tmp_path("vocab_counts")
+    counts.write.mode("overwrite").parquet(path)
+    counts = spark.read.parquet(path)
+    ranked = with_global_row_number(counts, ["negc", "tok"], rn_col="rn")
+    ks = [10, 100, 1000]
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("rn") <= k, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"cov{k}")
+            for k in ks
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(k).alias("k"),
+            "vocab_size",
+            "total_tokens",
+            F.col(f"cov{k}").alias("covered_tokens"),
+            (F.col(f"cov{k}").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "covered_share"
+            ),
+        )
+        for k in ks
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact degree histogram of the part co-purchase graph — the
+    power-law readout that decides whether hub-aware strategies
+    (degree-ordered orientation, salting) matter for downstream graph
+    ops. Same basket-local edge build as q_triangle_count; the
+    histogram is two map-side-combined aggregates over the edge list
+    (degree per node, then nodes per degree) — both bounded by the node
+    count, never the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= 30)
+    )
+    items = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.p1").alias("src"), F.col("p.p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths: each user's journey sliced into consecutive
+    type TRIGRAMS (two lags over the per-user time order), counted
+    corpus-wide, top-20 — the product-analytics "common paths" readout
+    one rung above q_transition_matrix's pair model. One
+    user-partitioned window (high cardinality, distributes) + one
+    paths-bounded aggregation; ordering ties break lexicographically so
+    the limit is deterministic cross-engine."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("s1"),
+            F.lag("event_type", 1).over(w).alias("s2"),
+            F.col("event_type").alias("s3"),
+        )
+        .filter(F.col("s1").isNotNull())
+    )
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4922,7 +5085,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_pruning_stats": q_zorder_pruning_stats,
     "q_streaming_cms_topk": q_streaming_cms_topk,
     "q_cube_distinct_sketch": q_cube_distinct_sketch,
-    # -- 51-: flagship + representative greens --------------------------
+    # -- 51-54: session-5 batch D — past the round-6 window by
+    #    construction (it is full of driver-unseen queries already);
+    #    these four lead round 7's rotation. All judge-verifiable now
+    #    via tools/check_oracle.py -------------------------------------
+    "q_scd2_asof_lookup": q_scd2_asof_lookup,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_degree_distribution": q_degree_distribution,
+    "q_event_path_topk": q_event_path_topk,
+    # -- 55-: flagship + representative greens --------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -7159,5 +7330,87 @@ ORACLES: dict[str, str] = {
         left join cells c using (depth_idx, bucket)
         group by 1
         order by p.term
+    """,
+    # AS OF 2024-02-15: unchanged keys show their initial version,
+    # %10 keys the 2024-02-01 one; the 2024-03-01 rewrite is invisible.
+    "q_scd2_asof_lookup": """
+        with base as (select c_custkey, c_name, c_mktsegment from customer)
+        select c_custkey, c_name, c_mktsegment,
+               '2024-01-01' as version_from
+        from base where c_custkey % 10 <> 0
+        union all
+        select c_custkey, c_name, c_mktsegment, '2024-02-01'
+        from base where c_custkey % 10 = 0
+        order by c_custkey
+    """,
+    "q_vocab_coverage": """
+        with counts as (
+            select term as tok, count(*) as c from (
+                select unnest(string_split_regex(lower(text), '\\s+')) as term
+                from documents
+            ) group by 1
+        ),
+        ranked as (
+            select c, row_number() over (order by c desc, tok) as rn
+            from counts
+        ),
+        agg as (
+            select count(*) as vocab_size,
+                   cast(sum(c) as bigint) as total_tokens,
+                   cast(sum(case when rn <= 10 then c else 0 end) as bigint) as cov10,
+                   cast(sum(case when rn <= 100 then c else 0 end) as bigint) as cov100,
+                   cast(sum(case when rn <= 1000 then c else 0 end) as bigint) as cov1000
+            from ranked
+        )
+        select k, vocab_size, total_tokens, covered_tokens,
+               covered_tokens::double / total_tokens::double as covered_share
+        from (
+            select 10 as k, vocab_size, total_tokens, cov10 as covered_tokens from agg
+            union all
+            select 100, vocab_size, total_tokens, cov100 from agg
+            union all
+            select 1000, vocab_size, total_tokens, cov1000 from agg
+        )
+        order by k
+    """,
+    "q_degree_distribution": """
+        with op as (
+            select distinct l_orderkey, l_partkey from lineitem
+        ),
+        ok as (
+            select l_orderkey from op group by l_orderkey
+            having count(*) <= 30
+        ),
+        op2 as (select op.* from op join ok using (l_orderkey)),
+        e as (
+            select a.l_partkey as src, b.l_partkey as dst
+            from op2 a join op2 b
+              on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+            group by 1, 2
+            having count(*) >= 2
+        ),
+        deg as (
+            select node, count(*) as deg from (
+                select src as node from e
+                union all
+                select dst as node from e
+            ) group by 1
+        )
+        select deg, count(*) as n_nodes
+        from deg group by 1 order by deg
+    """,
+    "q_event_path_topk": """
+        with tri as (
+            select lag(event_type, 2) over w as s1,
+                   lag(event_type, 1) over w as s2,
+                   event_type as s3
+            from events
+            window w as (partition by user_id order by ts, event_id)
+        )
+        select s1, s2, s3, count(*) as n
+        from tri where s1 is not null
+        group by 1, 2, 3
+        order by n desc, s1, s2, s3
+        limit 20
     """,
 }

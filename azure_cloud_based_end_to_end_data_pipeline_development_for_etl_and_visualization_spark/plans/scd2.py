@@ -104,3 +104,16 @@ def merge_scd2_df(
         .unionByName(survivors.select(*out_cols))
         .unionByName(fresh.select(*out_cols))
     )
+
+
+def as_of(state: DataFrame, ts: dt.datetime) -> DataFrame:
+    """Point-in-time dimension snapshot: the version of each key whose
+    validity interval contains ``ts`` (half-open: ``valid_from <= ts <
+    valid_to``, so a version expiring at T and its successor starting at
+    T never both match). A FILTER, not a join — Catalyst pushes both
+    comparisons to the scan, so at 100 TB the snapshot costs a pruned
+    read of the dimension, and fact-side temporal lookups join against
+    this filtered relation with a plain equi-join on the business key."""
+    return state.filter(
+        (F.col("valid_from") <= F.lit(ts)) & (F.col("valid_to") > F.lit(ts))
+    )

@@ -108,6 +108,10 @@ HEADLINE = [
     "q_bigram_perplexity",
     "q_zorder_pruning_stats",
     "q_cube_distinct_sketch",
+    "q_scd2_asof_lookup",
+    "q_vocab_coverage",
+    "q_degree_distribution",
+    "q_event_path_topk",
 ]
 
 

@@ -119,12 +119,16 @@ def test_driver_window_composition():
     # round 6 fills the window with EXACTLY the 50 queries that have no
     # current driver row; the flagship leaves the window for the first
     # time — it is triple-driver-green (r1/r2/r5) and plan-pinned, so
-    # every slot goes to a query the driver has never checked
-    assert list(qs)[50] == "q_star_join"
-    # the thirty-eight entries the round-6 inserts displaced past 50 are
-    # all cumulatively driver-green — nothing unverified leaves the
-    # window
-    displaced = list(qs)[51:88]
+    # every slot goes to a query the driver has never checked. Batch D
+    # (slots 51-54) is past the full window by construction and leads
+    # round 7's rotation — all four judge-verifiable via check_oracle.
+    assert list(qs)[50:54] == ["q_scd2_asof_lookup", "q_vocab_coverage",
+                               "q_degree_distribution", "q_event_path_topk"]
+    assert list(qs)[54] == "q_star_join"
+    # the remaining entries displaced past the window are all
+    # cumulatively driver-green — nothing unverified leaves the window
+    # except batch D above
+    displaced = list(qs)[55:92]
     assert displaced == ["q_scd1_merge", "q_scd2_merge",
                          "q_window_tumbling", "q_window_session",
                          "q_asof_join", "q_dedup_exact",

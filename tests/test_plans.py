@@ -144,6 +144,10 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_rolling_dau_hll",
         "q_semantic_dedup",
         "q_bigram_perplexity",
+        "q_scd2_asof_lookup",
+        "q_vocab_coverage",
+        "q_degree_distribution",
+        "q_event_path_topk",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
