@@ -4992,6 +4992,78 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs near-dup scan via prefix filtering
+    (operators/dedup.prefix_filter_pairs — the SSJoin/PPJoin candidate
+    generation): every doc pair with word-3-gram Jaccard >= 0.5, no
+    blocking window (q_ngram_jaccard's assumption) and no probabilistic
+    misses (q_minhash_lsh_pairs' banding). Candidates are pairs sharing
+    a shingle in their RAREST-FIRST prefix (first n - ceil(t*n) + 1
+    shingles under the global document-frequency order) — pigeonhole-
+    complete at threshold t, so the result is the full exact answer.
+    The oracle derives the same pairs from the UNFILTERED inverted
+    index (all shared-shingle pairs, then exact Jaccard) — two
+    independent candidate routes agreeing is the completeness guarantee
+    made checkable."""
+    from .operators.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5).orderBy(
+        "a", "b"
+    )
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill — the corpus-assembly step that
+    selects training documents greedily (longest first, id tiebreak)
+    until each source's token budget (here half its total) is spent.
+    Every doc gets an auditable (cum_tokens, budget, kept) row, the
+    manifest a reproducible data build ships.
+
+    Scale shape: the (doc_id, source, n_tokens) count table is
+    materialized ONCE as a narrow artifact (the signatures lesson —
+    three downstream references would each re-tokenize the corpus);
+    budgets are a source-bounded aggregate; and the greedy frontier is
+    relational.with_grouped_running_sum — the two-phase prefix sum that
+    spreads each source's cumulative order across ALL reducers, where a
+    plain Window.partitionBy(source) running sum would sort whole
+    sources on single reducers (the q_domain_cap trap, now for prefix
+    SUMS instead of ranks). Counts are integers, so kept/cum hash-match
+    exactly."""
+    from .functions import text as TX
+    from .operators.relational import with_grouped_running_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    path = _tmp_path("budget_tokcounts")
+    counts.write.mode("overwrite").parquet(path)
+    counts = spark.read.parquet(path)
+    budgets = counts.groupBy("source").agg(
+        F.floor(F.sum("n_tokens") / 2).cast("long").alias("budget")
+    )
+    ordered = counts.withColumn("__negt", -F.col("n_tokens"))
+    cum = with_grouped_running_sum(
+        ordered, ["source"], ["__negt", "doc_id"], "n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            "budget",
+            (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5093,7 +5165,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_coverage": q_vocab_coverage,
     "q_degree_distribution": q_degree_distribution,
     "q_event_path_topk": q_event_path_topk,
-    # -- 55-: flagship + representative greens --------------------------
+    # -- 55-: session-6 batch — also past the round-6 window; joins
+    #    batch D at the head of round 7's rotation ----------------------
+    "q_prefix_filter_join": q_prefix_filter_join,
+    "q_token_budget_fill": q_token_budget_fill,
+    # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -7412,5 +7488,57 @@ ORACLES: dict[str, str] = {
         group by 1, 2, 3
         order by n desc, s1, s2, s3
         limit 20
+    """,
+    # independent candidate route: the UNFILTERED inverted index (all
+    # shared-shingle pairs) — agreement with the engine's prefix-pruned
+    # index is the completeness guarantee, oracle-checked
+    "q_prefix_filter_join": f"""
+        with t as (select doc_id, {_DK_TOKENS} as w from documents),
+        inv as (
+            select distinct doc_id, s
+            from (select doc_id, unnest({_DK_SHINGLES}) as s from t)
+        ),
+        pairs as (
+            select a.doc_id as a, b.doc_id as b
+            from inv a join inv b on a.s = b.s and a.doc_id < b.doc_id
+            group by 1, 2
+        ),
+        sh as (
+            select doc_id, list_distinct({_DK_SHINGLES}) as sh from t
+        )
+        select * from (
+            select p.a, p.b,
+                   len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+                       / len(list_distinct(sa.sh || sb.sh)) as jaccard
+            from pairs p
+            join sh sa on sa.doc_id = p.a
+            join sh sb on sb.doc_id = p.b
+        ) where jaccard >= 0.5
+        order by a, b
+    """,
+    "q_token_budget_fill": f"""
+        with d as (
+            select doc_id, source, len({_DK_TOKENS})::bigint as n_tokens
+            from documents
+        ),
+        b as (
+            select source,
+                   cast(floor(sum(n_tokens) / 2) as bigint) as budget
+            from d group by source
+        ),
+        c as (
+            select doc_id, source, n_tokens,
+                   sum(n_tokens) over (
+                       partition by source
+                       order by n_tokens desc, doc_id
+                       rows between unbounded preceding and current row
+                   ) as cum_tokens
+            from d
+        )
+        select c.doc_id, c.source, c.n_tokens,
+               c.cum_tokens::bigint as cum_tokens, b.budget,
+               c.cum_tokens <= b.budget as kept
+        from c join b using (source)
+        order by source, doc_id
     """,
 }

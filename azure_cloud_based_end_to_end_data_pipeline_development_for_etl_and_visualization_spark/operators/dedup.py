@@ -20,7 +20,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -304,6 +304,70 @@ def ngram_jaccard_windowed(
         .select("a", "b")
     )
     return jaccard_pairs(df, pairs, id_col, text_col, shingle_n=shingle_n)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (the SSJoin / PPJoin
+    candidate-generation family, Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08): EXACT all-pairs Jaccard >= ``threshold`` over word-n-gram
+    shingle sets, without blocking assumptions (ngram_jaccard_windowed)
+    and without the probabilistic misses of MinHash banding — the
+    completeness-guaranteed rung of the near-dup ladder.
+
+    The filter: order every document's shingles by one GLOBAL total
+    order (document frequency ascending, shingle ascending — rarest
+    first), and index only each doc's first ``n - ceil(t*n) + 1``
+    shingles. Pigeonhole: J(A,B) >= t implies |A∩B| >= t*max(|A|,|B|),
+    so a prefix that missed every intersection element would leave more
+    intersection than suffix — impossible; any qualifying pair shares a
+    PREFIX shingle and survives candidate generation. Rarest-first
+    ordering pushes the corpus-hot shingles (the worst join fan-out)
+    into suffixes, so the candidate join runs over the sparse end of
+    the inverted index.
+
+    Plan shape at 100 TB: the document-frequency table is a
+    shingle-bounded aggregate artifact; ranking is a per-doc window
+    (bounded by doc length); the candidate self-join is an equi-join on
+    the PRUNED inverted index carrying (shingle, id) rows only — at
+    t=0.5 half the index, at t=0.9 a tenth — and shingle arrays attach
+    post-filter to the deduped candidate pairs alone
+    (:func:`jaccard_pairs`), never to the pair space."""
+    tok = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    inv = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles_of(F.col("__toks"), shingle_n))
+        ).alias("shingle"),
+    )
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    w_all = Window.partitionBy(id_col)
+    ranked = inv.join(freq, "shingle").select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.row_number().over(w_rank).alias("__pos"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select(F.col(id_col), F.col("shingle"))
+    cands = (
+        prefix.select(F.col("shingle"), F.col(id_col).alias("a"))
+        .join(prefix.select(F.col("shingle"), F.col(id_col).alias("b")), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_n=shingle_n).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

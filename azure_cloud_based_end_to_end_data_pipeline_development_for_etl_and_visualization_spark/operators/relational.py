@@ -341,6 +341,68 @@ def with_grouped_row_number(
     return out
 
 
+def with_grouped_running_sum(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Per-group INCLUSIVE running sum under a total order, with each
+    group's prefix sum SPREAD ACROSS ALL REDUCERS — the prefix-SUM member
+    of the two-phase family (:func:`with_grouped_row_number` computes the
+    +1-per-row special case; :func:`with_running_max` the ungrouped max).
+    The low-cardinality-group trap is the same: a plain
+    ``Window.partitionBy(group).orderBy(keys)`` running sum makes one
+    reducer sort one group — 3 groups over a 100 TB fact is three ~33 TB
+    sort reducers.
+
+    Phase 1: ``repartitionByRange(group_by..., order_by...)`` splits every
+    group across ascending ranges; per-``(range, group)`` partial sums are
+    map-side combined, and an exclusive running sum over that
+    n_partitions x groups-sized relation (window partitioned by group —
+    never data-sized) is each range's carry-in.
+
+    Phase 2: broadcast carry-ins back; each row's prefix sum is its
+    within-range running sum (window partitioned by ``(range, group)`` —
+    every reducer sorts only its slice) plus the carry-in.
+
+    Sum type follows ``value_col`` under Spark's ``sum`` rules (long
+    stays long, decimal widens) — pass an integer/decimal column for
+    exact, order-independent results. ``order_by`` must be a total order
+    per group and ``df`` a deterministic source (evaluated once per
+    phase)."""
+    pid = "__rs_pid"
+    gcols = [F.col(c) for c in group_by]
+    ocols = [F.col(c) for c in order_by]
+    tagged = df.repartitionByRange(*gcols, *ocols).withColumn(
+        pid, F.spark_partition_id()
+    )
+    part_sums = tagged.groupBy(pid, *gcols).agg(
+        F.sum(value_col).alias("__rs_sum")
+    )
+    w_carry = (
+        Window.partitionBy(*group_by)
+        .orderBy(pid)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = part_sums.select(
+        pid,
+        *group_by,
+        F.coalesce(F.sum("__rs_sum").over(w_carry), F.lit(0)).alias("__rs_carry"),
+    )
+    w_run = (
+        Window.partitionBy(pid, *group_by)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.join(F.broadcast(carries), [pid, *group_by])
+        .withColumn(out_col, F.sum(value_col).over(w_run) + F.col("__rs_carry"))
+        .drop(pid, "__rs_carry")
+    )
+
+
 def with_running_max(
     df: DataFrame,
     order_by: Sequence[str],

@@ -266,3 +266,87 @@ def test_bigram_perplexity_matches_python_reference(spark, sf_dir):
     # the bigram term can only sharpen the model: corpus-level mean nll
     # should not exceed the unigram LM's by construction on real text
     assert all(p > 1.0 for _, _, p in got.values())
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (SSJoin/PPJoin)
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_jaccard_pairs(texts: dict[int, str], threshold: float, n: int = 3):
+    """Quadratic reference: all pairs with shingle-set Jaccard >= t."""
+    import re as _re
+
+    sets = {}
+    for doc_id, text in texts.items():
+        toks = _re.split(r"\s+", text.lower())
+        sets[doc_id] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            union = sets[a] | sets[b]
+            if not union:
+                continue
+            j = len(sets[a] & sets[b]) / len(union)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_prefix_filter_matches_brute_force_on_planted_dups(spark, near_dup_docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.prefix_filter_pairs(
+            near_dup_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in near_dup_docs.collect()}
+    want = _brute_force_jaccard_pairs(texts, 0.5)
+    assert set(got) == set(want)
+    assert got[(0, 1)] == 1.0  # exact dups
+    assert (2, 3) in got  # near-dups (1 word of 13 changed)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_prefix_filter_complete_on_arbitrary_corpora(spark):
+    """Hypothesis: the prefix-pruned candidate route loses NOTHING vs the
+    quadratic all-pairs scan — the pigeonhole completeness guarantee —
+    across random small-vocab corpora (tiny vocab maximizes shingle
+    collisions, the adversarial case for candidate pruning) and
+    thresholds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(words, min_size=0, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=8),
+        threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    def run(docs, threshold):
+        rows = [(i, t) for i, t in enumerate(docs) if t]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in D.prefix_filter_pairs(
+                df, "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+        want = _brute_force_jaccard_pairs(dict(rows), threshold)
+        assert set(got) == set(want)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-12
+
+    run()

@@ -148,6 +148,9 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_vocab_coverage",
         "q_degree_distribution",
         "q_event_path_topk",
+        # round-6 session-6 batch additions
+        "q_prefix_filter_join",
+        "q_token_budget_fill",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -291,6 +294,17 @@ def test_domain_cap_distributes_group_sorts(spark, sf_dir):
     plan = plan_of(catalog.q_domain_cap(spark, sf_dir))
     assert "rangepartitioning(source" in plan
     assert "hashpartitioning(__gg_pid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_fill_distributes_prefix_sums(spark, sf_dir):
+    """Each source's cumulative token order must range-split across
+    reducers (two-phase grouped prefix SUM — the q_domain_cap guarantee
+    extended from ranks to running sums); no SinglePartition exchange
+    anywhere in the data path."""
+    plan = plan_of(catalog.q_token_budget_fill(spark, sf_dir))
+    assert "rangepartitioning(source" in plan
+    assert "hashpartitioning(__rs_pid" in plan
     assert "SinglePartition" not in plan
 
 

@@ -135,6 +135,32 @@ def test_running_max_matches_window_and_is_layout_independent(spark):
             assert {(r["k"], r["rm"]) for r in got.collect()} == want
 
 
+def test_grouped_running_sum_matches_window_and_is_layout_independent(spark):
+    """Two-phase grouped prefix sum == per-group running-sum window on any
+    input partitioning, exact for integer values (incl. negatives)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (i, f"g{i % 3}", (i * 37) % 101, ((i * 13) % 41) - 20)
+        for i in range(500)
+    ]
+    base = spark.createDataFrame(rows, ["k", "g", "o", "v"])
+    wf = (
+        Window.partitionBy("g")
+        .orderBy("o", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["k"], r["cs"])
+        for r in base.withColumn("cs", F.sum("v").over(wf)).collect()
+    }
+    for parts in (1, 7):
+        got = R.with_grouped_running_sum(
+            base.repartition(parts), ["g"], ["o", "k"], "v", out_col="cs"
+        )
+        assert {(r["k"], r["cs"]) for r in got.collect()} == want
+
+
 def test_pareto_frontier_matches_bruteforce(spark):
     """Sort-based 2-D skyline == quadratic dominance filter, with ties on
     both dimensions kept (mutually non-dominating duplicates)."""
