@@ -5064,6 +5064,54 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture allocation by exact water-filling — the corpus-mixing
+    step of a training-data build: split a global token budget (9/10 of
+    the corpus) across sources as evenly as possible, capping every
+    source at its available tokens (no upsampling) and redistributing
+    what the capped sources can't absorb. Closed form, all integers:
+    sort sources by availability ascending; source i (of S, prefix sum
+    P_i) is CAPPED iff even granting every later source a_i is
+    affordable (P_i + a_i*(S-i) <= B — a prefix property, so capped
+    sources are exactly the k smallest); the leftover R = B - P_k
+    splits as floor(R/m) per uncapped source, with the R mod m
+    remainder granted one token each to the m smallest uncapped sources
+    (largest-remainder determinism). Allocations sum to B exactly.
+
+    Scale shape: ONE corpus scan map-combines to the per-source count
+    table (domains-sized — millions for a web corpus, never the data);
+    ranking and the prefix sum both run through the two-phase range
+    machinery (with_global_row_number / with_grouped_running_sum over
+    the materialized artifact), and the three scalars (total, k, P_k)
+    ride broadcast 1-row joins — the HWM pattern. Everything except the
+    final fill_rate division is integer arithmetic, so the allocation
+    hash-matches DuckDB bit-for-bit."""
+    from .functions import text as TX
+    from .operators.relational import waterfill_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("avail")
+    )
+    path = _tmp_path("mixture_counts")
+    counts.write.mode("overwrite").parquet(path)
+    counts = spark.read.parquet(path)
+    return (
+        waterfill_allocation(counts, "source", "avail", 9, 10)
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            "capped",
+            "allocation",
+            (
+                F.col("allocation").cast("double")
+                / F.col("avail").cast("double")
+            ).alias("fill_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5169,6 +5217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    batch D at the head of round 7's rotation ----------------------
     "q_prefix_filter_join": q_prefix_filter_join,
     "q_token_budget_fill": q_token_budget_fill,
+    "q_mixture_waterfill": q_mixture_waterfill,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -7540,5 +7589,50 @@ ORACLES: dict[str, str] = {
                c.cum_tokens <= b.budget as kept
         from c join b using (source)
         order by source, doc_id
+    """,
+    "q_mixture_waterfill": f"""
+        with d as (
+            select source, sum(len({_DK_TOKENS}))::bigint as avail
+            from documents group by source
+        ),
+        tot as (
+            select count(*)::bigint as S,
+                   (9 * sum(avail) // 10)::bigint as B
+            from d
+        ),
+        r as (
+            select source, avail,
+                   row_number() over (order by avail, source) as i,
+                   (sum(avail) over (
+                       order by avail, source
+                       rows between unbounded preceding and current row
+                   ))::bigint as P
+            from d
+        ),
+        c as (
+            select r.*, tot.S, tot.B,
+                   (r.P + r.avail * (tot.S - r.i) <= tot.B) as capped
+            from r cross join tot
+        ),
+        kk as (
+            select count(*) filter (where capped)::bigint as k,
+                   coalesce(sum(avail) filter (where capped), 0)::bigint as Pk
+            from c
+        ),
+        f as (
+            select c.*, kk.k, (c.B - kk.Pk) as R, (c.S - kk.k) as m
+            from c cross join kk
+        ),
+        alloc as (
+            select source, avail, capped,
+                   (case when capped then avail
+                         when m > 0 then (R // m)
+                              + (case when i - k <= (R % m) then 1 else 0 end)
+                         else 0 end)::bigint as allocation
+            from f
+        )
+        select source, avail as avail_tokens, capped, allocation,
+               allocation::double / avail::double as fill_rate
+        from alloc order by source
     """,
 }

@@ -403,6 +403,83 @@ def with_grouped_running_sum(
     )
 
 
+def waterfill_allocation(
+    counts: DataFrame,
+    key_col: str,
+    avail_col: str,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Exact water-filling split of a global budget across keys: each key
+    gets an equal share of ``budget_num/budget_den`` of the total, capped
+    at its own availability, with capped keys' unabsorbed share
+    redistributed — closed form, all integer arithmetic.
+
+    Sort keys by availability ascending (key tiebreak); key i of S with
+    inclusive prefix sum P_i is CAPPED iff granting every later key a_i
+    too is still affordable (``P_i + a_i*(S-i) <= B`` — a prefix
+    property, so the capped set is exactly the k smallest). The leftover
+    ``R = B - P_k`` splits as ``floor(R/m)`` over the m uncapped keys,
+    the remainder granted one unit each to the smallest uncapped keys
+    (largest-remainder determinism). Allocations sum to B exactly, and
+    ``allocation <= avail`` always (the first uncapped key's
+    availability exceeds the water level by construction).
+
+    Scale shape: ``counts`` is a keys-sized aggregate (pass the
+    MATERIALIZED artifact — two phases scan it); ranking and the prefix
+    sum run through the two-phase range machinery, and the scalars
+    (B, k, P_k) ride broadcast 1-row joins — the HWM pattern. Returns
+    ``(key, avail, capped, allocation)``."""
+    a, B = F.col(avail_col), F.col("__wf_B")
+    summed = with_grouped_running_sum(
+        counts.withColumn("__wf_g", F.lit(0)),
+        ["__wf_g"],
+        [avail_col, key_col],
+        avail_col,
+        out_col="__wf_P",
+    ).drop("__wf_g")
+    ranked = with_global_row_number(
+        summed, [avail_col, key_col], rn_col="__wf_i", n_col="__wf_S"
+    )
+    budget = counts.agg(
+        F.expr(f"{budget_num} * sum({avail_col}) div {budget_den}")
+        .cast("long")
+        .alias("__wf_B")
+    )
+    flagged = ranked.crossJoin(F.broadcast(budget)).withColumn(
+        "capped",
+        F.col("__wf_P") + a * (F.col("__wf_S") - F.col("__wf_i")) <= B,
+    )
+    kpk = flagged.agg(
+        F.count(F.when(F.col("capped"), 1)).cast("long").alias("__wf_k"),
+        F.coalesce(F.sum(F.when(F.col("capped"), a)), F.lit(0))
+        .cast("long")
+        .alias("__wf_Pk"),
+    )
+    f = (
+        flagged.crossJoin(F.broadcast(kpk))
+        .withColumn("__wf_R", B - F.col("__wf_Pk"))
+        .withColumn("__wf_m", F.col("__wf_S") - F.col("__wf_k"))
+    )
+    alloc = F.when(F.col("capped"), a).otherwise(
+        F.when(
+            F.col("__wf_m") > 0,
+            F.expr("__wf_R div __wf_m")
+            + F.when(
+                F.col("__wf_i") - F.col("__wf_k")
+                <= F.col("__wf_R") % F.col("__wf_m"),
+                1,
+            ).otherwise(0),
+        ).otherwise(F.lit(0))
+    )
+    return f.select(
+        F.col(key_col),
+        a,
+        F.col("capped"),
+        alloc.cast("long").alias("allocation"),
+    )
+
+
 def with_running_max(
     df: DataFrame,
     order_by: Sequence[str],

@@ -151,6 +151,7 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         # round-6 session-6 batch additions
         "q_prefix_filter_join",
         "q_token_budget_fill",
+        "q_mixture_waterfill",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):

@@ -161,6 +161,76 @@ def test_grouped_running_sum_matches_window_and_is_layout_independent(spark):
         assert {(r["k"], r["cs"]) for r in got.collect()} == want
 
 
+def _waterfill_reference(avails: dict[str, int], num: int, den: int):
+    """Iterative level-fill reference: cap everything below the current
+    water level, redistribute, repeat — independent of the closed form."""
+    B = num * sum(avails.values()) // den
+    alloc = {s: 0 for s in avails}
+    active = sorted(avails, key=lambda s: (avails[s], s))
+    R = B
+    while active:
+        t, rem = divmod(R, len(active))
+        capped = [s for s in active if avails[s] <= t]
+        if not capped:
+            for idx, s in enumerate(active):
+                alloc[s] = t + (1 if idx < rem else 0)
+            return alloc
+        for s in capped:
+            alloc[s] = avails[s]
+            R -= avails[s]
+        active = [s for s in active if s not in capped]
+    return alloc
+
+
+def test_waterfill_matches_iterative_reference_on_skew(spark):
+    """Closed-form allocation == the iterative level-fill on a strongly
+    skewed availability profile (caps + remainder units both exercised),
+    with the budget invariant and per-key bounds."""
+    avails = {"s0": 1, "s1": 3, "s2": 7, "s3": 1000, "s4": 995, "s5": 40}
+    df = spark.createDataFrame(sorted(avails.items()), ["key", "avail"])
+    for parts in (1, 5):
+        got = {
+            r["key"]: (r["allocation"], r["capped"])
+            for r in R.waterfill_allocation(
+                df.repartition(parts), "key", "avail", 3, 4
+            ).collect()
+        }
+        want = _waterfill_reference(avails, 3, 4)
+        assert {k: v[0] for k, v in got.items()} == want
+        assert sum(a for a, _ in got.values()) == 3 * sum(avails.values()) // 4
+        for k, (a, capped) in got.items():
+            assert a <= avails[k]
+            assert capped == (a == avails[k] and avails[k] < max(want.values()))
+
+
+def test_waterfill_matches_iterative_reference_property(spark):
+    """Hypothesis: closed form == iterative reference on arbitrary
+    availability profiles and budget fractions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        avails=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+        frac=st.sampled_from([(1, 4), (1, 2), (3, 4), (9, 10), (1, 1)]),
+    )
+    def run(avails, frac):
+        num, den = frac
+        named = {f"k{i}": a for i, a in enumerate(avails)}
+        df = spark.createDataFrame(sorted(named.items()), ["key", "avail"])
+        got = {
+            r["key"]: r["allocation"]
+            for r in R.waterfill_allocation(df, "key", "avail", num, den).collect()
+        }
+        assert got == _waterfill_reference(named, num, den)
+
+    run()
+
+
 def test_pareto_frontier_matches_bruteforce(spark):
     """Sort-based 2-D skyline == quadratic dominance filter, with ties on
     both dimensions kept (mutually non-dominating duplicates)."""
