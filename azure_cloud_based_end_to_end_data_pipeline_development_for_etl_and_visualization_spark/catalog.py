@@ -5112,6 +5112,111 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean (TWAP-style) of event values per user-day:
+    each observation weighted by the seconds until the user's NEXT event
+    that day (the piecewise-constant integral a plain AVG gets wrong
+    whenever sampling is irregular — the standard time-series downsample
+    for sensor/price feeds). The last observation of a day has no
+    forward extent and drops out.
+
+    One fact shuffle: a (user, day) window computes forward durations
+    (high-cardinality key, distributes), then one map-combined
+    aggregate. Exactness: values integerize as floor(v*1e6+0.5) longs
+    (the fastagg scheme), durations are integer epoch deltas, so both
+    sums are exact and the final twap is two IEEE ops mirrored in the
+    oracle."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("ep"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v6"),
+    ).withColumn("day_idx", F.expr("ep div 86400").cast("long"))
+    w = Window.partitionBy("user_id", "day_idx").orderBy("ep", "event_id")
+    seg = base.withColumn("dur", F.lead("ep").over(w) - F.col("ep")).filter(
+        F.col("dur").isNotNull()
+    )
+    agg = seg.groupBy("user_id", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dur").cast("long").alias("total_dur"),
+        F.sum((F.col("v6") * F.col("dur")).cast("decimal(28,0)"))
+        .cast("long")
+        .alias("swv"),
+    )
+    return (
+        agg.filter(F.col("total_dur") > 0)
+        .select(
+            "user_id",
+            "day_idx",
+            "n_intervals",
+            "total_dur",
+            (
+                (F.col("swv").cast("double") / F.lit(1e6))
+                / F.col("total_dur").cast("double")
+            ).alias("twap"),
+        )
+        .orderBy("user_id", "day_idx")
+    )
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across ALL five event-type cohorts —
+    the k-group generalization of q_ab_ttest's two-cohort Welch test
+    (did any cohort's value distribution drift?). From ONE pass of
+    exact-decimal power sums per cohort: SSB = sum(s_g^2/n_g) - S^2/N,
+    SSW = sum(ss_g) - sum(s_g^2/n_g), F = (SSB/(k-1)) / (SSW/(N-k)).
+    The five cohorts pivot to one row with a FIXED column order, so
+    every double addition chains left-to-right identically in Spark and
+    DuckDB — double sums across groups would otherwise be
+    order-dependent. By the chi-square/t-test precedent the STATISTIC
+    is the oracle surface; p-value thresholding (an incomplete-beta
+    transcendental) happens downstream."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    one = g.agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col(c))).alias(f"{c}_{t}")
+            for t in types
+            for c in ("n", "s", "ss")
+        ]
+    )
+    nL = [F.col(f"n_{t}") for t in types]
+    n = [F.col(f"n_{t}").cast("double") for t in types]
+    s = [F.col(f"s_{t}") for t in types]
+    ss = [F.col(f"ss_{t}") for t in types]
+    n_total = nL[0] + nL[1] + nL[2] + nL[3] + nL[4]
+    N = n[0] + n[1] + n[2] + n[3] + n[4]
+    S = s[0] + s[1] + s[2] + s[3] + s[4]
+    T = (
+        (s[0] * s[0] / n[0])
+        + (s[1] * s[1] / n[1])
+        + (s[2] * s[2] / n[2])
+        + (s[3] * s[3] / n[3])
+        + (s[4] * s[4] / n[4])
+    )
+    ssq = ss[0] + ss[1] + ss[2] + ss[3] + ss[4]
+    ssb = T - S * S / N
+    ssw = ssq - T
+    f_stat = (ssb / F.lit(4.0)) / (ssw / (N - F.lit(5.0)))
+    return one.select(
+        F.lit(5).cast("long").alias("k"),
+        n_total.cast("long").alias("n_total"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5218,6 +5323,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_prefix_filter_join": q_prefix_filter_join,
     "q_token_budget_fill": q_token_budget_fill,
     "q_mixture_waterfill": q_mixture_waterfill,
+    "q_time_weighted_avg": q_time_weighted_avg,
+    "q_anova_f": q_anova_f,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -7634,5 +7741,90 @@ ORACLES: dict[str, str] = {
         select source, avail as avail_tokens, capped, allocation,
                allocation::double / avail::double as fill_rate
         from alloc order by source
+    """,
+    "q_time_weighted_avg": """
+        with e as (
+            -- floor matches both engines' double->bigint (Spark truncates,
+            -- DuckDB rounds); v*1e6+0.5 is the shared integerization
+            select user_id, event_id,
+                   floor(epoch(ts))::bigint as ep,
+                   floor(value * 1e6 + 0.5)::bigint as v6
+            from events
+        ),
+        d as (select e.*, ep // 86400 as day_idx from e),
+        seg as (
+            select user_id, day_idx, v6, ep,
+                   lead(ep) over (
+                       partition by user_id, day_idx order by ep, event_id
+                   ) - ep as dur
+            from d
+        ),
+        agg as (
+            select user_id, day_idx,
+                   count(*)::bigint as n_intervals,
+                   sum(dur)::bigint as total_dur,
+                   sum(v6 * dur)::bigint as swv
+            from seg where dur is not null
+            group by 1, 2
+        )
+        select user_id, day_idx, n_intervals, total_dur,
+               (swv::double / 1e6) / total_dur::double as twap
+        from agg where total_dur > 0
+        order by user_id, day_idx
+    """,
+    # fixed-order pivot so every cross-cohort double addition chains
+    # left-to-right exactly as the Spark expression tree does
+    "q_anova_f": """
+        with g as (
+            select event_type, count(*)::bigint as n,
+                   cast(sum(cast(value as decimal(18,6))) as double) as s,
+                   cast(sum(cast(value * value as decimal(28,8))) as double)
+                       as ss
+            from events group by event_type
+        ),
+        p as (
+            select
+                max(case when event_type = 'click' then n end) as n1,
+                max(case when event_type = 'click' then s end) as s1,
+                max(case when event_type = 'click' then ss end) as ss1,
+                max(case when event_type = 'error' then n end) as n2,
+                max(case when event_type = 'error' then s end) as s2,
+                max(case when event_type = 'error' then ss end) as ss2,
+                max(case when event_type = 'purchase' then n end) as n3,
+                max(case when event_type = 'purchase' then s end) as s3,
+                max(case when event_type = 'purchase' then ss end) as ss3,
+                max(case when event_type = 'signup' then n end) as n4,
+                max(case when event_type = 'signup' then s end) as s4,
+                max(case when event_type = 'signup' then ss end) as ss4,
+                max(case when event_type = 'view' then n end) as n5,
+                max(case when event_type = 'view' then s end) as s5,
+                max(case when event_type = 'view' then ss end) as ss5
+            from g
+        )
+        select 5::bigint as k,
+               (n1 + n2 + n3 + n4 + n5)::bigint as n_total,
+               (((s1 * s1 / n1::double) + (s2 * s2 / n2::double)
+                 + (s3 * s3 / n3::double) + (s4 * s4 / n4::double)
+                 + (s5 * s5 / n5::double))
+                - (s1 + s2 + s3 + s4 + s5) * (s1 + s2 + s3 + s4 + s5)
+                  / (n1::double + n2::double + n3::double + n4::double
+                     + n5::double)) as ssb,
+               ((ss1 + ss2 + ss3 + ss4 + ss5)
+                - ((s1 * s1 / n1::double) + (s2 * s2 / n2::double)
+                   + (s3 * s3 / n3::double) + (s4 * s4 / n4::double)
+                   + (s5 * s5 / n5::double))) as ssw,
+               ((((s1 * s1 / n1::double) + (s2 * s2 / n2::double)
+                  + (s3 * s3 / n3::double) + (s4 * s4 / n4::double)
+                  + (s5 * s5 / n5::double))
+                 - (s1 + s2 + s3 + s4 + s5) * (s1 + s2 + s3 + s4 + s5)
+                   / (n1::double + n2::double + n3::double + n4::double
+                      + n5::double)) / 4.0)
+               / (((ss1 + ss2 + ss3 + ss4 + ss5)
+                   - ((s1 * s1 / n1::double) + (s2 * s2 / n2::double)
+                      + (s3 * s3 / n3::double) + (s4 * s4 / n4::double)
+                      + (s5 * s5 / n5::double)))
+                  / ((n1::double + n2::double + n3::double + n4::double
+                      + n5::double) - 5.0)) as f_stat
+        from p
     """,
 }

@@ -152,6 +152,8 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_prefix_filter_join",
         "q_token_budget_fill",
         "q_mixture_waterfill",
+        "q_time_weighted_avg",
+        "q_anova_f",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
