@@ -5217,6 +5217,176 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the gaps-and-islands pattern on validity
+    ranges): each event opens a 30-minute activity interval
+    [ep, ep+1800); overlapping or touching intervals per user merge into
+    maximal islands — the canonical cleanup for validity ranges, lock
+    windows, and coverage spans that q_sessionize's fixed inter-event
+    gap cannot express (an interval can bridge events the gap rule would
+    split).
+
+    One fact shuffle: a (user)-partitioned window (high-cardinality key,
+    distributes) computes the EXCLUSIVE running max of interval ends; a
+    new island starts where the current start exceeds it, and the
+    island id is the inclusive running count of starts — two frames over
+    ONE sort. Integer epochs end-to-end, so islands hash-match."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("s"),
+    ).withColumn("e", F.col("s") + 1800)
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("s").cast("long").alias("island_start"),
+            F.max("e").cast("long").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+def q_scd3_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-batch SCD Type-3 scenario (plans/scd3.merge_scd3_df) — the
+    previous-value-column sibling of q_scd1_merge/q_scd2_merge,
+    completing the slowly-changing-dimension family. Same golden
+    batches: %10!=0 keys initialize (prev_name NULL and never touched),
+    %10==0 keys insert in batch 1 then change name in batch 2, so their
+    prev_name must surface the ORIGINAL name next to the ' up' current.
+    Batch 2 re-merged would be a no-op (idempotence pinned in
+    tests/test_scd_pipeline.py); the final state is closed-form, so the
+    full DuckDB oracle hash-checks the carry logic."""
+    from .plans.scd3 import merge_scd3_df
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b0 = cust.filter(F.col("c_custkey") % 10 != 0)
+    b1 = cust.filter(F.col("c_custkey") % 10 == 0)
+    b2 = b1.withColumn("c_name", F.concat(F.col("c_name"), F.lit(" up")))
+
+    state = merge_scd3_df(None, b0, ["c_custkey"], ["c_name"])
+    state = merge_scd3_df(state, b1, ["c_custkey"], ["c_name"])
+    state = merge_scd3_df(state, b2, ["c_custkey"], ["c_name"])
+    return state.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("prev_c_name").alias("prev_name"),
+    ).orderBy("c_custkey")
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity
+    (operators/similarity.sparse_cosine_pairs): top-3 most similar docs
+    per doc over source-blocked id-window pairs — the bag-of-words
+    similarity search that needs no embedding model, completing the
+    similarity ladder's sparse rung (dense exact/LSH/IVF/PQ and shingle
+    Jaccard already exist). Integer-scaled idf weights materialize once;
+    dots sum only SHARED terms through the inverted index; the one
+    cosine division + sqrt are IEEE-identical cross-engine, so the
+    ranked pairs hash-match the full DuckDB oracle."""
+    from .operators.similarity import sparse_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs,
+        "doc_id",
+        "text",
+        "source",
+        _tmp_path("tfidf_weights"),
+        window=100,
+        topk=3,
+    ).orderBy("a", F.col("cosine").desc(), "b")
+
+
+def q_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting with the seasonal-naive baseline: predict
+    each (event_type, 6 h bucket) mean value by the SAME series 24 h
+    (4 buckets) earlier, and score MAPE per type — the sanity baseline
+    every forecasting pipeline must beat, run as a backtest over the
+    history.
+
+    The 24 h-earlier lookup is a bucket-shifted EQUI-JOIN on
+    (type, bucket-4), not lag(4) over a type-partitioned window: gaps in
+    the series would silently misalign a row-offset lag (pred would be
+    "4 observations ago", not "24 hours ago"), and the join needs no
+    low-cardinality window at all. Bucket means materialize once
+    (both join sides scan the artifact, not the fact). Exactness: means
+    come from decimal sums; each APE is per-row IEEE arithmetic
+    (identical cross-engine) integerized as floor(ape*1e12+0.5) before
+    the cross-row sum, so MAPE is order-independent."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    ser = (
+        ev.select(
+            "event_type",
+            F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("ep"),
+            "value",
+        )
+        .withColumn("bucket", F.expr("ep div 21600").cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    path = _tmp_path("seasonal_series")
+    ser.write.mode("overwrite").parquet(path)
+    ser = spark.read.parquet(path)
+    pred = ser.select(
+        "event_type",
+        (F.col("bucket") + 4).alias("bucket"),
+        F.col("m").alias("pred"),
+    )
+    scored = (
+        ser.join(pred, ["event_type", "bucket"])
+        .filter(F.col("m") != 0)
+        .withColumn(
+            "a12",
+            F.floor(
+                F.abs(F.col("m") - F.col("pred")) / F.abs(F.col("m")) * 1e12
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    totals = ser.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            (
+                (F.sum("a12").cast("double") / F.lit(1e12))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mape"),
+        )
+        .join(F.broadcast(totals), "event_type")
+        .select("event_type", "n_buckets", "n_scored", "mape")
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5325,6 +5495,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_waterfill": q_mixture_waterfill,
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_anova_f": q_anova_f,
+    "q_interval_coalesce": q_interval_coalesce,
+    "q_scd3_merge": q_scd3_merge,
+    "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "q_seasonal_naive_mape": q_seasonal_naive_mape,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -7826,5 +8000,130 @@ ORACLES: dict[str, str] = {
                   / ((n1::double + n2::double + n3::double + n4::double
                       + n5::double) - 5.0)) as f_stat
         from p
+    """,
+    "q_interval_coalesce": """
+        with base as (
+            select user_id, event_id,
+                   floor(epoch(ts))::bigint as s,
+                   floor(epoch(ts))::bigint + 1800 as e
+            from events
+        ),
+        flagged as (
+            select user_id, s, e,
+                   case when max(e) over (
+                            partition by user_id order by s, event_id
+                            rows between unbounded preceding and 1 preceding
+                        ) is null
+                        or s > max(e) over (
+                            partition by user_id order by s, event_id
+                            rows between unbounded preceding and 1 preceding
+                        )
+                        then 1 else 0 end as new_island,
+                   event_id
+            from base
+        ),
+        islands as (
+            select user_id, s, e,
+                   (sum(new_island) over (
+                       partition by user_id order by s, event_id
+                       rows between unbounded preceding and current row
+                   ))::bigint as island
+            from flagged
+        )
+        select user_id, island,
+               min(s)::bigint as island_start,
+               max(e)::bigint as island_end,
+               count(*)::bigint as n_events
+        from islands
+        group by user_id, island
+        order by user_id, island
+    """,
+    # SCD3 three-batch final state in closed form: untouched keys keep
+    # prev_name NULL; changed keys carry the original name beside the
+    # ' up' current value
+    "q_scd3_merge": """
+        select c_custkey, c_name, c_mktsegment,
+               cast(null as varchar) as prev_name
+        from customer where c_custkey % 10 <> 0
+        union all
+        select c_custkey, c_name || ' up', c_mktsegment,
+               c_name as prev_name
+        from customer where c_custkey % 10 = 0
+        order by c_custkey
+    """,
+    "q_tfidf_cosine_pairs": f"""
+        with tf as (
+            select doc_id, t as term, count(*)::bigint as tf
+            from (select doc_id, unnest({_DK_TOKENS}) as t from documents)
+            group by 1, 2
+        ),
+        dfreq as (select term, count(*)::bigint as df from tf group by term),
+        w as (
+            select tf.doc_id, tf.term, (tf.tf * 1000000) // dfreq.df as w
+            from tf join dfreq using (term)
+        ),
+        norms as (
+            select doc_id, sum(w * w)::bigint as n2 from w group by doc_id
+        ),
+        pairs as (
+            select a.doc_id as a, b.doc_id as b
+            from documents a join documents b
+              on a.source = b.source
+             and a.doc_id < b.doc_id
+             and b.doc_id - a.doc_id <= 100
+        ),
+        dots as (
+            select p.a, p.b, sum(wa.w * wb.w)::bigint as dot
+            from pairs p
+            join w wa on wa.doc_id = p.a
+            join w wb on wb.doc_id = p.b and wb.term = wa.term
+            group by 1, 2
+        ),
+        scored as (
+            select d.a, d.b, d.dot,
+                   d.dot::double / sqrt(na.n2::double * nb.n2::double)
+                       as cosine
+            from dots d
+            join norms na on na.doc_id = d.a
+            join norms nb on nb.doc_id = d.b
+        ),
+        ranked as (
+            select *, row_number() over (
+                       partition by a order by cosine desc, b
+                   ) as rk
+            from scored
+        )
+        select a, b, dot, cosine from ranked where rk <= 3
+        order by a, cosine desc, b
+    """,
+    "q_seasonal_naive_mape": """
+        with ser as (
+            select event_type,
+                   floor(epoch(ts))::bigint // 21600 as bucket,
+                   cast(sum(cast(value as decimal(18,6))) as double)
+                       / count(*) as m
+            from events
+            group by 1, 2
+        ),
+        pred as (
+            select event_type, bucket + 4 as bucket, m as pred from ser
+        ),
+        scored as (
+            select s.event_type,
+                   floor(abs(s.m - p.pred) / abs(s.m) * 1e12 + 0.5)::bigint
+                       as a12
+            from ser s join pred p using (event_type, bucket)
+            where s.m <> 0
+        ),
+        totals as (
+            select event_type, count(*)::bigint as n_buckets
+            from ser group by event_type
+        )
+        select s.event_type, t.n_buckets,
+               count(*)::bigint as n_scored,
+               (sum(a12)::double / 1e12) / count(*)::double as mape
+        from scored s join totals t using (event_type)
+        group by s.event_type, t.n_buckets
+        order by s.event_type
     """,
 }

@@ -724,3 +724,90 @@ def semantic_dedup(
     return assigned.join(losers, id_col, "left_anti").select(
         id_col, "cell", "centroid_cos"
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    weights_path: str,
+    window: int = 100,
+    topk: int = 3,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents via the inverted
+    index — the bag-of-words sibling of the dense-embedding ladder above:
+    no embedding model required, and the dot product touches only SHARED
+    terms (a sparse vector never materializes).
+
+    Weights are the engine's integer-scaled TF-IDF (``tf * 1e6 div df``
+    — float log-idf rounds differently across engines, q_tfidf_topk's
+    convention), materialized ONCE to ``weights_path``: three downstream
+    references (two pair endpoints + norms) would each re-tokenize the
+    corpus otherwise (the signatures lesson). Norms and dots are exact
+    integer sums; the final cosine ``dot / sqrt(na2 * nb2)`` is two IEEE
+    ops, bit-identical cross-engine (na2 < 2^53 so the double product
+    rounds identically).
+
+    Pair space: blocked narrow (block, id-window) pairs like
+    ngram_jaccard_windowed — ids only; weights attach per shared term
+    AFTER the pair filter. For unblocked corpora, compose with the
+    prefix filter (dedup.prefix_filter_pairs) or LSH candidates instead
+    of the block — the scoring stages are pair-source-agnostic.
+    Returns each doc's ``topk`` most similar neighbors:
+    ``(a, b, dot, cosine)`` with (cosine desc, b) determinism."""
+    from ..functions import text as TX
+
+    tf = (
+        df.select(F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weights = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.expr("tf * 1000000 div df").alias("w"),
+    )
+    weights.write.mode("overwrite").parquet(weights_path)
+    weights = df.sparkSession.read.parquet(weights_path)
+
+    norms = weights.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    narrow = df.select(F.col(block_col).alias("blk"), F.col(id_col))
+    pairs = (
+        narrow.select("blk", F.col(id_col).alias("a"))
+        .join(narrow.select("blk", F.col(id_col).alias("b")), "blk")
+        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= window))
+        .select("a", "b")
+    )
+    wa = weights.select(F.col(id_col).alias("a"), "term", F.col("w").alias("wa"))
+    wb = weights.select(F.col(id_col).alias("b"), "term", F.col("w").alias("wb"))
+    dots = (
+        pairs.join(wa, "a")
+        .join(wb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("b"), F.col("n2").alias("nb2"))
+    scored = (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= topk)
+        .select("a", "b", "dot", "cosine")
+    )

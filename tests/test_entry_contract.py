@@ -127,7 +127,9 @@ def test_driver_window_composition():
     # session-6 batch joins batch D past the window (round 7's rotation
     # head) — all judge-verifiable via check_oracle now
     session6 = ["q_prefix_filter_join", "q_token_budget_fill",
-                "q_mixture_waterfill", "q_time_weighted_avg", "q_anova_f"]
+                "q_mixture_waterfill", "q_time_weighted_avg", "q_anova_f",
+                "q_interval_coalesce", "q_scd3_merge",
+                "q_tfidf_cosine_pairs", "q_seasonal_naive_mape"]
     n6 = len(session6)
     assert list(qs)[54:54 + n6] == session6
     assert list(qs)[54 + n6] == "q_star_join"

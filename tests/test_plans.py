@@ -154,6 +154,10 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_mixture_waterfill",
         "q_time_weighted_avg",
         "q_anova_f",
+        "q_interval_coalesce",
+        "q_scd3_merge",
+        "q_tfidf_cosine_pairs",
+        "q_seasonal_naive_mape",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):

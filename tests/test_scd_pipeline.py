@@ -111,3 +111,67 @@ def test_fact_build_star_join(spark, batch0):
     assert len(rows) == 3  # one fact row per source row
     assert all(r["dim_branch_key"] is not None for r in rows)
     assert all(r["dim_dealer_key"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 3 (previous-value columns)
+# ---------------------------------------------------------------------------
+
+
+def _scd3_state(spark, rows):
+    return spark.createDataFrame(rows, ["k", "name", "segment"])
+
+
+def test_scd3_change_carries_previous_value(spark):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.scd3 import (
+        merge_scd3_df,
+    )
+
+    b0 = _scd3_state(spark, [(1, "a", "s1"), (2, "b", "s2")])
+    b1 = _scd3_state(spark, [(2, "b2", "s2x"), (3, "c", "s3")])
+    state = merge_scd3_df(None, b0, ["k"], ["name"])
+    state = merge_scd3_df(state, b1, ["k"], ["name"])
+    got = {r["k"]: (r["name"], r["prev_name"], r["segment"])
+           for r in state.collect()}
+    assert got[1] == ("a", None, "s1")        # untouched
+    assert got[2] == ("b2", "b", "s2x")       # changed: prev captured,
+    #                                           non-tracked overwrites (Type 1)
+    assert got[3] == ("c", None, "s3")        # new key: prev NULL
+
+
+def test_scd3_idempotent_and_two_changes_keep_latest_prev(spark):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.scd3 import (
+        merge_scd3_df,
+    )
+
+    b0 = _scd3_state(spark, [(1, "a", "s")])
+    b1 = _scd3_state(spark, [(1, "b", "s")])
+    b2 = _scd3_state(spark, [(1, "c", "s")])
+    state = merge_scd3_df(None, b0, ["k"], ["name"])
+    state = merge_scd3_df(state, b1, ["k"], ["name"])
+    once = {r["k"]: (r["name"], r["prev_name"]) for r in state.collect()}
+    assert once[1] == ("b", "a")
+    # re-merging the identical batch must not clobber prev (no-op)
+    again = merge_scd3_df(state, b1, ["k"], ["name"])
+    assert {r["k"]: (r["name"], r["prev_name"]) for r in again.collect()} == once
+    # a second real change keeps only the latest prior value (Type 3 keeps
+    # depth-1 history by design)
+    final = merge_scd3_df(again, b2, ["k"], ["name"])
+    assert {r["k"]: (r["name"], r["prev_name"]) for r in final.collect()} == {
+        1: ("c", "b")
+    }
+
+
+def test_scd3_rejects_duplicate_source_keys(spark):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.scd import (
+        DuplicateMergeKeyError,
+    )
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.scd3 import (
+        merge_scd3_df,
+    )
+
+    b0 = _scd3_state(spark, [(1, "a", "s")])
+    dup = _scd3_state(spark, [(1, "x", "s"), (1, "y", "s")])
+    state = merge_scd3_df(None, b0, ["k"], ["name"])
+    with pytest.raises(DuplicateMergeKeyError):
+        merge_scd3_df(state, dup, ["k"], ["name"])

@@ -248,3 +248,50 @@ def test_semantic_dedup_drops_planted_neardups(spark):
     assert len({1, 101} & kept) == 1  # noisy dup pair: exactly one lives
     # every vector without a planted partner survives
     assert {i for i in range(2, 12)} <= kept
+
+
+def test_sparse_cosine_pairs_matches_numpy_reference(spark, tmp_path):
+    """Integer-TF-IDF cosine over blocked pairs == a direct numpy
+    computation with the same integer weighting (one block, all pairs in
+    the id window)."""
+    import math
+    import re
+    from collections import Counter
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    rows = [
+        (0, "spark joins shuffle data across the cluster", "s"),
+        (1, "spark joins shuffle data across the wire", "s"),
+        (2, "parquet files store columnar data", "s"),
+        (3, "completely different topic entirely here now", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["a"], r["b"]): (r["dot"], r["cosine"])
+        for r in sparse_cosine_pairs(
+            df, "doc_id", "text", "source", str(tmp_path / "w"), topk=10
+        ).collect()
+    }
+    tf = {i: Counter(re.split(r"\s+", t.lower())) for i, t, _ in rows}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    w = {
+        i: {t: (c * 1_000_000) // dfreq[t] for t, c in cnt.items()}
+        for i, cnt in tf.items()
+    }
+    for a in range(4):
+        for b in range(a + 1, 4):
+            shared = set(w[a]) & set(w[b])
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            na2 = sum(v * v for v in w[a].values())
+            nb2 = sum(v * v for v in w[b].values())
+            if dot == 0:
+                assert (a, b) not in got  # no shared term -> no pair row
+                continue
+            ref = dot / math.sqrt(float(na2) * float(nb2))
+            assert got[(a, b)][0] == dot
+            assert abs(got[(a, b)][1] - ref) < 1e-12
+    # near-identical docs must rank closest
+    assert max(got, key=lambda k: got[k][1]) == (0, 1)
