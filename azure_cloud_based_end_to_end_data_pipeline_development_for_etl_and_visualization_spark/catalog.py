@@ -5387,6 +5387,53 @@ def q_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training
+    (operators/gradient.logreg_gd): predict purchase events from scaled
+    value + time-of-day by 8 full-batch gradient steps — each step ONE
+    map-combined aggregation over a materialized narrow feature table,
+    weights riding back as broadcast literals (nothing data-sized on the
+    driver). Gradient contributions integerize before the cross-row sum
+    (floor(g*1e12+0.5)), so training is bit-reproducible under any
+    layout. Rows-only by the perplexity precedent (sigmoid/log are libm
+    transcendentals); tests/test_gradient.py pins exact layout
+    independence, ~1e-6 numpy-reference parity, monotone loss, and
+    better-than-majority accuracy."""
+    from .functions.timeutil import epoch_seconds
+    from .operators.gradient import logreg_gd, logreg_readout
+
+    ev = _events(spark, sf_dir)
+    feats = ev.select(
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+        (F.col("value") / 100.0).alias("x1"),
+        (
+            (F.floor(epoch_seconds(F.col("ts"))).cast("long") % 86400)
+            / F.lit(86400.0)
+        ).alias("x2"),
+    )
+    path = _tmp_path("logreg_feats")
+    feats.write.mode("overwrite").parquet(path)
+    feats = spark.read.parquet(path)
+    w, _losses = logreg_gd(feats, "y", ["x1", "x2"], iters=8, lr=1.0)
+    return logreg_readout(feats, "y", ["x1", "x2"], w)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy readout a
+    release pipeline runs before publishing: group the dimension by its
+    quasi-identifier tuple (market segment x nation) and flag every
+    equivalence class smaller than k=5, whose members are re-identifiable
+    by the tuple alone. One map-combined aggregate; integer counts
+    hash-match."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < 5)
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5499,6 +5546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd3_merge": q_scd3_merge,
     "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "q_seasonal_naive_mape": q_seasonal_naive_mape,
+    "q_logreg_gd": q_logreg_gd,
+    "q_k_anonymity": q_k_anonymity,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -8125,5 +8174,13 @@ ORACLES: dict[str, str] = {
         from scored s join totals t using (event_type)
         group by s.event_type, t.n_buckets
         order by s.event_type
+    """,
+    "q_k_anonymity": """
+        select c_mktsegment, c_nationkey,
+               count(*)::bigint as class_size,
+               count(*) < 5 as at_risk
+        from customer
+        group by c_mktsegment, c_nationkey
+        order by c_mktsegment, c_nationkey
     """,
 }

@@ -158,6 +158,8 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_scd3_merge",
         "q_tfidf_cosine_pairs",
         "q_seasonal_naive_mape",
+        "q_logreg_gd",
+        "q_k_anonymity",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
