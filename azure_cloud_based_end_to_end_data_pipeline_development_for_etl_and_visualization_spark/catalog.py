@@ -5434,6 +5434,137 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_full_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completing the streaming
+    join family (inner: q_streaming_interval_join, left outer:
+    q_streaming_left_interval): unmatched rows on BOTH sides
+    null-extend, each under the watermark discipline (an error seals at
+    ts + 6 h, a click seals once no future error can reach back to it).
+    Same three-file staged replay — real events, then two sentinel
+    batches on both sides that drag event time +2 d/+4 d so the final
+    micro-batch runs under a watermark past every real horizon and
+    flushes all unmatched state. The filtered output equals the batch
+    FULL join, so the DuckDB oracle hash-checks both null-extension
+    directions at once; state bound identical to inner (the outer forms
+    add only matched bits)."""
+    import datetime
+    import shutil
+
+    from .streaming.join import interval_join_streams
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+
+    stage = _tmp_path("fsj_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+
+    def write_batch(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = f"{stage}.__w"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_batch(ev, "batch0.parquet", now - 60)
+    for i, days in enumerate((2, 4), start=1):
+        ts = mx + datetime.timedelta(days=days)
+        uid = -(2 * i)
+        sent = spark.createDataFrame(
+            [
+                (-(4 * i), ts, uid, "error", 0.0, "{}"),
+                (-(4 * i) - 1, ts, uid - 1, "click", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+        write_batch(sent, f"batch{i}.parquet", now - 60 + 20 * i)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join_streams(
+        errors,
+        clicks,
+        "user_id",
+        "ts",
+        "click_ts",
+        21600,
+        watermark="1 minute",
+        how="full_outer",
+    ).select("error_id", "click_id")
+    ckpt = _tmp_path("fsj_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("engine_full_interval")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table("engine_full_interval")
+        .filter(
+            (F.col("error_id").isNull() | (F.col("error_id") >= 0))
+            & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        )
+        .orderBy("error_id", "click_id")
+    )
+
+
+def q_epoch_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle + balanced sharding: order
+    the corpus by a seeded content-independent hash (reshuffling =
+    changing the seed, reproducing a run = keeping it — rand() is
+    neither), then cut the shuffled order into 8 contiguous near-equal
+    shards, ``shard = (rn-1)*8 div n``. The step that turns a curated
+    corpus into the randomized shard files a training job consumes.
+
+    Scale shape: ranking the hash order runs through the two-phase
+    range rank over a materialized (doc_id, hash) artifact —
+    `repartitionByRange` on the hash IS the shuffle, each reducer
+    sorts only its range, and writing shard files afterwards is a
+    partitionBy(shard) write with no further movement. All integers, so
+    the assignment hash-matches DuckDB."""
+    from .functions import text as TX
+    from .operators.relational import with_global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        TX.hash32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))
+        ).alias("h"),
+    )
+    path = _tmp_path("epoch_hashes")
+    hashed.write.mode("overwrite").parquet(path)
+    hashed = spark.read.parquet(path)
+    ranked = with_global_row_number(hashed, ["h", "doc_id"], rn_col="rn", n_col="n")
+    return ranked.select(
+        "doc_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.expr("(rn - 1) * 8 div n").cast("long").alias("shard"),
+    ).orderBy("rn")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5548,6 +5679,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seasonal_naive_mape": q_seasonal_naive_mape,
     "q_logreg_gd": q_logreg_gd,
     "q_k_anonymity": q_k_anonymity,
+    "q_streaming_full_interval": q_streaming_full_interval,
+    "q_epoch_reshard": q_epoch_reshard,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -8182,5 +8315,38 @@ ORACLES: dict[str, str] = {
         from customer
         group by c_mktsegment, c_nationkey
         order by c_mktsegment, c_nationkey
+    """,
+    "q_streaming_full_interval": """
+        with e as (
+            select user_id, event_id as error_id, ts
+            from events where event_type = 'error'
+        ),
+        c as (
+            select user_id, event_id as click_id, ts as click_ts
+            from events where event_type = 'click'
+        )
+        select e.error_id, c.click_id
+        from e full join c
+          on e.user_id = c.user_id
+         and c.click_ts >= e.ts
+         and c.click_ts <= e.ts + interval 21600 seconds
+        order by e.error_id, c.click_id
+    """,
+    "q_epoch_reshard": """
+        with d as (
+            select doc_id,
+                   ('0x' || substr(md5(doc_id::varchar || ':epoch0'), 1, 8))
+                       ::bigint as h
+            from documents
+        ),
+        r as (
+            select doc_id,
+                   row_number() over (order by h, doc_id) as rn,
+                   count(*) over () as n
+            from d
+        )
+        select doc_id, rn::bigint as rn,
+               ((rn - 1) * 8 // n)::bigint as shard
+        from r order by rn
     """,
 }

@@ -35,12 +35,17 @@ def interval_join_streams(
     unmatched rows surface one batch AFTER the event time that seals
     them, and a finite replay needs trailing batches that advance event
     time past the horizon (see q_streaming_left_interval's staged
-    sentinel batches)."""
+    sentinel batches). ``how='full_outer'`` additionally null-extends
+    unmatched RIGHT rows under the same watermark discipline (a right
+    row seals once no future left row could reach back to it),
+    completing the streaming join family; state bounds are unchanged —
+    outer forms only add the per-row matched bit."""
     from .windows import _watermarkable
 
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
-            f"interval_join_streams supports how='inner'|'left_outer', got {how!r}"
+            "interval_join_streams supports "
+            f"how='inner'|'left_outer'|'full_outer', got {how!r}"
         )
     l = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
     r = _watermarkable(right, right_ts).withWatermark(right_ts, watermark)

@@ -112,6 +112,18 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_degree_distribution",
     "q_event_path_topk",
+    # round-6 session-6 additions
+    "q_prefix_filter_join",
+    "q_token_budget_fill",
+    "q_mixture_waterfill",
+    "q_time_weighted_avg",
+    "q_anova_f",
+    "q_interval_coalesce",
+    "q_scd3_merge",
+    "q_tfidf_cosine_pairs",
+    "q_seasonal_naive_mape",
+    "q_logreg_gd",
+    "q_k_anonymity",
 ]
 
 

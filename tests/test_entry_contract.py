@@ -130,7 +130,8 @@ def test_driver_window_composition():
                 "q_mixture_waterfill", "q_time_weighted_avg", "q_anova_f",
                 "q_interval_coalesce", "q_scd3_merge",
                 "q_tfidf_cosine_pairs", "q_seasonal_naive_mape",
-                "q_logreg_gd", "q_k_anonymity"]
+                "q_logreg_gd", "q_k_anonymity",
+                "q_streaming_full_interval", "q_epoch_reshard"]
     n6 = len(session6)
     assert list(qs)[54:54 + n6] == session6
     assert list(qs)[54 + n6] == "q_star_join"

@@ -160,6 +160,7 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_seasonal_naive_mape",
         "q_logreg_gd",
         "q_k_anonymity",
+        "q_epoch_reshard",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):

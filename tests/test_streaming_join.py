@@ -172,3 +172,91 @@ def test_left_outer_null_extension_is_watermark_driven(spark, tmp_path):
     # with the watermark advanced past u2's horizon, the null-extended
     # row flushes in batch 3
     assert run(d2, "t_lsj_flush") == {(1, 101), (2, None)}
+
+
+def test_full_outer_null_extends_both_sides(spark, tmp_path):
+    """full_outer completes the family: unmatched LEFT and RIGHT rows
+    both null-extend once the watermark passes their horizons, and the
+    matched pair emits exactly once."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.join import (
+        interval_join_streams,
+    )
+
+    d = tmp_path / "fo"
+    d.mkdir()
+    now = _time.time()
+    _write(d / "b0.csv", [
+        ("u1", "2024-01-01 10:00:00", 1),     # matches 101
+        ("u1", "2024-01-01 10:00:30", 101),
+        ("u2", "2024-01-01 10:00:00", 2),     # left, never matches
+        ("u3", "2024-01-01 10:00:00", 102),   # right, never matches
+    ])
+    _write(d / "b1.csv", [
+        ("u8", "2024-01-02 10:00:00", 90),
+        ("u9", "2024-01-02 10:00:00", 190),
+    ])
+    _write(d / "b2.csv", [
+        ("u8", "2024-01-03 10:00:00", 91),
+        ("u9", "2024-01-03 10:00:00", 191),
+    ])
+    for i, f in enumerate(["b0.csv", "b1.csv", "b2.csv"]):
+        _os.utime(d / f, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    l = (
+        spark.readStream.schema(SCHEMA)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(d))
+        .withColumnRenamed("id", "l_id")
+    )
+    r = (
+        spark.readStream.schema(SCHEMA)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(d))
+        .withColumnRenamed("id", "r_id")
+        .withColumnRenamed("ts", "r_ts")
+    )
+    joined = interval_join_streams(
+        l.filter(F.col("l_id") < 100),
+        r.filter(F.col("r_id") >= 100),
+        key="user",
+        left_ts="ts",
+        right_ts="r_ts",
+        max_delay_seconds=60,
+        watermark="1 seconds",
+        how="full_outer",
+    )
+    q = (
+        joined.select("l_id", "r_id")
+        .writeStream.format("memory")
+        .queryName("t_fsj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fsj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (row["l_id"], row["r_id"])
+        for row in spark.table("t_fsj").collect()
+        if (row["l_id"] is None or row["l_id"] < 90)
+        and (row["r_id"] is None or row["r_id"] < 190)
+    }
+    assert got == {(1, 101), (2, None), (None, 102)}
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.streaming.join import (
+        interval_join_streams,
+    )
+
+    with _pytest.raises(ValueError):
+        interval_join_streams(None, None, "k", "a", "b", 1, how="right_outer")
