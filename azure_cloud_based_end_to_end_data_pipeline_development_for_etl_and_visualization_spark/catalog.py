@@ -5008,9 +5008,13 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import prefix_filter_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5).orderBy(
-        "a", "b"
-    )
+    return prefix_filter_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        index_path=_tmp_path("prefix_index"),
+    ).orderBy("a", "b")
 
 
 def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:

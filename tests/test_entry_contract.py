@@ -55,6 +55,8 @@ def test_rows_only_queries_are_the_documented_set():
         "q_semantic_dedup",      # iterative k-means cells, planted-dup pytest
         "q_bigram_perplexity",   # log2 ulps are libm-specific, pytest parity
         "q_cube_distinct_sketch",  # HLL lattice, per-cell envelope pytest
+        "q_logreg_gd",           # sigmoid/log ulps are libm-specific;
+        #                          layout-exactness + numpy parity pytest
     }
 
 
