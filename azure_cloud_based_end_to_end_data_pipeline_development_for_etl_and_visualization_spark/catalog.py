@@ -5569,6 +5569,139 @@ def q_epoch_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rn")
 
 
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar (date) dimension — the warehouse table every
+    star schema joins for fiscal rollups, built from nothing:
+    sequence-explode the 2024 day range and derive attributes with
+    PORTABLE integer arithmetic only. Notably dow uses the epoch-day
+    formula ``(epoch_day + 4) % 7`` (1970-01-01 was a Thursday; 0 =
+    Sunday) because engine-native dayofweek()/isodow() disagree on
+    numbering across engines. Map-only over a generated relation —
+    no input scan at all."""
+    d = F.col("d")
+    epoch_day = F.datediff(d, F.lit("1970-01-01").cast("date"))
+    dow = (epoch_day + 4) % 7
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-12-31").cast("date"),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.date_format(d, "yyyy-MM-dd").alias("date_str"),
+            F.year(d).cast("long").alias("year"),
+            F.quarter(d).cast("long").alias("quarter"),
+            F.month(d).cast("long").alias("month"),
+            F.dayofmonth(d).cast("long").alias("day_of_month"),
+            epoch_day.cast("long").alias("epoch_day"),
+            dow.cast("long").alias("dow"),
+            ((dow == 0) | (dow == 6)).alias("is_weekend"),
+        )
+        .orderBy("epoch_day")
+    )
+
+
+def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: every event opens a 30-minute
+    interval; +1/-1 boundary deltas sorted by time make the running sum
+    the number of concurrently open intervals at each instant — the
+    classic interval-concurrency question (open sessions, connection
+    load, licenses in use) answered WITHOUT a self-join. Half-open
+    [s, e) semantics: at equal timestamps the -1 sorts first (delta
+    ascending), so an interval ending exactly when another starts never
+    overlaps it.
+
+    The running sum is GLOBAL over the fact-sized boundary list — the
+    canonical un-partitioned-window trap — so it runs through the
+    two-phase range prefix sum (with_grouped_running_sum over a constant
+    group): every reducer sorts one time range, carries ride a
+    partition-count-sized window. Readout: per-day boundary count + max
+    concurrency observed at that day's boundaries (levels only change at
+    boundaries)."""
+    from .functions.timeutil import epoch_seconds
+    from .operators.relational import with_grouped_running_sum
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("s")
+    )
+    bounds = base.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        base.select(
+            (F.col("s") + 1800).alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    path = _tmp_path("sweep_bounds")
+    bounds.write.mode("overwrite").parquet(path)
+    bounds = spark.read.parquet(path).withColumn("__g", F.lit(0))
+    running = with_grouped_running_sum(
+        bounds, ["__g"], ["t", "delta", "event_id"], "delta", out_col="level"
+    )
+    return (
+        running.withColumn("day_idx", F.expr("t div 86400").cast("long"))
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+            F.max("level").cast("long").alias("max_concurrent"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of a part co-purchase graph (operators/graph.k_core):
+    iterative peeling strips nodes with < 4 surviving neighbors until a
+    fixpoint — the periphery filter run before community detection or
+    graph embeddings. The graph restricts to the partkey%20==0 part
+    family so edge DENSITY is scale-invariant and peeling actually
+    cascades at every sf: the unrestricted basket graph is near-regular
+    (degree ~115 — any small k keeps everything), while
+    q_triangle_count's w>=2 repeat filter thins super-linearly with
+    scale (its sf0.1 2-core is 3 nodes). Each peel round is two
+    node-keyed aggregations + two semi-joins, survivor count the only
+    driver scalar. Rows-only (iterative, q_pagerank precedent);
+    tests/test_graph.py pins equality with a Python peeling reference
+    on arbitrary small graphs plus the k-core invariant (every
+    surviving node keeps >= k surviving neighbors)."""
+    from .operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.filter(F.collect_set("l_partkey"), lambda x: x % 20 == 0)
+            ).alias("items")
+        )
+        .filter((F.size("items") >= 2) & (F.size("items") <= 30))
+    )
+    items = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    path = _tmp_path("kcore_edges")
+    edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    return k_core(edges, k=4).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5685,6 +5818,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_k_anonymity": q_k_anonymity,
     "q_streaming_full_interval": q_streaming_full_interval,
     "q_epoch_reshard": q_epoch_reshard,
+    "q_date_dim": q_date_dim,
+    "q_concurrency_sweep": q_concurrency_sweep,
+    "q_kcore": q_kcore,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -8352,5 +8488,50 @@ ORACLES: dict[str, str] = {
         select doc_id, rn::bigint as rn,
                ((rn - 1) * 8 // n)::bigint as shard
         from r order by rn
+    """,
+    # dow via the portable epoch-day formula — engine-native
+    # dayofweek()/isodow() numberings disagree across engines
+    "q_date_dim": """
+        with days as (
+            select unnest(generate_series(
+                date '2024-01-01', date '2024-12-31', interval 1 day
+            ))::date as d
+        ),
+        attrs as (
+            select d, (d - date '1970-01-01')::bigint as epoch_day
+            from days
+        )
+        select strftime(d, '%Y-%m-%d') as date_str,
+               year(d)::bigint as year,
+               quarter(d)::bigint as quarter,
+               month(d)::bigint as month,
+               day(d)::bigint as day_of_month,
+               epoch_day,
+               ((epoch_day + 4) % 7)::bigint as dow,
+               ((epoch_day + 4) % 7 = 0 or (epoch_day + 4) % 7 = 6)
+                   as is_weekend
+        from attrs order by epoch_day
+    """,
+    "q_concurrency_sweep": """
+        with base as (
+            select event_id, floor(epoch(ts))::bigint as s from events
+        ),
+        bounds as (
+            select s as t, 1 as delta, event_id from base
+            union all
+            select s + 1800 as t, -1 as delta, event_id from base
+        ),
+        running as (
+            select t, (sum(delta) over (
+                       order by t, delta, event_id
+                       rows between unbounded preceding and current row
+                   ))::bigint as level
+            from bounds
+        )
+        select t // 86400 as day_idx,
+               count(*)::bigint as n_boundaries,
+               max(level)::bigint as max_concurrent
+        from running
+        group by 1 order by day_idx
     """,
 }

@@ -156,3 +156,60 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with degree < k (and their edges) until a fixpoint — the standard
+    subgraph-density filter (the k-core is the maximal subgraph where
+    every node keeps >= k neighbors), used to strip low-signal periphery
+    before community/embedding work.
+
+    Input: canonical undirected edges (``src < dst``, deduped, no
+    self-loops). Each peel round is two narrow aggregations (degrees)
+    plus two semi-joins filtering the edge list — shuffle keys are node
+    ids only, nothing graph-sized reaches the driver (the per-round
+    survivor count is the one scalar, doubling as the convergence test;
+    peeling monotonically shrinks, so rounds <= initial node count and
+    ``max_iters`` is a safety rail). The edge list is
+    ``localCheckpoint``ed every round — cache alone keeps the FULL
+    nested-join lineage alive for Catalyst, and re-analysis cost grows
+    super-linearly with rounds (the BPE lesson: a 50-round loop went
+    from unbounded to seconds). Returns ``(node, core_degree)`` for the
+    surviving subgraph."""
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    prev_n = -1
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("src").alias("node"))
+            .union(cur.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        n_keep = keep.count()
+        if n_keep == prev_n:
+            break
+        prev_n = n_keep
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        cur.select(F.col("src").alias("node"))
+        .union(cur.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return out

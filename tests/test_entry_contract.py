@@ -57,6 +57,7 @@ def test_rows_only_queries_are_the_documented_set():
         "q_cube_distinct_sketch",  # HLL lattice, per-cell envelope pytest
         "q_logreg_gd",           # sigmoid/log ulps are libm-specific;
         #                          layout-exactness + numpy parity pytest
+        "q_kcore",               # iterative peeling, pytest vs Python ref
     }
 
 
@@ -133,7 +134,8 @@ def test_driver_window_composition():
                 "q_interval_coalesce", "q_scd3_merge",
                 "q_tfidf_cosine_pairs", "q_seasonal_naive_mape",
                 "q_logreg_gd", "q_k_anonymity",
-                "q_streaming_full_interval", "q_epoch_reshard"]
+                "q_streaming_full_interval", "q_epoch_reshard",
+                "q_date_dim", "q_concurrency_sweep", "q_kcore"]
     n6 = len(session6)
     assert list(qs)[54:54 + n6] == session6
     assert list(qs)[54 + n6] == "q_star_join"

@@ -97,3 +97,76 @@ def test_triangle_stats_counts_each_triangle_once(spark):
     k3 = [(1, 2), (2, 3), (1, 3)]
     row = triangle_stats(spark.createDataFrame(k3, "src long, dst long")).collect()[0]
     assert row["n_triangles"] == 1 and row["clustering_coeff"] == 1.0
+
+
+def _reference_kcore(edges, k):
+    """Python peeling reference: remove degree<k nodes until fixpoint;
+    returns {node: core_degree}."""
+    cur = set(edges)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        nxt = {(a, b) for a, b in cur if a not in drop and b not in drop}
+        if nxt == cur:
+            return deg
+        cur = nxt
+    # unreachable
+
+
+def test_kcore_matches_python_peeling(spark):
+    """K4 survives a 3-core; the path/pendant periphery peels away —
+    including cascades (removing a node drops a neighbor below k)."""
+    from itertools import combinations
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        k_core,
+    )
+
+    # K4 on {1..4} + pendant chain 4-5, 5-6 + isolated edge 7-8
+    edges = sorted(
+        {(a, b) for a, b in combinations(range(1, 5), 2)}
+        | {(4, 5), (5, 6), (7, 8)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    got = {r["node"]: r["core_degree"] for r in k_core(df, 3).collect()}
+    assert got == _reference_kcore(edges, 3) == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps everything; k=5 empties the graph
+    assert {r["node"] for r in k_core(df, 1).collect()} == {n for e in edges for n in e}
+    assert k_core(df, 5).count() == 0
+
+
+def test_kcore_matches_reference_on_arbitrary_graphs(spark):
+    """Hypothesis: distributed peeling == the Python reference on random
+    graphs (cascading removals exercised by construction), and every
+    survivor keeps >= k surviving neighbors (the k-core invariant)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        k_core,
+    )
+
+    pair = st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+        lambda p: p[0] < p[1]
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.sets(pair, min_size=1, max_size=14), k=st.sampled_from([2, 3]))
+    def run(edges, k):
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
+        assert got == _reference_kcore(edges, k)
+        for n, d in got.items():
+            assert d >= k
+
+    run()

@@ -161,6 +161,9 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_logreg_gd",
         "q_k_anonymity",
         "q_epoch_reshard",
+        "q_date_dim",
+        "q_concurrency_sweep",
+        "q_kcore",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
