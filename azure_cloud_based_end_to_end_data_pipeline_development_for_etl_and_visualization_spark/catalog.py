@@ -5702,6 +5702,100 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=4).orderBy("node")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): per
+    query embedding, the 3 most-similar vectors with a DIFFERENT label —
+    the near-boundary negatives contrastive/metric training needs
+    (random negatives contribute no gradient). Exact oracle like
+    q_cosine_topk: the cosine is the same double fold, the label filter
+    runs before the per-query window."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return hard_negatives(emb, queries, "label", k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random negative sampling: 3 pseudo-random negatives
+    per document, reproducible across runs and layouts (rand() is
+    neither). Docs get dense positions 1..n via the two-phase range
+    rank; negative j for a doc is the doc ``1 + (rn - 1 + 1 +
+    hash(doc:negj) % (n-1)) % n`` — a hash-seeded CYCLIC SHIFT of 1..n-1
+    positions, which can never land on the doc itself and is uniform
+    over the other n-1 docs. One equi-join maps positions back to ids.
+    All integer arithmetic on the cross-engine md5 hash, so the sampled
+    ids hash-match DuckDB exactly."""
+    from .functions import text as TX
+    from .operators.relational import with_global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    path = _tmp_path("negsample_ids")
+    docs.write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    ranked = with_global_row_number(docs, ["doc_id"], rn_col="rn", n_col="n")
+    js = ranked.select(
+        "doc_id",
+        "rn",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    )
+    h = TX.hash32(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":neg"), F.col("j").cast("string")
+        )
+    )
+    neg_rn = (F.col("rn") - 1 + 1 + h % (F.col("n") - 1)) % F.col("n") + 1
+    picked = js.select(
+        "doc_id", "j", neg_rn.cast("long").alias("neg_rn")
+    )
+    lookup = ranked.select(
+        F.col("rn").alias("neg_rn"), F.col("doc_id").alias("neg_doc_id")
+    )
+    return (
+        picked.join(lookup, "neg_rn")
+        .select("doc_id", F.col("j").cast("long").alias("j"), "neg_doc_id")
+        .orderBy("doc_id", "j")
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype (centroid) embeddings — the class prototypes
+    behind nearest-centroid classification, SemDeDup's cells, and
+    embedding-space drift monitoring: posexplode the vectors and average
+    each (label, dim) cell. Component values integerize as
+    floor(v*1e6+0.5) longs before the cross-row sum (float addition is
+    order-dependent; the fastagg scheme), so the centroid matrix is
+    layout-independent and hash-matches DuckDB. Output is
+    labels x dims rows — bounded regardless of corpus size; the single
+    shuffle carries (label, dim, long) partials."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("s6"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            (
+                (F.col("s6").cast("double") / F.lit(1e6))
+                / F.col("n").cast("double")
+            ).alias("centroid_val"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5821,6 +5915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_date_dim": q_date_dim,
     "q_concurrency_sweep": q_concurrency_sweep,
     "q_kcore": q_kcore,
+    "q_hard_negatives": q_hard_negatives,
+    "q_negative_samples": q_negative_samples,
+    "q_label_centroids": q_label_centroids,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -8533,5 +8630,56 @@ ORACLES: dict[str, str] = {
                max(level)::bigint as max_concurrent
         from running
         group by 1 order by day_idx
+    """,
+    "q_hard_negatives": f"""
+        with p as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   c.label as neg_label,
+                   {_dk_cosine('q.embedding', 'c.embedding')} as sim
+            from embeddings q, embeddings c
+            where q.vec_id < 20 and c.label != q.label
+        )
+        select query_id, neighbor_id, neg_label, rank, sim from (
+            select *, row_number() over (
+                partition by query_id order by sim desc, neighbor_id
+            ) as rank from p
+        ) where rank <= 3 order by query_id, rank
+    """,
+    "q_negative_samples": """
+        with r as (
+            select doc_id,
+                   row_number() over (order by doc_id) as rn,
+                   count(*) over () as n
+            from documents
+        ),
+        js as (
+            select doc_id, rn, n, unnest([1, 2, 3]) as j from r
+        ),
+        picked as (
+            select doc_id, j::bigint as j,
+                   ((rn - 1 + 1
+                     + ('0x' || substr(md5(doc_id::varchar || ':neg'
+                                       || j::varchar), 1, 8))::bigint
+                       % (n - 1)) % n + 1)::bigint as neg_rn
+            from js
+        )
+        select p.doc_id, p.j, r.doc_id as neg_doc_id
+        from picked p join r on r.rn = p.neg_rn
+        order by p.doc_id, p.j
+    """,
+    "q_label_centroids": """
+        with ex as (
+            select label,
+                   generate_subscripts(embedding, 1) - 1 as dim,
+                   unnest(embedding) as v
+            from embeddings
+        )
+        select label, dim::bigint as dim,
+               count(*)::bigint as n,
+               (sum(floor(v * 1e6 + 0.5)::bigint)::double / 1e6)
+                   / count(*)::double as centroid_val
+        from ex
+        group by label, dim
+        order by label, dim
     """,
 }

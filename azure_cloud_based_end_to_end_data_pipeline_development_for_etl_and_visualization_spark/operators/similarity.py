@@ -811,3 +811,52 @@ def sparse_cosine_pairs(
         .filter(F.col("__rk") <= topk)
         .select("a", "b", "dot", "cosine")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary, which is exactly what
+    contrastive/metric losses need (random negatives are trivially easy
+    and contribute no gradient signal).
+
+    Same plan as :func:`cosine_topk` — broadcast(queries) x corpus with
+    a JVM cosine expression, label-inequality filter BEFORE scoring's
+    window, per-query top-k — so everything said there about scale
+    carries over; for corpus-vs-corpus mining, swap the candidate source
+    for IVF/LSH candidates and keep the label filter + window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("c_label").alias("neg_label"),
+            V.cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "sim")
+    )

@@ -164,6 +164,9 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_date_dim",
         "q_concurrency_sweep",
         "q_kcore",
+        "q_hard_negatives",
+        "q_negative_samples",
+        "q_label_centroids",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
