@@ -5796,6 +5796,69 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure on a versioned table
+    (plans/versioned.retention_delete): orders commit as version 1, a
+    tombstone list (custkeys % 97 == 0) anti-joins them away into
+    version 2 through the same atomic pointer protocol as every other
+    publish — in-flight readers keep their snapshot, vacuum reclaims
+    files later (the logical-delete-then-vacuum contract of every table
+    format). The returned post-delete summary hash-matches the oracle's
+    NOT-IN recomputation, proving the rewrite deleted exactly the
+    tombstoned keys; version isolation itself is pinned in
+    tests/test_versioned.py."""
+    import shutil
+
+    from .plans.versioned import commit_version, read_version, retention_delete
+
+    root = _tmp_path("gdpr_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    commit_version(orders, root)
+    tombstones = orders.select("o_custkey").distinct().filter(
+        F.col("o_custkey") % 97 == 0
+    )
+    retention_delete(spark, root, tombstones, ["o_custkey"])
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count(F.when(F.col("o_custkey") % 97 == 0, 1))
+            .cast("long")
+            .alias("n_tombstoned_left"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assert-and-quarantine ingest routing
+    (operators/quality.quarantine_split): three named validity rules
+    over the event stream — value <= 90, type is not 'error', the JSON
+    payload's k < 90 — label every row with its failed-rule reasons
+    instead of silently dropping it; clean rows forward, the rest go to
+    the dead-letter route WITH an audit trail. Map-only (rules are
+    codegen'd expressions, reasons a deterministic-order concat); the
+    labeled table is the catalog surface so the oracle hash-checks both
+    the routing decision and every reason string."""
+    from .operators.quality import quarantine_split
+
+    ev = _events(spark, sf_dir)
+    rules = {
+        "value_range": F.col("value") <= 90,
+        "not_error": F.col("event_type") != "error",
+        "payload_k": F.get_json_object(F.col("props"), "$.k").cast("long") < 90,
+    }
+    _valid, _bad, labeled = quarantine_split(ev, rules)
+    return labeled.select(
+        "event_id", "event_type", "valid", "reasons"
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5918,6 +5981,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hard_negatives": q_hard_negatives,
     "q_negative_samples": q_negative_samples,
     "q_label_centroids": q_label_centroids,
+    "q_gdpr_delete": q_gdpr_delete,
+    "q_quarantine_split": q_quarantine_split,
     # -- flagship + representative greens -------------------------------
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
@@ -8681,5 +8746,36 @@ ORACLES: dict[str, str] = {
         from ex
         group by label, dim
         order by label, dim
+    """,
+    "q_gdpr_delete": """
+        select o_orderstatus,
+               count(*)::bigint as n_orders,
+               count(case when o_custkey % 97 = 0 then 1 end)::bigint
+                   as n_tombstoned_left,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                   as total_price
+        from orders
+        where o_custkey % 97 <> 0
+        group by o_orderstatus
+        order by o_orderstatus
+    """,
+    "q_quarantine_split": """
+        with labeled as (
+            select event_id, event_type,
+                   concat_ws('|',
+                       case when not coalesce(value <= 90, false)
+                            then 'value_range' end,
+                       case when not coalesce(event_type != 'error', false)
+                            then 'not_error' end,
+                       case when not coalesce(
+                                try_cast(json_extract_string(props, '$.k')
+                                         as bigint) < 90, false)
+                            then 'payload_k' end
+                   ) as reasons
+            from events
+        )
+        select event_id, event_type, reasons = '' as valid, reasons
+        from labeled
+        order by event_id
     """,
 }

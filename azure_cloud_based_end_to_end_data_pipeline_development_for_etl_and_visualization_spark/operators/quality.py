@@ -133,3 +133,37 @@ def profile_columns(
             "(col_name, min_value, max_value, n_nulls, n_distinct)"
         )
     )
+
+
+def quarantine_split(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Assert-and-quarantine routing: evaluate named validity ``rules``
+    (each a boolean Column that is True for VALID rows) and split the
+    batch into (valid, quarantined, labeled) — the ingest-hygiene step
+    that forwards clean rows and parks the rest WITH machine-readable
+    reasons instead of dropping them silently.
+
+    ``labeled`` carries every input row plus ``valid`` and ``reasons``
+    (the '|'-joined names of failed rules, deterministic rule order) —
+    the auditable output the catalog query exposes; ``valid`` /
+    ``quarantined`` are the two filtered routes a pipeline writes to its
+    main and dead-letter sinks. One map-only pass: rules are plain
+    codegen'd expressions evaluated once per row, no shuffle at all.
+    NULL rule results count as failures (an unevaluable rule cannot
+    certify a row)."""
+    names = list(rules)
+    failed = [
+        F.when(rules[n].isNull() | ~rules[n], F.lit(n)) for n in names
+    ]
+    reasons = F.concat_ws(
+        "|", F.filter(F.array(*failed), lambda x: x.isNotNull())
+    )
+    labeled = df.withColumn("reasons", reasons).withColumn(
+        "valid", F.col("reasons") == ""
+    )
+    return (
+        labeled.filter(F.col("valid")).drop("valid", "reasons"),
+        labeled.filter(~F.col("valid")),
+        labeled,
+    )

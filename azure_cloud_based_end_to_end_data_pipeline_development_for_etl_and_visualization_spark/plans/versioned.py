@@ -130,6 +130,29 @@ def merge_scd1_versioned(
     return commit_version(merged, root, partition_by=partition_by)
 
 
+def retention_delete(
+    spark: SparkSession,
+    root: str,
+    tombstones: DataFrame,
+    on: Sequence[str],
+) -> int:
+    """Right-to-erasure / retention delete as a versioned rewrite — the
+    GDPR-deletion shape on a parquet lake: anti-join the current version
+    against the tombstone key list and commit the remainder as a NEW
+    version through the same atomic pointer protocol. Readers in flight
+    keep their snapshot; physical reclamation of the old files is
+    :func:`vacuum`'s job (the two-step logical-delete-then-vacuum
+    contract every table format uses).
+
+    Scale: one anti-join on the delete keys — tombstone lists are tiny,
+    so AQE broadcasts them and the table is scanned once; the rewrite
+    cost is the table write, the same as any MERGE on vanilla parquet.
+    Returns the new version number."""
+    cur = read_version(spark, root)
+    remaining = cur.join(tombstones, list(on), "left_anti")
+    return commit_version(remaining, root)
+
+
 def vacuum(root: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (never the current
     pointer's target). Returns the removed version numbers."""

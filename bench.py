@@ -124,6 +124,15 @@ HEADLINE = [
     "q_seasonal_naive_mape",
     "q_logreg_gd",
     "q_k_anonymity",
+    "q_epoch_reshard",
+    "q_date_dim",
+    "q_concurrency_sweep",
+    "q_kcore",
+    "q_hard_negatives",
+    "q_negative_samples",
+    "q_label_centroids",
+    "q_gdpr_delete",
+    "q_quarantine_split",
 ]
 
 

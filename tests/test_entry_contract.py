@@ -137,7 +137,7 @@ def test_driver_window_composition():
                 "q_streaming_full_interval", "q_epoch_reshard",
                 "q_date_dim", "q_concurrency_sweep", "q_kcore",
                 "q_hard_negatives", "q_negative_samples",
-                "q_label_centroids"]
+                "q_label_centroids", "q_gdpr_delete", "q_quarantine_split"]
     n6 = len(session6)
     assert list(qs)[54:54 + n6] == session6
     assert list(qs)[54 + n6] == "q_star_join"

@@ -167,6 +167,8 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_hard_negatives",
         "q_negative_samples",
         "q_label_centroids",
+        "q_gdpr_delete",
+        "q_quarantine_split",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):

@@ -75,3 +75,32 @@ def test_vacuum_keeps_current_and_recent(spark, root):
     assert {r["k"] for r in read_version(spark, root).collect()} == {3}
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, version=1)
+
+
+def test_retention_delete_is_versioned_and_exact(spark, tmp_path):
+    """GDPR delete: the new version lacks exactly the tombstoned keys,
+    the prior version still serves them (snapshot isolation), and
+    vacuum reclaims it afterwards."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.versioned import (
+        commit_version,
+        read_version,
+        retention_delete,
+        vacuum,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, i % 5, f"v{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "user", "payload"])
+    v1 = commit_version(df, root)
+    tomb = spark.createDataFrame([(1,), (3,)], ["user"])
+    v2 = retention_delete(spark, root, tomb, ["user"])
+    assert v2 == v1 + 1
+    cur = read_version(spark, root)
+    assert cur.filter("user in (1, 3)").count() == 0
+    assert cur.count() == 30
+    # snapshot isolation: the pre-delete version still has everything
+    assert read_version(spark, root, version=v1).count() == 50
+    # physical reclamation is a separate, explicit step
+    removed = vacuum(root, keep_last=1)
+    assert removed == [v1]
+    assert read_version(spark, root).count() == 30
