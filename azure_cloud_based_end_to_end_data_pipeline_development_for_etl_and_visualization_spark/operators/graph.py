@@ -188,6 +188,7 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     prev_n = -1
+    converged = False
     for _ in range(max_iters):
         deg = (
             cur.select(F.col("src").alias("node"))
@@ -198,6 +199,7 @@ def k_core(
         keep = deg.filter(F.col("deg") >= k).select("node")
         n_keep = keep.count()
         if n_keep == prev_n:
+            converged = True
             break
         prev_n = n_keep
         cur = (
@@ -205,6 +207,14 @@ def k_core(
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"k_core: peeling did not reach a fixpoint within "
+            f"max_iters={max_iters} rounds (last survivor count "
+            f"{prev_n}); the result would NOT be a true {k}-core — "
+            f"raise max_iters (each round strictly shrinks the node "
+            f"set, so node-count rounds always suffice)"
         )
     out = (
         cur.select(F.col("src").alias("node"))

@@ -151,7 +151,16 @@ def quarantine_split(
     main and dead-letter sinks. One map-only pass: rules are plain
     codegen'd expressions evaluated once per row, no shuffle at all.
     NULL rule results count as failures (an unevaluable rule cannot
-    certify a row)."""
+    certify a row). Raises if the input already carries ``valid`` /
+    ``reasons`` columns — silently overwriting caller data (and then
+    dropping it on the valid route) is worse than failing fast."""
+    clash = {"valid", "reasons"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"quarantine_split: input already has column(s) {sorted(clash)}; "
+            "rename them first — the labeled output reserves 'valid' and "
+            "'reasons' for the routing verdict"
+        )
     names = list(rules)
     failed = [
         F.when(rules[n].isNull() | ~rules[n], F.lit(n)) for n in names

@@ -371,7 +371,25 @@ def with_grouped_running_sum(
     stays long, decimal widens) — pass an integer/decimal column for
     exact, order-independent results. ``order_by`` must be a total order
     per group and ``df`` a deterministic source (evaluated once per
-    phase)."""
+    phase).
+
+    Correctness dependency (explicit): ``tagged`` feeds BOTH phase 1 and
+    phase 2, and the two subtrees agree on ``spark_partition_id`` only
+    because Catalyst deduplicates the two identical
+    ``repartitionByRange`` exchanges (``spark.sql.exchange.reuse``, on
+    by default) — range boundaries are sampled, so two INDEPENDENT
+    exchanges over the same data could draw different boundaries and
+    silently corrupt the carry-in join. We refuse to run if exchange
+    reuse is disabled rather than produce wrong sums; callers who must
+    run without it should ``localCheckpoint`` the input and re-enable."""
+    sess = df.sparkSession
+    if sess.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        raise RuntimeError(
+            "with_grouped_running_sum requires spark.sql.exchange.reuse=true "
+            "(phase-1/phase-2 partition-id agreement relies on exchange "
+            "dedup; with it off, range boundaries can resample per subtree "
+            "and sums silently corrupt)"
+        )
     pid = "__rs_pid"
     gcols = [F.col(c) for c in group_by]
     ocols = [F.col(c) for c in order_by]
@@ -429,7 +447,19 @@ def waterfill_allocation(
     MATERIALIZED artifact — two phases scan it); ranking and the prefix
     sum run through the two-phase range machinery, and the scalars
     (B, k, P_k) ride broadcast 1-row joins — the HWM pattern. Returns
-    ``(key, avail, capped, allocation)``."""
+    ``(key, avail, capped, allocation)``.
+
+    Requires ``budget_num < budget_den`` (a strict sub-1 fraction): with
+    B >= total availability every key is capped, the "sum to B" contract
+    is unsatisfiable (the result would silently be avail per key), so we
+    reject the call instead."""
+    if not (0 < budget_num < budget_den):
+        raise ValueError(
+            f"waterfill_allocation: budget fraction {budget_num}/{budget_den} "
+            "must satisfy 0 < num < den — with B >= total availability the "
+            "'allocations sum to B' contract cannot hold (every key caps at "
+            "avail); take the whole corpus instead of water-filling it"
+        )
     a, B = F.col(avail_col), F.col("__wf_B")
     summed = with_grouped_running_sum(
         counts.withColumn("__wf_g", F.lit(0)),

@@ -170,3 +170,19 @@ def test_kcore_matches_reference_on_arbitrary_graphs(spark):
             assert d >= k
 
     run()
+
+
+def test_k_core_raises_on_truncated_peel(spark):
+    """Exhausting max_iters before the fixpoint must raise -- a truncated
+    peel is NOT a k-core and must not masquerade as one."""
+    import pytest
+
+    # a 4-node path graph peels away one layer per round under k=2
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        k_core,
+    )
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, 2, max_iters=1).collect()

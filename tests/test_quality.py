@@ -42,3 +42,18 @@ def test_clean_table_reports_zero(spark):
 
     df = spark.createDataFrame([(1,), (2,)], "k long")
     assert check_unique(df, ["k"]).collect()[0]["violations"] == 0
+
+
+def test_quarantine_split_rejects_reserved_column_collision(spark):
+    """Input columns named valid/reasons would be silently overwritten
+    then dropped on the valid route -- fail fast instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.quality import (
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame([(1, True)], ["id", "valid"])
+    with pytest.raises(ValueError, match="valid"):
+        quarantine_split(df, {"pos": F.col("id") > 0})

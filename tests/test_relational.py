@@ -216,7 +216,7 @@ def test_waterfill_matches_iterative_reference_property(spark):
     )
     @given(
         avails=st.lists(st.integers(0, 50), min_size=1, max_size=8),
-        frac=st.sampled_from([(1, 4), (1, 2), (3, 4), (9, 10), (1, 1)]),
+        frac=st.sampled_from([(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]),
     )
     def run(avails, frac):
         num, den = frac
@@ -255,3 +255,29 @@ def test_catalog_query_runs(spark, sf_dir, name):
     df = catalog.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_waterfill_rejects_full_budget(spark):
+    """budget >= total availability makes the sum-to-B contract
+    unsatisfiable -- the operator must refuse, not silently under-fill."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 10), ("b", 20)], ["key", "avail"])
+    with pytest.raises(ValueError, match="budget fraction"):
+        R.waterfill_allocation(df, "key", "avail", 1, 1)
+    with pytest.raises(ValueError, match="budget fraction"):
+        R.waterfill_allocation(df, "key", "avail", 5, 4)
+
+
+def test_running_sum_refuses_without_exchange_reuse(spark):
+    """Phase-1/phase-2 partition agreement rides exchange dedup; with
+    reuse off the operator must fail fast instead of corrupting sums."""
+    import pytest
+
+    df = spark.createDataFrame([("g", 1, 10), ("g", 2, 20)], ["g", "o", "v"])
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            R.with_grouped_running_sum(df, ["g"], ["o"], "v")
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
