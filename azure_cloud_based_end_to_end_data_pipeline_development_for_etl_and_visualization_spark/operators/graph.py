@@ -158,6 +158,82 @@ def pagerank(
     return ranks
 
 
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integerized PageRank (damping fixed at 85/100) with DEFINED
+    integer-division truncation semantics — every arithmetic step is a
+    bigint op (``div``, ``*``, ``+``, ``sum``), so the result is
+    bit-reproducible across engines and layouts: a DuckDB unrolled-CTE
+    twin computes the identical ranks, upgrading PageRank from a
+    rows-only claim to a cross-engine hash check (the float
+    :func:`pagerank` remains the general-purpose form).
+
+    Recurrence (all ``div`` = truncating integer division):
+
+    ``r0(v) = scale div N``
+    ``r'(v) = (15 * (scale div N)) div 100
+              + (85 * sum_{u->v} (r(u) div deg(u))) div 100``
+
+    Requires every node to have out-degree >= 1 (raises otherwise —
+    dangling-mass redistribution needs a per-iteration scalar that
+    would reintroduce floats; orient graphs both directions, as the
+    supply-graph query does, and the condition holds by construction).
+
+    Scale shape: per iteration one node-sized join (ranks x degrees),
+    one edge shuffle keyed by dst, one map-side-combined sum; ranks are
+    ``localCheckpoint``ed per round to truncate lineage (the k_core /
+    BPE lesson). The only driver scalars are the node count and the
+    dangling-node existence check."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("__pr_deg"))
+        .withColumnRenamed("src", "node")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_dangling = nodes.join(deg, "node", "left_anti").count()
+    if n_dangling:
+        raise ValueError(
+            f"pagerank_int: {n_dangling} dangling node(s) (no out-edges); "
+            "integerized PageRank requires out-degree >= 1 everywhere — "
+            "orient the graph both directions or use pagerank()"
+        )
+    n = nodes.count()
+    base = (15 * (scale // n)) // 100
+    ranks = nodes.withColumn("rank_i", F.lit(scale // n).cast("long"))
+    for _ in range(n_iters):
+        contrib = ranks.join(deg, "node").select(
+            "node", F.expr("rank_i div __pr_deg").alias("__pr_c")
+        )
+        insum = (
+            e.join(contrib, e["src"] == contrib["node"])
+            .groupBy("dst")
+            .agg(F.sum("__pr_c").cast("long").alias("__pr_s"))
+        )
+        ranks = (
+            nodes.join(insum, nodes["node"] == insum["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * coalesce(__pr_s, 0L)) div 100")
+                ).cast("long").alias("rank_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -193,6 +193,65 @@ def kmeans_centroids(
     return cents
 
 
+def save_centroids(spark, cents: np.ndarray, path: str) -> None:
+    """Persist a trained k-means centroid matrix as a parquet artifact
+    (rows ``(cell, pos, value)``) — the reusable-index half of the
+    train/query split: at 100 TB, centroids train once on a sample and
+    every subsequent IVF / SemDeDup call loads them instead of
+    re-clustering the corpus (the LM-count-table artifact pattern
+    applied to vector indexes)."""
+    rows = [
+        (int(c), int(p), float(cents[c, p]))
+        for c in range(cents.shape[0])
+        for p in range(cents.shape[1])
+    ]
+    spark.createDataFrame(rows, "cell int, pos int, value double").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """Load a :func:`save_centroids` artifact back to the (n_centroids,
+    dim) matrix. Centroid-sized driver traffic only."""
+    rows = spark.read.parquet(path).collect()
+    n_c = max(r["cell"] for r in rows) + 1
+    dim = max(r["pos"] for r in rows) + 1
+    cents = np.zeros((n_c, dim), dtype=np.float64)
+    for r in rows:
+        cents[r["cell"], r["pos"]] = r["value"]
+    return cents
+
+
+def save_codebooks(spark, books: np.ndarray, path: str) -> None:
+    """Persist trained PQ codebooks (``(n_sub, n_centroids, sub_dim)``)
+    as parquet rows ``(sub, cell, pos, value)`` — PQ training dominates
+    the ann bench (see bench.py); amortize it by training once and
+    loading per query batch."""
+    n_sub, n_c, sub_dim = books.shape
+    rows = [
+        (s, c, p, float(books[s, c, p]))
+        for s in range(n_sub)
+        for c in range(n_c)
+        for p in range(sub_dim)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cell int, pos int, value double"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str) -> np.ndarray:
+    """Load a :func:`save_codebooks` artifact back to its
+    (n_sub, n_centroids, sub_dim) array."""
+    rows = spark.read.parquet(path).collect()
+    n_sub = max(r["sub"] for r in rows) + 1
+    n_c = max(r["cell"] for r in rows) + 1
+    sub_dim = max(r["pos"] for r in rows) + 1
+    books = np.zeros((n_sub, n_c, sub_dim), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["cell"], r["pos"]] = r["value"]
+    return books
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -202,6 +261,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     n_iters: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF-flat index: corpus vectors are
     assigned to their nearest k-means cell once; each query probes only
@@ -212,8 +272,16 @@ def cosine_topk_ivf(
     between (query, probed-cell) pairs and the cell-partitioned corpus —
     so the compare count drops from |Q| x |C| to roughly
     |Q| x |C| x n_probe / n_centroids. Recall is tunable via n_probe
-    (n_probe = n_centroids degrades gracefully to exact brute force)."""
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    (n_probe = n_centroids degrades gracefully to exact brute force).
+    Pass ``centroids`` (a :func:`load_centroids` artifact) to skip
+    training — the per-batch query path then touches the corpus only
+    through the cell join."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    )
+    n_centroids = cents.shape[0]
 
     c_dots = _centroid_dots(vec_col, cents)
     cb = corpus.select(
@@ -478,6 +546,55 @@ def pq_encode(
     return df.select(F.col(id_col), F.array(*codes).alias(out_col))
 
 
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of an approximate shortlist — the standard
+    ADC + re-rank refinement (Jégou et al. 2011 §IV): the approximate
+    stage only has to get the true neighbors INTO the top-R, not order
+    them, so recall@k jumps to ~recall@R of the coarse stage while
+    exact scoring touches R x |Q| vectors instead of |C| x |Q|. The
+    shortlist re-attaches true vectors via two id-equi-joins (query
+    side broadcast — it is query-batch-sized)."""
+    rescored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__q_vec"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__c_vec"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("__q_vec"), F.col("__c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -485,6 +602,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation (ADC):
     queries stay exact, corpus vectors are approximated by their PQ
@@ -497,7 +615,12 @@ def pq_topk(
     each candidate costs ``n_sub`` table lookups instead of ``dim``
     multiplies, and the corpus side scans 8-byte codes instead of 256-byte
     vectors — the memory-bandwidth win that makes billion-vector ANN fit
-    a cluster's scan budget. Same output shape as :func:`cosine_topk`."""
+    a cluster's scan budget. Same output shape as :func:`cosine_topk`.
+
+    ``rerank=R`` adds the standard exact re-rank stage: ADC picks a
+    top-R shortlist per query, true vectors re-score it, top-k emits —
+    recall@k becomes ~recall@R of the ADC stage at R x |Q| exact
+    comparisons (see :func:`_exact_rerank`)."""
     n_sub, n_c, sub_dim = codebooks.shape
     spark = corpus.sparkSession
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
@@ -539,6 +662,12 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
+    if rerank is not None:
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+        )
+        return _exact_rerank(shortlist, corpus, queries, id_col, vec_col, k)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -556,6 +685,8 @@ def cosine_topk_ivfpq(
     n_centroids: int = 16,
     n_probe: int = 4,
     n_iters: int = 2,
+    centroids: np.ndarray | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF coarse pruning composed with PQ asymmetric-distance scoring —
     the billion-scale ANN configuration (IVFADC, Jégou et al. 2011):
@@ -569,8 +700,19 @@ def cosine_topk_ivfpq(
     — both the coarse assignment and the codes are plan-literal
     expressions, no UDF. The query side is driver-sized by construction
     (probe lists + LUTs are |Q| x n_sub x n_centroids doubles) and
-    broadcast into the cell join."""
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    broadcast into the cell join.
+
+    ``centroids`` (a :func:`load_centroids` artifact) skips coarse
+    training; ``rerank=R`` adds the exact re-rank refinement (see
+    :func:`pq_topk`) — together they are the production operating
+    point: train once, per-batch cost = cell join + ADC + R-sized
+    exact re-rank."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    )
+    n_centroids = cents.shape[0]
     n_sub, n_c, sub_dim = codebooks.shape
 
     c_dots = _centroid_dots(vec_col, cents)
@@ -633,6 +775,12 @@ def cosine_topk_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
+    if rerank is not None:
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+        )
+        return _exact_rerank(shortlist, corpus, queries, id_col, vec_col, k)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -648,6 +796,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     n_iters: int = 2,
     materialize_path: str | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): k-means
     the embedding space, then look for near-duplicate pairs ONLY inside
@@ -668,8 +817,14 @@ def semantic_dedup(
 
     Deterministic end-to-end (seeded k-means init, exact argmax cell
     assignment, total-order keep rule), so results are layout-independent
-    and pytest-pinnable."""
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    and pytest-pinnable. ``centroids`` (a :func:`load_centroids`
+    artifact) skips the k-means training pass — at scale cells are
+    trained once on a sample and every dedup batch reuses them."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    )
     cnorms = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
     dots = _centroid_dots(vec_col, cents)
     norms_lit = F.array(*[F.lit(float(x)) for x in cnorms])

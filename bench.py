@@ -472,6 +472,29 @@ def main() -> None:
             }
         )
     )
+    # compact one-line summary LAST: the driver keeps only the tail of
+    # stdout, and in r6 the full JSON's size pushed the headline number
+    # (printed first) out of the capture — this line always survives.
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "headline_total_sec": round(sum(timings.values()), 3),
+                    "n_queries": len(timings),
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "repeats": repeats,
+                    "skew_ratio": skew.get("ratio_plain_over_salted"),
+                    "incr_ratio": incr.get("ratio_full_over_delta"),
+                    "prune_ratio": layout.get("ratio_linear_over_zorder"),
+                    "ann": {
+                        k: ann[k]
+                        for k in ("exact", "best_approx", "recall_at_10")
+                        if k in ann
+                    },
+                }
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

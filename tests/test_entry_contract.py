@@ -49,6 +49,8 @@ def test_rows_only_queries_are_the_documented_set():
         "q_bpe_train",           # iterative merge learning, pytest vs Python ref
         "q_bpe_apply",           # applies the iteratively-learned rules, same
         "q_char_entropy",        # log2 ulps are libm-specific, pytest parity
+        # (round 7 oracle-ified the singleton-agreement SUBSET as
+        # q_split_singleton_agreement; the full split stays rows-only)
         "q_leakage_safe_split",  # iterative cluster labels, invariant pytest
         "q_hll_incremental_distinct",  # Datasketches HLL, lossless-merge pytest
         "q_rolling_dau_hll",     # same sketch, error-envelope pytest vs exact
@@ -63,72 +65,22 @@ def test_rows_only_queries_are_the_documented_set():
 
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-6 window —
-    the 5 round-5 additions never driver-verified (closing the last
-    cumulative gap), the 3 round-6 rewrites (the r5 canonicalizer err,
-    now oracle-twinned, and the two de-globalized sorts), the 4 round-6
-    additions, then the flagship and representative greens — so an
-    accidental reorder can't silently starve the gate (that is precisely
-    what happened in round 1)."""
+    checks the FIRST 50 entries of queries(). Pin the round-7 window —
+    slots 1-25 are the 25 entries that had no driver row after r6
+    (session-5 batch D + the session-6 batch; the 23 oracle-twinned
+    ones were judge-verified via check_oracle in r6), slots 26+ are
+    round-7 additions as they land, and the tail is the flagship plus
+    representative multi-round greens — so an accidental reorder can't
+    silently starve the gate (that is precisely what happened in
+    round 1). Driver-green here -> 199/199 cumulative for the r6
+    catalog."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
     rows_only_in_window = [n for n in window if n not in oracles]
-    assert rows_only_in_window == [
-        "q_profile_table_approx",
-        "q_pq_topk",
-        "q_ivfpq_topk",
-        "q_pagerank",
-        "q_streaming_anomaly",
-        "q_unigram_perplexity",
-        "q_bpe_train",
-        "q_char_entropy",
-        "q_bpe_apply",
-        "q_leakage_safe_split",
-        "q_hll_incremental_distinct",
-        "q_rolling_dau_hll",
-        "q_semantic_dedup",
-        "q_bigram_perplexity",
-        "q_cube_distinct_sketch",
-    ]
-    never_verified = ["q_outlier_zscore", "q_drift_chi2", "q_sample_weighted",
-                      "q_profile_table_approx", "q_pq_topk"]
-    assert window[:5] == never_verified
-    rewrites_and_new = {"q_multimodal_features", "q_ntile_cume",
-                        "q_percentile_rank", "q_retention_cohort",
-                        "q_zorder_layout", "q_multimodal_resize",
-                        "q_minhash_jaccard_est"}
-    assert rewrites_and_new <= set(window[5:12])
-    late_round6 = ["q_gopher_rules", "q_domain_cap", "q_bigram_lift",
-                   "q_mad_outlier", "q_ivfpq_topk", "q_fuzzy_join",
-                   "q_pagerank", "q_rolling_time_window",
-                   "q_transition_matrix", "q_corr_matrix", "q_ab_ttest",
-                   "q_streaming_anomaly", "q_unigram_perplexity",
-                   "q_streaming_interval_join"]
-    assert window[12:26] == late_round6
-    session3 = ["q_linreg", "q_interpolate_linear", "q_last_touch",
-                "q_table_checksum", "q_compact_files", "q_bpe_train"]
-    assert window[26:32] == session3
-    session4 = ["q_linreg_group", "q_incremental_join",
-                "q_char_entropy", "q_bpe_apply",
-                "q_streaming_left_interval", "q_leakage_safe_split"]
-    assert window[32:38] == session4
-    session5 = ["q_skyline", "q_basket_rules", "q_triangle_count",
-                "q_hll_incremental_distinct", "q_ohlc_bars",
-                "q_rolling_dau", "q_rolling_dau_hll",
-                "q_semantic_dedup", "q_bigram_perplexity",
-                "q_zorder_pruning_stats", "q_streaming_cms_topk",
-                "q_cube_distinct_sketch"]
-    assert window[38:50] == session5
-    # round 6 fills the window with EXACTLY the 50 queries that have no
-    # current driver row; the flagship leaves the window for the first
-    # time — it is triple-driver-green (r1/r2/r5) and plan-pinned, so
-    # every slot goes to a query the driver has never checked. Batch D
-    # (slots 51-54) is past the full window by construction and leads
-    # round 7's rotation — all four judge-verifiable via check_oracle.
-    assert list(qs)[50:54] == ["q_scd2_asof_lookup", "q_vocab_coverage",
-                               "q_degree_distribution", "q_event_path_topk"]
-    # session-6 batch joins batch D past the window (round 7's rotation
-    # head) — all judge-verifiable via check_oracle now
+    assert rows_only_in_window == ["q_logreg_gd", "q_kcore"]
+    batch_d = ["q_scd2_asof_lookup", "q_vocab_coverage",
+               "q_degree_distribution", "q_event_path_topk"]
+    assert window[:4] == batch_d
     session6 = ["q_prefix_filter_join", "q_token_budget_fill",
                 "q_mixture_waterfill", "q_time_weighted_avg", "q_anova_f",
                 "q_interval_coalesce", "q_scd3_merge",
@@ -138,32 +90,26 @@ def test_driver_window_composition():
                 "q_date_dim", "q_concurrency_sweep", "q_kcore",
                 "q_hard_negatives", "q_negative_samples",
                 "q_label_centroids", "q_gdpr_delete", "q_quarantine_split"]
-    n6 = len(session6)
-    assert list(qs)[54:54 + n6] == session6
-    assert list(qs)[54 + n6] == "q_star_join"
-    # the remaining entries displaced past the window are all
-    # cumulatively driver-green — nothing unverified leaves the window
-    # except batch D and session 6 above
-    displaced = list(qs)[55 + n6:92 + n6]
-    assert displaced == ["q_scd1_merge", "q_scd2_merge",
-                         "q_window_tumbling", "q_window_session",
-                         "q_asof_join", "q_dedup_exact",
-                         "q_dedup_minhash",
-                         "q_minhash_lsh_pairs", "q_cosine_topk",
-                         "q_decontaminate", "q_time_travel",
-                         "q_surrogate_key_fact",
-                         "q_orc_roundtrip", "q_runtime_filter_join",
-                         "q_resample_ffill", "q_sessionize",
-                         "q_range_join", "q_streaming_tumbling",
-                         "q_funnel_steps", "q_word_repetition",
-                         "q_tfidf_topk", "q_regex_extract",
-                         "q_salted_join", "q_bucketed_join",
-                         "q_bigram_counts", "q_string_agg",
-                         "q_unpivot", "q_date_arith", "q_try_cast",
-                         "q_multimodal_chunks", "q_pii_redact",
-                         "q_chunk_dedup", "q_streaming_dedup",
-                         "q_streaming_enrich", "q_sequence_pack",
-                         "q_profile_table", "q_incremental_rollup"]
+    assert window[4:25] == session6
+    round7 = ["q_pagerank_exact", "q_split_singleton_agreement",
+              "q_incremental_distinct_exact"]
+    n7 = len(round7)
+    assert window[25:25 + n7] == round7
+    greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
+              "q_window_tumbling", "q_window_session", "q_asof_join",
+              "q_dedup_exact", "q_dedup_minhash", "q_minhash_lsh_pairs",
+              "q_cosine_topk", "q_decontaminate", "q_time_travel",
+              "q_surrogate_key_fact", "q_orc_roundtrip",
+              "q_runtime_filter_join", "q_resample_ffill", "q_sessionize",
+              "q_range_join", "q_streaming_tumbling", "q_funnel_steps",
+              "q_salted_join", "q_cms_heavy_hitters"]
+    assert window[25 + n7:50] == greens[: 50 - 25 - n7]
+    # everything past the window is cumulatively driver-green (r1-r6) —
+    # nothing unverified sits outside the window
+    r6_green_head = ["q_outlier_zscore", "q_drift_chi2",
+                     "q_sample_weighted", "q_profile_table_approx",
+                     "q_pq_topk"]
+    assert list(qs)[50:55] == r6_green_head
 
 
 def test_entry_runs_on_plain_session(spark):
