@@ -213,38 +213,64 @@ def bench_skew(spark, sf_dir: str, repeats: int) -> dict:
 
 
 def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
-    """ANN ladder: exact brute force vs LSH-bucketed vs IVF-flat vs
-    PQ/ADC over the embeddings table, each timed (median of ``repeats``
-    post-warmup, noop sink) WITH its recall@10 against the exact result —
-    a speed number without its recall is meaningless for ANN.
+    """ANN ladder with a train / index / query split: build-once costs
+    (k-means centroids, PQ codebooks, the materialized cell assignment
+    and code table) are timed under ``train`` and ``index``; the ladder
+    itself times the per-search-batch QUERY path with every artifact
+    prewarmed — the way the index would actually run — and reports
+    recall@10 against exact next to every time (a speed number without
+    its recall is meaningless for ANN).
 
-    PQ codebook training is timed separately (``pq_train_sec``): it's a
-    build-once cost amortized over every query batch, while the ladder
-    times are per-search-batch. IVF's k-means runs inside each call (its
-    centroid build is part of the query path in this API), so its time is
-    end-to-end — conservative for the 100 TB story, where centroids would
-    be trained once and reused."""
+    Operating points (r6 advice closed): ``ivf_tuned`` (n_probe=12/16)
+    and ``pq16_rerank`` (16 subspaces + exact top-100 re-rank) are the
+    measured recall>=0.8 configurations on this corpus — the testdata
+    embeddings are ISOTROPIC random vectors, the adversarial case where
+    partition-based pruning trades recall ~linearly (IVF recall tracks
+    probed fraction: 4/16 -> 0.50, 8/16 -> 0.76, 12/16 -> 0.93), so no
+    rung can beat exact at this 10k/overhead-bound scale. The
+    ``crossover`` section shows where the index WINS: a generated 160k
+    corpus WITH cluster structure (what real embedding spaces have),
+    where prewarmed IVF beats the exact scan ~2x at recall 1.0.
+    ``best_approx`` = fastest rung with recall >= 0.8."""
     import statistics as _st
     import time as _t
 
     from pyspark.sql import functions as F
 
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        build_ivf_index,
         cosine_topk,
         cosine_topk_ivf,
         cosine_topk_ivfpq,
         cosine_topk_lsh,
+        kmeans_centroids,
+        pq_encode,
         pq_topk,
         pq_train,
     )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 32)
+    tag = os.path.join("/tmp", f"bench_ann_{os.getpid()}")
 
-    out: dict = {}
+    out: dict = {"train": {}, "index": {}}
     t0 = _t.time()
-    books = pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
-    out["pq_train_sec"] = round(_t.time() - t0, 3)
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    out["train"]["ivf_centroids_sec"] = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    books8 = pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
+    out["train"]["pq8_books_sec"] = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    books16 = pq_train(emb, n_sub=16, dim=64, n_centroids=16, n_iters=2)
+    out["train"]["pq16_books_sec"] = round(_t.time() - t0, 3)
+
+    t0 = _t.time()
+    ivf_index = build_ivf_index(emb, cents, f"{tag}_ivf")
+    out["index"]["ivf_assign_sec"] = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    pq_encode(emb, books16).write.mode("overwrite").parquet(f"{tag}_pq16")
+    codes16 = spark.read.parquet(f"{tag}_pq16")
+    out["index"]["pq16_codes_sec"] = round(_t.time() - t0, 3)
 
     variants = {
         "exact": lambda: cosine_topk(emb, queries, k=10),
@@ -255,14 +281,25 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
         # OR-amplified: 8 independent tables, candidates deduped on id
         # pairs before scoring — recall ~ 1-(1-p)^8 at 8x bucket-join cost
         "lsh_x8": lambda: cosine_topk_lsh(emb, queries, k=10, n_tables=8),
+        # fast rung: probes 1/4 of cells — recall ~0.5 on isotropic data
         "ivf": lambda: cosine_topk_ivf(
-            emb, queries, k=10, n_centroids=16, n_probe=4
+            emb, queries, k=10, n_probe=4, centroids=cents, index=ivf_index
         ),
-        "pq": lambda: pq_topk(emb, queries, books, k=10),
+        # tuned >=0.8 operating point: 12/16 cells (measured 0.93)
+        "ivf_tuned": lambda: cosine_topk_ivf(
+            emb, queries, k=10, n_probe=12, centroids=cents, index=ivf_index
+        ),
+        # ADC over prewarmed codes, no refinement (recall ~0.18 at 8 sub)
+        "pq": lambda: pq_topk(emb, queries, books8, k=10),
+        # tuned >=0.8 operating point: 16 subspaces + exact top-100
+        # re-rank (measured 0.82) — recall@10 ~ ADC's recall@100
+        "pq16_rerank": lambda: pq_topk(
+            emb, queries, books16, k=10, rerank=100, codes=codes16
+        ),
         # IVFADC: cell pruning over the 8-byte codes — the
         # billion-vector configuration (recall ~= min(ivf, pq))
         "ivfpq": lambda: cosine_topk_ivfpq(
-            emb, queries, books, k=10, n_centroids=16, n_probe=4
+            emb, queries, books8, k=10, n_probe=4, centroids=cents
         ),
     }
     for label, build in variants.items():
@@ -279,13 +316,106 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     n_truth = sum(len(v) for v in truth.values())
     recall = {}
-    for label in ("lsh", "lsh_x8", "ivf", "pq", "ivfpq"):
+    approx = [k for k in variants if k != "exact"]
+    for label in approx:
         got: dict = {}
         for r in variants[label]().collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
         recall[label] = round(hits / n_truth, 3)
     out["recall_at_10"] = recall
+    good = {k: out[k] for k in approx if recall[k] >= 0.8}
+    out["best_approx"] = (
+        {"config": min(good, key=good.get), "sec": good[min(good, key=good.get)]}
+        if good
+        else None
+    )
+    out["crossover"] = _bench_ann_crossover(spark, repeats, tag)
+    return out
+
+
+def _bench_ann_crossover(spark, repeats: int, tag: str) -> dict:
+    """Where the IVF index overtakes the exact scan: a generated 160k
+    x 64-dim corpus with CLUSTER STRUCTURE (256 latent clusters + 25%
+    noise — real embedding spaces are clustered; the sf testdata's
+    isotropic vectors are the worst case where pruning must cost
+    recall). All build-once costs (centroid training on the corpus,
+    the materialized cell assignment) are reported separately; the
+    query timing compares the per-batch paths. Measured here: exact
+    5.7 s vs indexed IVF n_probe=4/64 2.8 s at recall 1.0 (~2x), and
+    the gap widens linearly with corpus size — at 10k vectors both
+    sides are overhead-bound and exact wins, the honest crossover
+    statement SCALING.md documents."""
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        cosine_topk_ivf,
+        kmeans_centroids,
+    )
+
+    n, dim, n_clust = 160_000, 64, 256
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _u(h):
+        return F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0
+
+    corpus = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                idx,
+                lambda i: (
+                    (_u(F.xxhash64(F.pmod(F.col("id"), F.lit(n_clust)), i))
+                     * 2.0 - 1.0)
+                    + 0.25
+                    * (_u(F.xxhash64(F.col("id"), i, F.lit(7))) * 2.0 - 1.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    corpus.count()
+    cq = corpus.filter(F.pmod(F.col("vec_id"), F.lit(n // 32)) == 0)
+
+    def timed(build):
+        materialize(build())
+        runs = []
+        for _ in range(repeats):
+            t1 = _t.time()
+            materialize(build())
+            runs.append(_t.time() - t1)
+        return round(_st.median(runs), 3)
+
+    out: dict = {"corpus_n": n}
+    out["exact_sec"] = timed(lambda: cosine_topk(corpus, cq, k=10))
+    t0 = _t.time()
+    cents = kmeans_centroids(corpus, n_centroids=64, n_iters=2)
+    out["train_sec"] = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    index = build_ivf_index(corpus, cents, f"{tag}_xover")
+    out["index_sec"] = round(_t.time() - t0, 3)
+    ivf = lambda: cosine_topk_ivf(  # noqa: E731
+        corpus, cq, k=10, n_probe=4, centroids=cents, index=index
+    )
+    out["ivf_query_sec"] = timed(ivf)
+    truth: dict = {}
+    for r in cosine_topk(corpus, cq, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in ivf().collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+    out["ivf_recall_at_10"] = round(
+        sum(len(truth[q] & got.get(q, set())) for q in truth) / n_truth, 3
+    )
+    out["speedup"] = round(out["exact_sec"] / out["ivf_query_sec"], 2)
+    corpus.unpersist()
     return out
 
 
@@ -488,7 +618,7 @@ def main() -> None:
                     "prune_ratio": layout.get("ratio_linear_over_zorder"),
                     "ann": {
                         k: ann[k]
-                        for k in ("exact", "best_approx", "recall_at_10")
+                        for k in ("exact", "best_approx", "crossover")
                         if k in ann
                     },
                 }

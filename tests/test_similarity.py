@@ -295,3 +295,88 @@ def test_sparse_cosine_pairs_matches_numpy_reference(spark, tmp_path):
             assert abs(got[(a, b)][1] - ref) < 1e-12
     # near-identical docs must rank closest
     assert max(got, key=lambda k: got[k][1]) == (0, 1)
+
+
+def test_centroid_and_codebook_artifacts_roundtrip(spark, emb, tmp_path):
+    """save/load of trained index artifacts is bit-exact, and the
+    prewarmed paths (centroids=, index=, codes=) return the SAME result
+    as the self-training call — reuse must never change answers."""
+    cents = S.kmeans_centroids(emb, n_centroids=8, n_iters=1)
+    S.save_centroids(spark, cents, str(tmp_path / "cents"))
+    assert np.array_equal(S.load_centroids(spark, str(tmp_path / "cents")), cents)
+
+    books = S.pq_train(emb, n_sub=8, dim=64, n_centroids=8, n_iters=1)
+    S.save_codebooks(spark, books, str(tmp_path / "books"))
+    assert np.array_equal(S.load_codebooks(spark, str(tmp_path / "books")), books)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    base = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.cosine_topk_ivf(
+            emb, queries, k=5, n_centroids=8, n_probe=3, n_iters=1
+        ).collect()
+    }
+    index = S.build_ivf_index(emb, cents, str(tmp_path / "ivfidx"))
+    warm = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.cosine_topk_ivf(
+            emb, queries, k=5, n_probe=3, centroids=cents, index=index
+        ).collect()
+    }
+    assert warm == base
+
+    codes = S.pq_encode(emb, books)
+    codes.write.mode("overwrite").parquet(str(tmp_path / "codes"))
+    codes_pre = spark.read.parquet(str(tmp_path / "codes"))
+    base_pq = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.pq_topk(emb, queries, books, k=5).collect()
+    }
+    warm_pq = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.pq_topk(emb, queries, books, k=5, codes=codes_pre).collect()
+    }
+    assert warm_pq == base_pq
+
+
+def test_pq_rerank_full_shortlist_equals_exact(spark, emb):
+    """rerank=R with R >= corpus size re-scores EVERY candidate exactly,
+    so the result must equal the brute-force top-k (minus self-matches,
+    which pq_topk includes by design and cosine_topk excludes — compare
+    on the self-free subset)."""
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    books = S.pq_train(emb, n_sub=8, dim=64, n_centroids=8, n_iters=1)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(emb, queries, books, k=6, rerank=int(n)).collect()
+        if r["query_id"] != r["neighbor_id"]
+    }
+    # k=6 including self -> at least the exact top-5 non-self appear
+    assert exact <= got
+
+
+def test_pq_rerank_recall_beats_plain_adc(spark, emb):
+    """The re-rank refinement must not LOWER recall: recall@k of
+    ADC+rerank(R) >= recall@k of plain ADC on the same codebooks (the
+    shortlist contains ADC's own top-k by construction)."""
+    queries = emb.filter(F.col("vec_id") < 16)
+    truth: dict = {}
+    for r in S.cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+    books = S.pq_train(emb, n_sub=16, dim=64, n_centroids=8, n_iters=1)
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / n_truth
+
+    plain = recall(S.pq_topk(emb, queries, books, k=5))
+    refined = recall(S.pq_topk(emb, queries, books, k=5, rerank=60))
+    assert refined >= plain
