@@ -5961,6 +5961,324 @@ def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-7 additions: drift / inequality / encoding / segmentation /
+# time-series / CV-fold / containment
+# ---------------------------------------------------------------------------
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the value distributions
+    of 'click' vs 'view' events — the nonparametric drift detector that
+    complements q_drift_chi2 (chi2 needs categories; KS reads the whole
+    CDF gap). Exact integer form: values bin to cents
+    (``floor(value*100)``), the (bin, n_click, n_view) histogram is
+    value-domain-sized (the q_mad_outlier shape: ONE fact scan,
+    O(domain) afterwards), cumulative counts ride a domain-sized window,
+    and D's numerator ``max |cum_c * n_v - cum_v * n_c|`` is exact
+    decimal(38,0) arithmetic — one IEEE division at the end, so DuckDB
+    hash-matches bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    base = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("bin"),
+    )
+    hist = base.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nv"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("nc").over(w).cast("decimal(38,0)").alias("cum_c"),
+        F.sum("nv").over(w).cast("decimal(38,0)").alias("cum_v"),
+    )
+    totals = hist.agg(
+        F.sum("nc").cast("long").alias("n_click"),
+        F.sum("nv").cast("long").alias("n_view"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_click").alias("n_click"),
+            F.max("n_view").alias("n_view"),
+            F.max(
+                F.abs(
+                    F.col("cum_c") * F.col("n_view")
+                    - F.col("cum_v") * F.col("n_click")
+                )
+            )
+            .cast("double")
+            .alias("d_num"),
+        )
+        .select(
+            "n_click",
+            "n_view",
+            "d_num",
+            (
+                F.col("d_num")
+                / (
+                    F.col("n_click").cast("double")
+                    * F.col("n_view").cast("double")
+                )
+            ).alias("ks_d"),
+        )
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality readout (whale-dependence) growth and risk teams track:
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i))`` over
+    revenues sorted ascending. Exact path: order cents integerize as
+    ``floor(p*100 + 0.5)`` longs (one fact scan, map-side combined to
+    per-customer revenue), ranks come from the two-phase range rank
+    (operators/relational.with_global_row_number — NO un-partitioned
+    data window), rank-weighted sums merge as decimal(38,0), and G is
+    one IEEE division of two exactly-computed integers — DuckDB
+    hash-matches."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    ranked = with_global_row_number(
+        per_cust, ["rev", "o_custkey"], rn_col="i", n_col="n"
+    )
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev")).alias("__six"),
+    )
+    return agg.select(
+        "n",
+        F.col("__sx").cast("double").alias("total_cents"),
+        (
+            (F.lit(2) * F.col("__six") - (F.col("n") + 1) * F.col("__sx"))
+            .cast("double")
+            / (F.col("n") * F.col("__sx")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer's nation against
+    order value — the categorical-feature encoder that avoids target
+    leakage (each row's own target is excluded from its group mean:
+    ``(sum_g - x) / (n_g - 1)``). Exact: cents integerize per order,
+    per-nation sums are ONE map-side-combined aggregate of the
+    orders⋈customer lookup join (customer is the broadcast dim), the
+    nation table of (n_g, sum_g) is 25 rows broadcast back, and the
+    encoding is one IEEE division of exact integers per row — map-only
+    after the two broadcast joins, the 100 TB shape."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    oc = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    nat = oc.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+    )
+    return (
+        oc.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("n_g") > 1)
+        .select(
+            "o_orderkey",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            (
+                (F.col("s_g") - F.col("cents")).cast("double")
+                / (F.col("n_g") - 1).cast("double")
+            ).alias("loo_enc_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last order,
+    against the corpus max date), Frequency (order count), Monetary
+    (revenue cents), each scored into quintiles 1..5 — the classic
+    customer-value segmentation. Quintiles avoid the global-sort
+    ``ntile(5)`` trap (ONE reducer sorts every customer): each score is
+    ``(5*(rank-1)) div n + 1`` over the two-phase range rank, all
+    integer arithmetic so DuckDB's ``row_number()`` twin hash-matches.
+    Rank orientation: every rank ascends on (metric, custkey); R's
+    bucket is then INVERTED (6 - bucket) because small recency is good
+    while large frequency/monetary are — so 5 always means 'best'."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    maxd = per.agg(F.max("last_d").alias("__maxd"))
+    base = per.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("__maxd"), F.col("last_d"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    base = with_global_row_number(
+        base, ["recency_days", "o_custkey"], rn_col="__rr", n_col="__n"
+    )
+    base = with_global_row_number(
+        base, ["frequency", "o_custkey"], rn_col="__fr", n_col="__n2"
+    )
+    base = with_global_row_number(
+        base, ["monetary_cents", "o_custkey"], rn_col="__mr", n_col="__n3"
+    )
+    bucket = lambda rn: (  # noqa: E731
+        F.expr(f"(5 * ({rn} - 1)) div __n") + 1
+    ).cast("long")
+    r_score = (F.lit(6) - bucket("__rr")).cast("long")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_score.alias("r_score"),
+        bucket("__fr").alias("f_score"),
+        bucket("__mr").alias("m_score"),
+        F.concat_ws(
+            "", r_score, bucket("__fr"), bucket("__mr")
+        ).alias("segment"),
+    ).orderBy("o_custkey")
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series —
+    the seasonality diagnostic behind q_seasonal_naive_mape's model
+    choice (a high lag-7 r justifies the weekly-naive forecast). Daily
+    cents aggregate exactly (ONE fact scan, day-domain-sized output);
+    lagged pairs come from a calendar self-join (day+k = day — gap
+    days drop on both engines identically); Pearson r uses exact
+    decimal(38,0) power sums over the day-sized pair relation with the
+    final sqrt/divide as mirrored IEEE ops — the q_linreg scheme
+    without row-level scaling because daily cents are already
+    integers."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    outs = []
+    for lag in (1, 7):
+        a = daily.select(F.col("d").alias("da"), F.col("rev").alias("x"))
+        b = daily.select(F.col("d").alias("db"), F.col("rev").alias("y"))
+        pairs = a.join(b, F.date_add(F.col("da"), lag) == F.col("db"))
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(dec("x")).alias("sx"),
+            F.sum(dec("y")).alias("sy"),
+            F.sum(dec("x") * F.col("x")).alias("sxx"),
+            F.sum(dec("x") * F.col("y")).alias("sxy"),
+            F.sum(dec("y") * F.col("y")).alias("syy"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(lag).cast("long").alias("lag"),
+                "n_pairs",
+                (
+                    (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    .cast("double")
+                    / (
+                        F.sqrt(
+                            (
+                                F.col("n_pairs") * F.col("sxx")
+                                - F.col("sx") * F.col("sx")
+                            ).cast("double")
+                        )
+                        * F.sqrt(
+                            (
+                                F.col("n_pairs") * F.col("syy")
+                                - F.col("sy") * F.col("sy")
+                            ).cast("double")
+                        )
+                    )
+                ).alias("autocorr"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("lag")
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a per-
+    (source, fold) balance readout — the CV counterpart of
+    q_split_assign: fold = md5-bucket(doc_id) % 5 is content-
+    independent, reproducible across engines/runs/layouts (rand() is
+    none of those), and the count matrix is the balance check a
+    stratified protocol audits before training. Map-only hash + one
+    tiny aggregate."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            (TX.hash32(F.col("doc_id").cast("string")) % 5).alias("fold"),
+        )
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "fold")
+    )
+
+
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(a,b) = |A∩B|/|A| (and the
+    mirror) for blocked doc pairs — the subset/superset near-dup class
+    Jaccard misses (operators/dedup.containment_pairs; Broder's
+    containment): a doc quoted whole inside a larger one scores ~1 in
+    one direction while its Jaccard stays low. Same narrow blocked
+    candidate generation as q_ngram_jaccard; sizes are computed on
+    long-hashed shingles, values identical to the string-set oracle."""
+    from .operators.dedup import ngram_containment_windowed
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_windowed(
+        docs, "doc_id", "text", "source", window=100
+    ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6008,6 +6326,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_exact": q_pagerank_exact,
     "q_split_singleton_agreement": q_split_singleton_agreement,
     "q_incremental_distinct_exact": q_incremental_distinct_exact,
+    "q_ks_test": q_ks_test,
+    "q_gini": q_gini,
+    "q_target_encode_loo": q_target_encode_loo,
+    "q_rfm": q_rfm,
+    "q_autocorr": q_autocorr,
+    "q_kfold_assign": q_kfold_assign,
+    "q_minhash_containment": q_minhash_containment,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -6307,6 +6632,173 @@ def _dk_pagerank_exact_sql(n_iters: int = 4, scale: int = 10**12) -> str:
 
 #: DuckDB oracle twins. Omitted keys => driver records rows-only checks.
 ORACLES: dict[str, str] = {
+    "q_ks_test": """
+        with base as (
+            select event_type, floor(value * 100)::bigint as bin
+            from events where event_type in ('click', 'view')
+        ),
+        hist as (
+            select bin,
+                   sum(case when event_type = 'click' then 1 else 0 end)::bigint
+                       as nc,
+                   sum(case when event_type = 'view' then 1 else 0 end)::bigint
+                       as nv
+            from base group by bin
+        ),
+        cum as (
+            select sum(nc) over w as cum_c, sum(nv) over w as cum_v
+            from hist
+            window w as (order by bin
+                         rows between unbounded preceding and current row)
+        ),
+        tot as (
+            select sum(nc)::bigint as n_click, sum(nv)::bigint as n_view
+            from hist
+        ),
+        agg as (
+            select n_click, n_view,
+                   max(abs(cum_c::hugeint * n_view
+                           - cum_v::hugeint * n_click))::double as d_num
+            from cum, tot group by n_click, n_view
+        )
+        select n_click, n_view, d_num,
+               d_num / (n_click::double * n_view::double) as ks_d
+        from agg
+    """,
+    "q_gini": """
+        with per as (
+            select o_custkey,
+                   sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as rev
+            from orders group by o_custkey
+        ),
+        ranked as (
+            select rev,
+                   row_number() over (order by rev, o_custkey) as i,
+                   count(*) over () as n
+            from per
+        ),
+        agg as (
+            select max(n)::bigint as n, sum(rev) as sx,
+                   sum(i::hugeint * rev) as six
+            from ranked
+        )
+        select n, sx::double as total_cents,
+               (2 * six - (n + 1) * sx)::double / (n * sx)::double as gini
+        from agg
+    """,
+    "q_target_encode_loo": """
+        with oc as (
+            select o_orderkey, c_nationkey,
+                   floor(o_totalprice * 100 + 0.5)::bigint as cents
+            from orders join customer on o_custkey = c_custkey
+        ),
+        nat as (
+            select c_nationkey, count(*)::bigint as n_g,
+                   sum(cents) as s_g
+            from oc group by c_nationkey
+        )
+        select o_orderkey, oc.c_nationkey::bigint as nationkey,
+               (s_g - cents)::double / (n_g - 1)::double as loo_enc_cents
+        from oc join nat on oc.c_nationkey = nat.c_nationkey
+        where n_g > 1
+        order by o_orderkey
+    """,
+    "q_rfm": """
+        with per as (
+            select o_custkey, max(o_orderdate::date) as last_d,
+                   count(*)::bigint as frequency,
+                   sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint
+                       as monetary_cents
+            from orders group by o_custkey
+        ),
+        mx as (select max(last_d) as maxd from per),
+        base as (
+            select o_custkey,
+                   date_diff('day', last_d, maxd)::bigint as recency_days,
+                   frequency, monetary_cents
+            from per, mx
+        ),
+        r as (
+            select *,
+                   row_number() over (order by recency_days, o_custkey) as rr,
+                   row_number() over (order by frequency, o_custkey) as fr,
+                   row_number() over (order by monetary_cents, o_custkey) as mr,
+                   count(*) over () as n
+            from base
+        ),
+        s as (
+            select o_custkey, recency_days, frequency, monetary_cents,
+                   (6 - ((5 * (rr - 1)) // n + 1))::bigint as r_score,
+                   ((5 * (fr - 1)) // n + 1)::bigint as f_score,
+                   ((5 * (mr - 1)) // n + 1)::bigint as m_score
+            from r
+        )
+        select o_custkey, recency_days, frequency, monetary_cents,
+               r_score, f_score, m_score,
+               concat(r_score, f_score, m_score) as segment
+        from s order by o_custkey
+    """,
+    "q_autocorr": """
+        with daily as (
+            select o_orderdate::date as d,
+                   sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as rev
+            from orders group by 1
+        ),
+        a1 as (
+            select count(*)::bigint as n_pairs,
+                   sum(a.rev::hugeint) as sx, sum(b.rev::hugeint) as sy,
+                   sum(a.rev::hugeint * a.rev) as sxx,
+                   sum(a.rev::hugeint * b.rev) as sxy,
+                   sum(b.rev::hugeint * b.rev) as syy
+            from daily a join daily b on a.d + 1 = b.d
+        ),
+        a7 as (
+            select count(*)::bigint as n_pairs,
+                   sum(a.rev::hugeint) as sx, sum(b.rev::hugeint) as sy,
+                   sum(a.rev::hugeint * a.rev) as sxx,
+                   sum(a.rev::hugeint * b.rev) as sxy,
+                   sum(b.rev::hugeint * b.rev) as syy
+            from daily a join daily b on a.d + 7 = b.d
+        )
+        select 1::bigint as lag, n_pairs,
+               (n_pairs * sxy - sx * sy)::double
+                   / (sqrt((n_pairs * sxx - sx * sx)::double)
+                      * sqrt((n_pairs * syy - sy * sy)::double)) as autocorr
+        from a1
+        union all
+        select 7::bigint as lag, n_pairs,
+               (n_pairs * sxy - sx * sy)::double
+                   / (sqrt((n_pairs * sxx - sx * sx)::double)
+                      * sqrt((n_pairs * syy - sy * sy)::double)) as autocorr
+        from a7
+        order by lag
+    """,
+    "q_kfold_assign": """
+        select source,
+               ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 5
+                   as fold,
+               count(*)::bigint as n_docs
+        from documents
+        group by 1, 2
+        order by 1, 2
+    """,
+    "q_minhash_containment": f"""
+        with t as (
+            select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+            from (select doc_id, source, {_DK_TOKENS} as w from documents)
+        )
+        select a.doc_id as a, b.doc_id as b,
+               case when len(a.sh) > 0 then
+                   len(list_distinct(list_intersect(a.sh, b.sh)))::double
+                       / len(a.sh) end as containment_ab,
+               case when len(b.sh) > 0 then
+                   len(list_distinct(list_intersect(a.sh, b.sh)))::double
+                       / len(b.sh) end as containment_ba
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id
+         and b.doc_id - a.doc_id <= 100
+        order by a, b
+    """,
     "q_pagerank_exact": _dk_pagerank_exact_sql(),
     "q_incremental_distinct_exact": """
         select strftime(date_trunc('week', ts), '%Y-%m-%d') as week,

@@ -190,6 +190,70 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC containment for candidate ``(a, b)`` pairs:
+    ``C(a,b) = |sh(a) ∩ sh(b)| / |sh(a)|`` and the mirror ``C(b,a)`` —
+    the subset/superset detector Jaccard misses: a document quoted
+    whole inside a larger one has low Jaccard (the union is large) but
+    containment ~1 in one direction, which is exactly the
+    quote/expansion near-dup class training-corpus dedup wants to
+    catch (Broder's containment, alongside resemblance). Same
+    long-hashed shingle-set machinery as :func:`jaccard_pairs` (sizes
+    are hash-invariant, so DuckDB oracles comparing raw strings still
+    hash-match). Empty shingle sets (docs shorter than n tokens) yield
+    NULL containment on that side rather than a division error."""
+    tok = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    sets_df = tok.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(TX.shingles_of(F.col("__toks"), shingle_n)),
+            lambda s: F.xxhash64(s),
+        ).alias("sh"),
+    )
+    a = sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_of = lambda side: F.when(  # noqa: E731
+        F.size(F.col(side)) > 0,
+        inter.cast("double") / F.size(F.col(side)),
+    )
+    return joined.select(
+        "a", "b",
+        c_of("sh_a").alias("containment_ab"),
+        c_of("sh_b").alias("containment_ba"),
+    )
+
+
+def ngram_containment_windowed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    window: int = 100,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Blocked containment scan: :func:`containment_pairs` over the same
+    narrow (block, id)-window candidate generation as
+    :func:`ngram_jaccard_windowed` — deterministic and SQL-expressible
+    (oracle-checked); at unblocked scale the LSH candidates feed
+    :func:`containment_pairs` directly."""
+    narrow = df.select(F.col(block_col).alias("blk"), F.col(id_col))
+    pairs = (
+        narrow.select(F.col("blk"), F.col(id_col).alias("a"))
+        .join(narrow.select(F.col("blk"), F.col(id_col).alias("b")), "blk")
+        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= window))
+        .select("a", "b")
+    )
+    return containment_pairs(df, pairs, id_col, text_col, shingle_n=shingle_n)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,

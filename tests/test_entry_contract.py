@@ -92,7 +92,9 @@ def test_driver_window_composition():
                 "q_label_centroids", "q_gdpr_delete", "q_quarantine_split"]
     assert window[4:25] == session6
     round7 = ["q_pagerank_exact", "q_split_singleton_agreement",
-              "q_incremental_distinct_exact"]
+              "q_incremental_distinct_exact", "q_ks_test", "q_gini",
+              "q_target_encode_loo", "q_rfm", "q_autocorr",
+              "q_kfold_assign", "q_minhash_containment"]
     n7 = len(round7)
     assert window[25:25 + n7] == round7
     greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
@@ -103,13 +105,17 @@ def test_driver_window_composition():
               "q_runtime_filter_join", "q_resample_ffill", "q_sessionize",
               "q_range_join", "q_streaming_tumbling", "q_funnel_steps",
               "q_salted_join", "q_cms_heavy_hitters"]
-    assert window[25 + n7:50] == greens[: 50 - 25 - n7]
+    n_greens_in = 50 - 25 - n7
+    assert window[25 + n7:50] == greens[:n_greens_in]
     # everything past the window is cumulatively driver-green (r1-r6) —
-    # nothing unverified sits outside the window
+    # nothing unverified sits outside the window: first the greens the
+    # round-7 additions displaced, then the r6 window block
+    n_spill = len(greens) - n_greens_in
+    assert list(qs)[50:50 + n_spill] == greens[n_greens_in:]
     r6_green_head = ["q_outlier_zscore", "q_drift_chi2",
                      "q_sample_weighted", "q_profile_table_approx",
                      "q_pq_topk"]
-    assert list(qs)[50:55] == r6_green_head
+    assert list(qs)[50 + n_spill:55 + n_spill] == r6_green_head
 
 
 def test_entry_runs_on_plain_session(spark):
