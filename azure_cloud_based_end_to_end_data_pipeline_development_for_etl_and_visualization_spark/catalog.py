@@ -5990,24 +5990,27 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nv"),
     )
+    # totals are the FINAL cumulative counts (the histogram is consumed
+    # once — a second totals aggregate would re-scan events), read back
+    # per row via an unbounded frame over the same domain-sized window
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        F.sum("nc").over(w).cast("decimal(38,0)").alias("cum_c"),
-        F.sum("nv").over(w).cast("decimal(38,0)").alias("cum_v"),
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    totals = hist.agg(
-        F.sum("nc").cast("long").alias("n_click"),
-        F.sum("nv").cast("long").alias("n_view"),
+    cum = hist.select(
+        F.sum("nc").over(w).alias("cum_c"),
+        F.sum("nv").over(w).alias("cum_v"),
+        F.sum("nc").over(w_all).cast("long").alias("n_click"),
+        F.sum("nv").over(w_all).cast("long").alias("n_view"),
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
+        cum.agg(
             F.max("n_click").alias("n_click"),
             F.max("n_view").alias("n_view"),
             F.max(
                 F.abs(
-                    F.col("cum_c") * F.col("n_view")
-                    - F.col("cum_v") * F.col("n_click")
+                    F.col("cum_c").cast("decimal(38,0)") * F.col("n_view")
+                    - F.col("cum_v").cast("decimal(38,0)") * F.col("n_click")
                 )
             )
             .cast("double")

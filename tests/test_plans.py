@@ -169,6 +169,17 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_label_centroids",
         "q_gdpr_delete",
         "q_quarantine_split",
+        # round-7 additions
+        "q_pagerank_exact",
+        "q_split_singleton_agreement",
+        "q_incremental_distinct_exact",
+        "q_ks_test",
+        "q_gini",
+        "q_target_encode_loo",
+        "q_rfm",
+        "q_autocorr",
+        "q_kfold_assign",
+        "q_minhash_containment",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -556,3 +567,42 @@ def test_cube_sketch_unions_base_partials(spark, sf_dir):
     assert "events" not in plan
     assert plan.count("hll_union_agg") >= 4
     assert "Expand" not in plan  # no cube re-expansion of the input
+
+
+def test_target_encode_loo_broadcasts_both_lookups(spark, sf_dir):
+    """The dim lookup (customer) and the 25-row nation stats table must
+    BOTH ride broadcast joins — the fact shuffles only for the tiny
+    per-nation aggregate, never for either join."""
+    plan = plan_of(catalog.q_target_encode_loo(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_rank_is_distributed_two_phase(spark, sf_dir):
+    """The revenue ranking must come from the two-phase range rank: a
+    rangepartitioning exchange of the per-customer aggregate plus
+    per-range numbering — the only SinglePartition exchanges are over
+    partition-count-sized offsets and the final 1-row readout."""
+    plan = plan_of(catalog.q_gini(spark, sf_dir))
+    assert "rangepartitioning(rev" in plan
+    assert "hashpartitioning(__gr_pid" in plan
+
+
+def test_rfm_has_no_global_data_sort_ntile(spark, sf_dir):
+    """Quintiles come from three two-phase ranks, NOT ntile over a
+    global window (one reducer sorting every customer)."""
+    plan = plan_of(catalog.q_rfm(spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning(recency_days" in plan
+    assert "rangepartitioning(frequency" in plan
+    assert "rangepartitioning(monetary_cents" in plan
+
+
+def test_ks_test_is_one_fact_scan_then_domain_sized(spark, sf_dir):
+    """One events scan builds the value histogram (map-side combined);
+    everything after operates on the value-domain-sized relation. The
+    single-partition cumulative window is over the histogram, never the
+    events."""
+    plan = plan_of(catalog.q_ks_test(spark, sf_dir))
+    assert plan.count("events.parquet") == 1 or plan.count("FileScan") == 1
+    assert "partial" in plan.lower()  # map-side combine on the histogram
