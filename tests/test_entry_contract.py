@@ -94,7 +94,8 @@ def test_driver_window_composition():
     round7 = ["q_pagerank_exact", "q_split_singleton_agreement",
               "q_incremental_distinct_exact", "q_ks_test", "q_gini",
               "q_target_encode_loo", "q_rfm", "q_autocorr",
-              "q_kfold_assign", "q_minhash_containment"]
+              "q_kfold_assign", "q_minhash_containment",
+              "q_cosine_topk_ivf_indexed"]
     n7 = len(round7)
     assert window[25:25 + n7] == round7
     greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
