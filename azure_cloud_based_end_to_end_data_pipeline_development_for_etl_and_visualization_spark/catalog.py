@@ -6367,6 +6367,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kfold_assign": q_kfold_assign,
     "q_minhash_containment": q_minhash_containment,
     "q_cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
+    # re-windowed: rows-only in r1-r6, now oracle-twinned via the
+    # recursive-closure twin — re-verify under the new check class
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_leakage_safe_split": q_leakage_safe_split,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -6446,7 +6450,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    null extension, staged 3-batch replay) -------------------------
     "q_streaming_left_interval": q_streaming_left_interval,
     # -- 38: leakage-safe split (near-dup clusters never straddle) ------
-    "q_leakage_safe_split": q_leakage_safe_split,
     # -- 39-42: round-6 session-5 additions (sort-based 2-D skyline,
     #    basket association rules, degree-ordered triangle census,
     #    mergeable-HLL incremental distinct) ----------------------------
@@ -6530,7 +6533,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk_ivf_exact": q_cosine_topk_ivf_exact,
     "q_incremental_ingest": q_incremental_ingest,
     "q_streaming_running_totals": q_streaming_running_totals,
-    "q_dedup_clusters": q_dedup_clusters,
     "q_scan_parquet": q_scan_parquet,
     "q_sql_over_path": q_sql_over_path,
     "q_project": q_project,
@@ -6618,6 +6620,56 @@ def _dk_cosine(a: str, b: str) -> str:
     na = _DK_COSINE.format(a=a, b=a)
     nb = _DK_COSINE.format(a=b, b=b)
     return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+#: shared CTE chain: the LSH candidate pipeline -> verified pairs at
+#: Jaccard >= 0.5 (the exact pair set q_minhash_lsh_pairs hash-checks)
+_DK_LSH_PAIR_CTES = f"""
+        sig as ({_DK_MINHASH_SQL}),
+        bands as (
+            select doc_id, 0 as band_id, mh0 as v0, mh1 as v1 from sig
+            union all select doc_id, 1, mh2, mh3 from sig
+            union all select doc_id, 2, mh4, mh5 from sig
+            union all select doc_id, 3, mh6, mh7 from sig
+        ),
+        cand as (
+            select distinct l.doc_id as a, r.doc_id as b
+            from bands l join bands r
+              on l.band_id = r.band_id and l.v0 = r.v0 and l.v1 = r.v1
+             and l.doc_id < r.doc_id
+        ),
+        sh as (
+            select doc_id, list_distinct({_DK_SHINGLES}) as sh
+            from (select doc_id, {_DK_TOKENS} as w from documents)
+        ),
+        pairs as (
+            select a, b from (
+                select c.a, c.b,
+                       len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+                           / len(list_distinct(sa.sh || sb.sh)) as jaccard
+                from cand c
+                join sh sa on sa.doc_id = c.a
+                join sh sb on sb.doc_id = c.b
+            ) where jaccard >= 0.5
+        )"""
+
+#: transitive closure over the pair graph -> min-reachable-id component
+#: labels (DuckDB recursive CTE; label propagation's fixpoint is exactly
+#: the min id reachable, so the iterative Spark result is reproducible)
+_DK_COMPONENT_CTES = """
+        sym(u, v) as (select a, b from pairs union all select b, a from pairs),
+        ns(n) as (select u from sym group by u),
+        reach(node, r) as (
+            select n, n from ns
+            union
+            select s.u, reach.r from sym s join reach on reach.node = s.v
+        ),
+        comp as (select node, min(r) as component from reach group by node),
+        lab as (
+            select d.doc_id,
+                   coalesce(c.component, d.doc_id) as cluster_rep
+            from documents d left join comp c on c.node = d.doc_id
+        )"""
+
 
 def _dk_pagerank_exact_sql(n_iters: int = 4, scale: int = 10**12) -> str:
     """Unrolled-CTE twin of operators/graph.pagerank_int: every step is
@@ -9513,3 +9565,30 @@ ORACLES: dict[str, str] = {
 # the indexed IVF path is bit-identical to full-probe IVF (same query
 # batch, same k) — it shares the exact-brute-force oracle
 ORACLES["q_cosine_topk_ivf_indexed"] = ORACLES["q_cosine_topk_ivf_exact"]
+
+# round-7: label propagation's fixpoint (min reachable id) IS
+# SQL-expressible as a recursive transitive closure — the two
+# cluster-label queries graduate from rows-only to cross-engine hash
+# checks (r6 VERDICT item 5 extended)
+ORACLES["q_dedup_clusters"] = f"""
+    with recursive
+    {_DK_LSH_PAIR_CTES},
+    {_DK_COMPONENT_CTES}
+    select doc_id, cluster_rep from lab order by doc_id
+"""
+ORACLES["q_leakage_safe_split"] = f"""
+    with recursive
+    {_DK_LSH_PAIR_CTES},
+    {_DK_COMPONENT_CTES},
+    b as (
+        select doc_id, cluster_rep,
+               ('0x' || substr(md5(cluster_rep::varchar), 1, 8))::bigint
+                   % 1000 as bucket
+        from lab
+    )
+    select doc_id, cluster_rep, bucket,
+           case when bucket < 900 then 'train'
+                when bucket < 950 then 'val'
+                else 'test' end as split
+    from b order by doc_id
+"""

@@ -133,6 +133,17 @@ HEADLINE = [
     "q_label_centroids",
     "q_gdpr_delete",
     "q_quarantine_split",
+    # round-7 additions (appended; earlier entries stay comparable)
+    "q_pagerank_exact",
+    "q_split_singleton_agreement",
+    "q_incremental_distinct_exact",
+    "q_ks_test",
+    "q_gini",
+    "q_target_encode_loo",
+    "q_rfm",
+    "q_autocorr",
+    "q_kfold_assign",
+    "q_minhash_containment",
 ]
 
 

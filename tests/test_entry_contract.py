@@ -36,7 +36,6 @@ def test_rows_only_queries_are_the_documented_set():
         "q_approx_percentile",   # KLL/GK sketch estimates are engine-specific
         # (q_minhash_lsh_pairs left this set in round 2: banding now
         # buckets on value vectors, reproducible in SQL)
-        "q_dedup_clusters",      # iterative label propagation
         "q_cosine_topk_lsh",     # approximate, recall tested in pytest
         "q_cosine_topk_ivf",     # approximate, recall tested in pytest
         "q_text_model_score",    # pandas_udf transcendentals differ in ulps
@@ -49,9 +48,10 @@ def test_rows_only_queries_are_the_documented_set():
         "q_bpe_train",           # iterative merge learning, pytest vs Python ref
         "q_bpe_apply",           # applies the iteratively-learned rules, same
         "q_char_entropy",        # log2 ulps are libm-specific, pytest parity
-        # (round 7 oracle-ified the singleton-agreement SUBSET as
-        # q_split_singleton_agreement; the full split stays rows-only)
-        "q_leakage_safe_split",  # iterative cluster labels, invariant pytest
+        # (round 7 oracle-ified q_dedup_clusters AND q_leakage_safe_split:
+        # label propagation's fixpoint — min reachable id — is a DuckDB
+        # recursive transitive closure, so both hash-check cross-engine;
+        # q_split_singleton_agreement pins the singleton subset besides)
         "q_hll_incremental_distinct",  # Datasketches HLL, lossless-merge pytest
         "q_rolling_dau_hll",     # same sketch, error-envelope pytest vs exact
         "q_semantic_dedup",      # iterative k-means cells, planted-dup pytest
@@ -95,7 +95,8 @@ def test_driver_window_composition():
               "q_incremental_distinct_exact", "q_ks_test", "q_gini",
               "q_target_encode_loo", "q_rfm", "q_autocorr",
               "q_kfold_assign", "q_minhash_containment",
-              "q_cosine_topk_ivf_indexed"]
+              "q_cosine_topk_ivf_indexed", "q_dedup_clusters",
+              "q_leakage_safe_split"]
     n7 = len(round7)
     assert window[25:25 + n7] == round7
     greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
