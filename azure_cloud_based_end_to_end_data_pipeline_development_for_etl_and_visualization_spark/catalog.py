@@ -6371,6 +6371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recursive-closure twin — re-verify under the new check class
     "q_dedup_clusters": q_dedup_clusters,
     "q_leakage_safe_split": q_leakage_safe_split,
+    "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -6498,7 +6499,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_json_lines_source": q_json_lines_source,
     "q_embed_quantize": q_embed_quantize,
     "q_cdc_apply": q_cdc_apply,
-    "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_text_model_score": q_text_model_score,
     "q_partitioned_prune": q_partitioned_prune,
@@ -9592,3 +9592,50 @@ ORACLES["q_leakage_safe_split"] = f"""
                 else 'test' end as split
     from b order by doc_id
 """
+
+
+def _dk_lsh_topk_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of q_cosine_topk_lsh: the hyperplanes are SEEDED
+    numpy constants compiled into both plans as literals, the sign-bit
+    dot rides the same sequential left-fold as _DK_COSINE (list_sum ==
+    Spark's aggregate fold, proven by the q_cosine_topk oracle), so the
+    bucket ids — and therefore the candidate set and ranking — are
+    bit-reproducible cross-engine. LSH graduates from 'approximate,
+    recall-tested' to deterministic hash-checked: approximate vs the
+    EXACT top-k, exact vs its own specification."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed=7)
+
+    def dot(plane) -> str:
+        lits = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" j -> embedding[j]::double * ({lits})[j]))"
+        )
+
+    bits = " + ".join(
+        f"(case when {dot(p)} > 0 then {2**i} else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        with cb as (
+            select vec_id, embedding, ({bits})::bigint as bucket
+            from embeddings
+        ),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   {_dk_cosine('q.embedding', 'c.embedding')} as sim
+            from cb q join cb c
+              on q.bucket = c.bucket and c.vec_id != q.vec_id
+            where q.vec_id < 5
+        )
+        select query_id, neighbor_id, rank, sim from (
+            select *, row_number() over (
+                partition by query_id order by sim desc, neighbor_id
+            ) as rank from scored
+        ) where rank <= {k} order by query_id, rank
+    """
+
+
+ORACLES["q_cosine_topk_lsh"] = _dk_lsh_topk_sql()

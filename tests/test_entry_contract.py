@@ -36,7 +36,9 @@ def test_rows_only_queries_are_the_documented_set():
         "q_approx_percentile",   # KLL/GK sketch estimates are engine-specific
         # (q_minhash_lsh_pairs left this set in round 2: banding now
         # buckets on value vectors, reproducible in SQL)
-        "q_cosine_topk_lsh",     # approximate, recall tested in pytest
+        # (round 7 oracle-ified q_cosine_topk_lsh: seeded hyperplanes are
+        # plan literals and the dot fold matches list_sum, so buckets,
+        # candidates, and ranking reproduce in SQL)
         "q_cosine_topk_ivf",     # approximate, recall tested in pytest
         "q_text_model_score",    # pandas_udf transcendentals differ in ulps
         "q_profile_table_approx",  # HLL++ estimates are engine-specific
@@ -96,7 +98,7 @@ def test_driver_window_composition():
               "q_target_encode_loo", "q_rfm", "q_autocorr",
               "q_kfold_assign", "q_minhash_containment",
               "q_cosine_topk_ivf_indexed", "q_dedup_clusters",
-              "q_leakage_safe_split"]
+              "q_leakage_safe_split", "q_cosine_topk_lsh"]
     n7 = len(round7)
     assert window[25:25 + n7] == round7
     greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
