@@ -6295,6 +6295,230 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order amounts — the classic
+    fabricated-data / unit-mixup detector for financial facts: observed
+    first-digit counts of the cents value vs Benford's expected
+    ``log10(1 + 1/d)`` shares, chi-square readout. Exactness: the first
+    digit comes from the BIGINT cents string (never from float log10 —
+    double->varchar formatting and libm log are engine-specific; a
+    bigint's decimal rendering is not), the 9 observed counts pivot
+    into ONE row via conditional aggregates, and the chi-square is a
+    single fixed-order expression over those ints and the 9 Python
+    literal probabilities — deterministic IEEE both sides. ONE
+    map-side-combined scan."""
+    orders = _t(spark, sf_dir, "orders")
+    import math
+
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    base = orders.select(digit.alias("d")).filter(F.col("d") >= 1)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("d") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"o{i}")
+            for i in range(1, 10)
+        ],
+    )
+    probs = {i: math.log10(1 + 1 / i) for i in range(1, 10)}
+    chi = None
+    for i in range(1, 10):
+        e = F.col("n").cast("double") * F.lit(probs[i])
+        term = (F.col(f"o{i}").cast("double") - e) * (
+            F.col(f"o{i}").cast("double") - e
+        ) / e
+        chi = term if chi is None else chi + term
+    return agg.select(
+        "n", *[f"o{i}" for i in range(1, 10)], chi.alias("chi2")
+    )
+
+
+def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table for view->purchase conversion: per user,
+    duration in days from first 'view' to first subsequent 'purchase'
+    (censored at the corpus max day when no purchase follows); for each
+    observed duration, the at-risk count, conversion events, and
+    censorings — the survival-analysis readout behind time-to-convert /
+    churn curves, exact-integer so DuckDB hash-matches (the survival
+    PRODUCT itself is a float fold the caller derives; the risk table
+    is the canonical artifact). Shape: one events scan to per-user
+    firsts (map-side combined), a duration histogram, then reverse
+    cumulative at-risk counts over the duration-domain-sized relation
+    (the q_ks_test window class)."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("__any_first_purchase")
+    )
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("__maxd"))
+    durations = (
+        per.filter(F.col("first_view").isNotNull())
+        .join(pur, "user_id", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("__any_first_purchase") >= F.col("first_view"),
+                F.datediff(
+                    F.to_date("__any_first_purchase"),
+                    F.to_date("first_view"),
+                ),
+            )
+            .otherwise(None)
+            .alias("__event_dur"),
+            F.datediff(F.col("__maxd"), F.to_date("first_view")).alias(
+                "__censor_dur"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("__event_dur"), F.col("__censor_dur"))
+            .cast("long")
+            .alias("dur"),
+            F.col("__event_dur").isNotNull().alias("converted"),
+        )
+    )
+    hist = durations.groupBy("dur").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1))
+        .cast("long")
+        .alias("c_censored"),
+    )
+    w_ge = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return hist.select(
+        "dur",
+        F.sum(F.col("d_events") + F.col("c_censored"))
+        .over(w_ge)
+        .cast("long")
+        .alias("n_at_risk"),
+        "d_events",
+        "c_censored",
+    ).orderBy("dur")
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketch.bloom_build/probe) —
+    the missing member of the sketch family (CMS frequency, HLL
+    cardinality, Bloom membership): a 1024-bit, 4-hash filter over the
+    'BUILDING'-segment customer keys, probed with every ordering
+    customer; the readout is probed / maybe / true-member /
+    false-positive counts plus the realized FP rate. md5-sliced
+    hashing makes the FILTER ITSELF bit-reproducible — the oracle
+    rebuilds it and hash-checks even the false positives, the property
+    that lets a 100 TB pipeline ship the KB-sized bit set to every
+    join site as a semi-join pre-filter (q_runtime_filter_join's
+    engine-injected bloom, surfaced as an explicit reusable
+    artifact)."""
+    from .operators.sketch import bloom_build, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = bloom_build(members, "key")
+    probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+    verdicts = bloom_probe(bits, probes, "key")
+    truth = probes.join(
+        members.withColumn("__true", F.lit(True)), "key", "left"
+    ).select("key", F.coalesce(F.col("__true"), F.lit(False)).alias("is_member"))
+    joined = verdicts.join(truth, "key")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        F.sum(
+            F.when(F.col("maybe_member") & ~F.col("is_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    ).select(
+        "n_probed",
+        "n_maybe",
+        "n_true",
+        "n_false_pos",
+        (
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probed") - F.col("n_true")).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series: the day
+    maximizing |n * prefix_t - t * S| — the scaled cumulative deviation
+    from the global mean (multiplying through by n keeps EVERY step in
+    exact integer arithmetic; the classic C_t = prefix_t - t*S/n would
+    accumulate float error). One fact scan to daily cents, then a
+    day-domain-sized window pass for prefix sums and row indexes —
+    the q_ks_test shape. Returns the argmax day, its scaled CUSUM, and
+    the two segment means it splits (one IEEE division each) — the
+    regime-shift readout monitoring pipelines alert on."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        F.sum("x").over(w).cast("decimal(38,0)").alias("prefix"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("x").over(w_all).cast("decimal(38,0)").alias("s"),
+    )
+    scored = cum.select(
+        "d",
+        "t",
+        "prefix",
+        "n",
+        "s",
+        F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).alias(
+            "__c"
+        ),
+    )
+    best = scored.orderBy(
+        F.col("__c").desc(), F.col("d")
+    ).limit(1)
+    return best.select(
+        F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+        F.col("__c").cast("double").alias("cusum_scaled"),
+        (F.col("prefix").cast("double") / F.col("t").cast("double")).alias(
+            "mean_before_cents"
+        ),
+        (
+            (F.col("s") - F.col("prefix")).cast("double")
+            / (F.col("n") - F.col("t")).cast("double")
+        ).alias("mean_after_cents"),
+    )
+
+
 def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment C(a,b) = |A∩B|/|A| (and the
     mirror) for blocked doc pairs — the subset/superset near-dup class
@@ -6372,6 +6596,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_benford_check": q_benford_check,
+    "q_survival_table": q_survival_table,
+    "q_bloom_filter": q_bloom_filter,
+    "q_changepoint": q_changepoint,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -9639,3 +9867,147 @@ def _dk_lsh_topk_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
 
 
 ORACLES["q_cosine_topk_lsh"] = _dk_lsh_topk_sql()
+
+
+def _dk_benford_sql() -> str:
+    """Benford twin: the same Python float literals for the 9 expected
+    shares (repr round-trips exactly), the same fixed-order chi-square
+    expression — the only floats are shared literals and mirrored IEEE
+    ops over exact counts."""
+    import math
+
+    obs = ", ".join(
+        f"sum(case when d = {i} then 1 else 0 end)::bigint as o{i}"
+        for i in range(1, 10)
+    )
+    chi = " + ".join(
+        f"((o{i}::double - (n::double * {math.log10(1 + 1 / i)!r}))"
+        f" * (o{i}::double - (n::double * {math.log10(1 + 1 / i)!r}))"
+        f" / (n::double * {math.log10(1 + 1 / i)!r}))"
+        for i in range(1, 10)
+    )
+    return f"""
+        with base as (
+            select substr(floor(o_totalprice * 100 + 0.5)::bigint::varchar,
+                          1, 1)::int as d
+            from orders
+        ),
+        agg as (
+            select count(*)::bigint as n, {obs}
+            from base where d >= 1
+        )
+        select n, {", ".join(f"o{i}" for i in range(1, 10))},
+               {chi} as chi2
+        from agg
+    """
+
+
+ORACLES["q_benford_check"] = _dk_benford_sql()
+ORACLES["q_survival_table"] = """
+    with per as (
+        select user_id,
+               min(case when event_type = 'view' then ts end) as first_view
+        from events group by user_id
+    ),
+    pur as (
+        select user_id, min(ts) as fp
+        from events where event_type = 'purchase' group by user_id
+    ),
+    mx as (select max(ts::date) as maxd from events),
+    durs as (
+        select coalesce(
+                   case when fp >= first_view
+                        then date_diff('day', first_view::date, fp::date) end,
+                   date_diff('day', first_view::date, maxd)
+               )::bigint as dur,
+               coalesce(fp >= first_view, false) as converted
+        from per left join pur using (user_id), mx
+        where first_view is not null
+    ),
+    hist as (
+        select dur,
+               sum(case when converted then 1 else 0 end)::bigint as d_events,
+               sum(case when converted then 0 else 1 end)::bigint as c_censored
+        from durs group by dur
+    )
+    select dur,
+           sum(d_events + c_censored) over (
+               order by dur
+               rows between current row and unbounded following
+           )::bigint as n_at_risk,
+           d_events, c_censored
+    from hist order by dur
+"""
+ORACLES["q_bloom_filter"] = """
+    with members as (
+        select c_custkey as key from customer
+        where c_mktsegment = 'BUILDING'
+    ),
+    mh as (select md5(concat('bloom:', key::varchar)) as h from members),
+    bits as (
+        select distinct
+               ('0x' || substr(h, 1 + 8 * i, 8))::bigint % 1024 as bit
+        from mh, (values (0), (1), (2), (3)) s(i)
+    ),
+    probes as (select distinct o_custkey as key from orders),
+    ph as (
+        select key, md5(concat('bloom:', key::varchar)) as h from probes
+    ),
+    kp as (
+        select distinct key,
+               ('0x' || substr(h, 1 + 8 * i, 8))::bigint % 1024 as bit
+        from ph, (values (0), (1), (2), (3)) s(i)
+    ),
+    npos as (select key, count(*)::bigint as n_pos from kp group by key),
+    nhit as (
+        select key, count(*)::bigint as n_hit
+        from kp join bits using (bit) group by key
+    ),
+    verd as (
+        select npos.key, coalesce(n_hit, 0) = n_pos as maybe_member
+        from npos left join nhit using (key)
+    ),
+    truth as (
+        select p.key, m.key is not null as is_member
+        from probes p left join members m on m.key = p.key
+    ),
+    agg as (
+        select count(*)::bigint as n_probed,
+               sum(case when maybe_member then 1 else 0 end)::bigint
+                   as n_maybe,
+               sum(case when is_member then 1 else 0 end)::bigint as n_true,
+               sum(case when maybe_member and not is_member then 1 else 0
+                   end)::bigint as n_false_pos
+        from verd join truth using (key)
+    )
+    select n_probed, n_maybe, n_true, n_false_pos,
+           n_false_pos::double / (n_probed - n_true)::double as fp_rate
+    from agg
+"""
+ORACLES["q_changepoint"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as x
+        from orders group by 1
+    ),
+    cum as (
+        select d,
+               row_number() over (order by d) as t,
+               sum(x) over (order by d
+                            rows between unbounded preceding
+                            and current row) as prefix,
+               count(*) over () as n,
+               sum(x) over () as s
+        from daily
+    ),
+    scored as (
+        select d, t::bigint as t, prefix, n::bigint as n, s,
+               abs(n * prefix - t * s) as c
+        from cum
+    )
+    select strftime(d, '%Y-%m-%d') as change_day,
+           c::double as cusum_scaled,
+           prefix::double / t::double as mean_before_cents,
+           (s - prefix)::double / (n - t)::double as mean_after_cents
+    from scored order by c desc, d limit 1
+"""

@@ -159,3 +159,74 @@ def hll_rollup(
             F.hll_union_agg(F.col(sketch_col), F.lit(False))
         ).alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (md5-sliced, bit-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, width: int = 1024, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter as the SET of bit positions hit: one row per
+    set bit, at most ``width`` rows regardless of input size — the
+    mergeable membership sketch completing the CMS (frequency) / HLL
+    (cardinality) family. Merge two filters with the same (width, k) by
+    unioning the bit sets. ``k`` slices of one md5 per key (the CMS
+    fast-path trick) keep it pure JVM AND bit-reproducible cross-engine
+    — the DuckDB oracle rebuilds the identical filter, so membership
+    answers (and the false-positive count itself) are hash-verified,
+    not just plausible. Requires ``k <= 4`` (md5 yields four 32-bit
+    slices)."""
+    if k > 4:
+        raise ValueError(f"bloom_build: k={k} > 4 slices of one md5")
+    hashed = df.select(
+        F.md5(
+            F.concat(F.lit("bloom:"), F.col(key_col).cast("string"))
+        ).alias("__h")
+    )
+    pos = [_bucket_sliced(F.col("__h"), i, width) for i in range(k)]
+    return (
+        hashed.select(F.explode(F.array(*pos)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """Probe: a key is a MAYBE-member iff every one of its (distinct)
+    bit positions is set. The filter is at most ``width`` rows —
+    broadcast into the position join; per-key verdicts are a counts
+    comparison (n_hit == n_positions), never a per-row loop."""
+    hashed = keys.select(
+        F.col(key_col),
+        F.md5(
+            F.concat(F.lit("bloom:"), F.col(key_col).cast("string"))
+        ).alias("__h"),
+    )
+    pos = [_bucket_sliced(F.col("__h"), i, width) for i in range(k)]
+    kp = (
+        hashed.select(F.col(key_col), F.explode(F.array(*pos)).alias("bit"))
+        .distinct()
+    )
+    n_pos = kp.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n_pos"))
+    n_hit = (
+        kp.join(F.broadcast(bits), "bit")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    return (
+        n_pos.join(n_hit, key_col, "left")
+        .select(
+            F.col(key_col),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) == F.col("__n_pos")).alias(
+                "maybe_member"
+            ),
+        )
+    )
