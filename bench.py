@@ -144,6 +144,10 @@ HEADLINE = [
     "q_autocorr",
     "q_kfold_assign",
     "q_minhash_containment",
+    "q_benford_check",
+    "q_survival_table",
+    "q_bloom_filter",
+    "q_changepoint",
 ]
 
 

@@ -180,6 +180,10 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_autocorr",
         "q_kfold_assign",
         "q_minhash_containment",
+        "q_benford_check",
+        "q_survival_table",
+        "q_bloom_filter",
+        "q_changepoint",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -606,3 +610,18 @@ def test_ks_test_is_one_fact_scan_then_domain_sized(spark, sf_dir):
     plan = plan_of(catalog.q_ks_test(spark, sf_dir))
     assert plan.count("events.parquet") == 1 or plan.count("FileScan") == 1
     assert "partial" in plan.lower()  # map-side combine on the histogram
+
+
+def test_bloom_filter_bits_are_broadcast(spark, sf_dir):
+    """The probe join must broadcast the <=1024-row bit set — the whole
+    point of shipping a Bloom filter to join sites; a shuffled filter
+    join would defeat it."""
+    plan = plan_of(catalog.q_bloom_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_changepoint_is_one_fact_scan(spark, sf_dir):
+    """Daily aggregate once; every window after operates on the
+    day-domain-sized relation (q_ks_test class)."""
+    plan = plan_of(catalog.q_changepoint(spark, sf_dir))
+    assert plan.count("FileScan") == 1
