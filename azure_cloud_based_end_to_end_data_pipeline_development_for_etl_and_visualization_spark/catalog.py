@@ -6461,6 +6461,110 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-filter MAINTENANCE (the q_streaming_cms_topk
+    check class applied to membership state): the member set arrives as
+    three micro-batches; each batch's bit positions union into a
+    BATCH-ID-VERSIONED parquet state (idempotent under micro-batch
+    replay — bit-set union commutes AND absorbs duplicates, so crash
+    recovery is free). The accumulated filter is therefore BIT-IDENTICAL
+    to the batch-built one, and the final probe readout hash-matches the
+    full q_bloom_filter DuckDB oracle — a streaming continuous query
+    with an EXACT cross-engine check. At 100 TB the state is <= width
+    rows per version regardless of stream volume."""
+    import os
+    import shutil
+
+    from .operators.sketch import bloom_build, bloom_probe
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cust = _t(spark, sf_dir, "customer")
+        members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("key")
+        )
+        stage = _tmp_path("bloom_stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        for i in range(3):
+            members.filter(F.pmod(F.col("key"), 3) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        state_dir = _tmp_path("bloom_state")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        ckpt = _tmp_path("bloom_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        def accumulate(batch_df: DataFrame, batch_id: int) -> None:
+            bits = bloom_build(batch_df, "key")
+            prev = os.path.join(state_dir, f"v{batch_id - 1}")
+            if batch_id > 0 and os.path.exists(prev):
+                bits = (
+                    spark.read.parquet(prev).unionByName(bits).distinct()
+                )
+            bits.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(members.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(accumulate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        last = max(
+            int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+        )
+        bits = spark.read.parquet(os.path.join(state_dir, f"v{last}"))
+
+        orders = _t(spark, sf_dir, "orders")
+        probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+        verdicts = bloom_probe(bits, probes, "key")
+        truth = probes.join(
+            members.withColumn("__true", F.lit(True)), "key", "left"
+        ).select(
+            "key", F.coalesce(F.col("__true"), F.lit(False)).alias("is_member")
+        )
+        out = (
+            verdicts.join(truth, "key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_probed"),
+                F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_maybe"),
+                F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_true"),
+                F.sum(
+                    F.when(
+                        F.col("maybe_member") & ~F.col("is_member"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_false_pos"),
+            )
+            .select(
+                "n_probed",
+                "n_maybe",
+                "n_true",
+                "n_false_pos",
+                (
+                    F.col("n_false_pos").cast("double")
+                    / (F.col("n_probed") - F.col("n_true")).cast("double")
+                ).alias("fp_rate"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection on the daily revenue series: the day
     maximizing |n * prefix_t - t * S| — the scaled cumulative deviation
@@ -6600,6 +6704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_survival_table": q_survival_table,
     "q_bloom_filter": q_bloom_filter,
     "q_changepoint": q_changepoint,
+    "q_streaming_bloom": q_streaming_bloom,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -9984,6 +10089,9 @@ ORACLES["q_bloom_filter"] = """
            n_false_pos::double / (n_probed - n_true)::double as fp_rate
     from agg
 """
+# streaming bloom accumulates the IDENTICAL bit set (union commutes and
+# absorbs replays) -> shares the batch filter's oracle
+ORACLES["q_streaming_bloom"] = ORACLES["q_bloom_filter"]
 ORACLES["q_changepoint"] = """
     with daily as (
         select o_orderdate::date as d,
