@@ -6461,6 +6461,272 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by signup cohort: users grouped by
+    first-seen week, their event value accumulated per week-of-age, and
+    the running total normalized per cohort member — the LTV curve
+    growth teams read retention against (q_retention_cohort's value
+    sibling). Exact: value cents integerize per event, per-(cohort,
+    age) sums are ONE map-side-combined aggregate over the
+    user-attributed stream, the cumulative rides a window partitioned
+    by cohort over the week-domain-sized matrix (never event-sized),
+    and ltv_per_user is one IEEE division of exact integers."""
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_n")
+    )
+    per_age = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("act_week"),
+            cents.alias("cents"),
+        )
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(act_week, cohort_week) div 7").alias(
+                "weeks_since"
+            ),
+            "cents",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_age.withColumn(
+            "cum_cents", F.sum("week_cents").over(w).cast("long")
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("weeks_since").cast("long").alias("weeks_since"),
+            F.col("week_cents").cast("long").alias("week_cents"),
+            "cum_cents",
+            "cohort_n",
+            (
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_n").cast("double")
+            ).alias("ltv_per_user_cents"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every event-type pair, the distinct
+    users doing BOTH, each marginal audience, and the Jaccard overlap —
+    the segment-intersection readout behind audience planning and
+    cannibalization checks. The (type, user) incidence dedups in ONE
+    events scan and materializes implicitly as the self-join input
+    (types are a handful, users high-cardinality — the join key is
+    user_id, so it distributes); marginals broadcast back onto the
+    pair counts; Jaccard is one IEEE division of exact integers."""
+    ev = _events(spark, sf_dir)
+    inc = ev.select("event_type", "user_id").distinct()
+    a = inc.select(F.col("event_type").alias("ta"), "user_id")
+    b = inc.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    marg = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ma = marg.select(F.col("event_type").alias("ta"), F.col("n_users").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("tb"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ma), "ta")
+        .join(F.broadcast(mb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator evaluation as a query: SimHash's hamming-distance
+    verdict scored against exact shingle Jaccard on the same blocked
+    pair set — the precision/recall audit a dedup pipeline runs before
+    trusting a cheap detector at scale (prediction: hamming <= 9 of 32
+    bits; truth: Jaccard >= 0.5). Everything is deterministic (md5
+    token hashes, integer bit ops, exact set sizes), so the CONFUSION
+    MATRIX ITSELF hash-checks cross-engine — the evaluation is
+    verified, not sampled. One narrow blocked pair generation (the
+    q_ngram_jaccard class) feeding both signals."""
+    from .operators.dedup import jaccard_pairs, simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    narrow = docs.select(F.col("source").alias("blk"), F.col("doc_id"))
+    pairs = (
+        narrow.select("blk", F.col("doc_id").alias("a"))
+        .join(narrow.select("blk", F.col("doc_id").alias("b")), "blk")
+        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= 100))
+        .select("a", "b")
+    )
+    jac = jaccard_pairs(docs, pairs, "doc_id", "text")
+    sims = simhash(docs, "doc_id", "text")
+    sa = sims.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    sb = sims.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    scored = (
+        jac.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            (F.col("jaccard") >= 0.5).alias("actual"),
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 9
+            ).alias("predicted"),
+        )
+    )
+    agg = scored.agg(
+        F.sum(F.when(F.col("actual") & F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~F.col("actual") & F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("actual") & ~F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("actual") & ~F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+    )
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al., WSDM
+    2013): users hash-split into two deterministic variants, their
+    PRE-period value (first half of the observation window) used as the
+    covariate to adjust the POST-period metric —
+    ``adj = mean_post_v - theta * (mean_pre_v - mean_pre_global)`` with
+    ``theta = cov(pre, post) / var(pre)``. The experimentation-platform
+    op that typically halves required sample sizes. Exact: the window
+    midpoint is integer day arithmetic, per-user pre/post cents are ONE
+    map-side-combined conditional aggregate, theta's numerator and
+    denominator are exact decimal power sums (q_linreg class), and
+    every mean/adjustment is a fixed-order IEEE expression both engines
+    mirror."""
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("__d0"),
+        F.max(F.to_date("ts")).alias("__d1"),
+    )
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"), cents.alias("cents"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(
+                F.datediff(F.col("d"), F.col("__d0"))
+                < F.expr("datediff(__d1, __d0) div 2"),
+                F.col("cents"),
+            )
+            .otherwise(0)
+            .alias("pre_c"),
+            F.when(
+                F.datediff(F.col("d"), F.col("__d0"))
+                >= F.expr("datediff(__d1, __d0) div 2"),
+                F.col("cents"),
+            )
+            .otherwise(0)
+            .alias("post_c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("pre_c").alias("pre"),
+            F.sum("post_c").alias("post"),
+        )
+        .select(
+            "user_id",
+            "pre",
+            "post",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ).alias("variant"),
+        )
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("pre").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("post").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("pre").cast("decimal(38,0)") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre").cast("decimal(38,0)") * F.col("post")).alias(
+            "sxy"
+        ),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum(F.col("pre").cast("decimal(38,0)")).alias("sx_v"),
+        F.sum(F.col("post").cast("decimal(38,0)")).alias("sy_v"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    mean_pre_g = F.col("sx").cast("double") / F.col("n").cast("double")
+    mean_post_v = F.col("sy_v").cast("double") / F.col("n_v").cast("double")
+    mean_pre_v = F.col("sx_v").cast("double") / F.col("n_v").cast("double")
+    return (
+        v.crossJoin(F.broadcast(g))
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            "n_v",
+            mean_post_v.alias("mean_post_cents"),
+            theta.alias("theta"),
+            (mean_post_v - theta * (mean_pre_v - mean_pre_g)).alias(
+                "adjusted_mean_cents"
+            ),
+        )
+        .orderBy("variant")
+    )
+
+
 def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom-filter MAINTENANCE (the q_streaming_cms_topk
     check class applied to membership state): the member set arrives as
@@ -6705,6 +6971,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_filter": q_bloom_filter,
     "q_changepoint": q_changepoint,
     "q_streaming_bloom": q_streaming_bloom,
+    "q_cohort_ltv": q_cohort_ltv,
+    "q_audience_overlap": q_audience_overlap,
+    "q_simhash_eval": q_simhash_eval,
+    "q_ab_cuped": q_ab_cuped,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -10118,4 +10388,141 @@ ORACLES["q_changepoint"] = """
            prefix::double / t::double as mean_before_cents,
            (s - prefix)::double / (n - t)::double as mean_after_cents
     from scored order by c desc, d limit 1
+"""
+
+
+ORACLES["q_cohort_ltv"] = """
+    with firsts as (
+        select user_id, date_trunc('week', min(ts))::date as cohort_week
+        from events group by user_id
+    ),
+    sizes as (
+        select cohort_week, count(*)::bigint as cohort_n
+        from firsts group by 1
+    ),
+    per_age as (
+        select f.cohort_week,
+               (date_diff('day', f.cohort_week,
+                          date_trunc('week', e.ts)::date) // 7)::bigint
+                   as weeks_since,
+               sum(floor(e.value * 100 + 0.5)::bigint)::bigint as week_cents
+        from events e join firsts f using (user_id)
+        group by 1, 2
+    ),
+    cum as (
+        select cohort_week, weeks_since, week_cents,
+               sum(week_cents) over (
+                   partition by cohort_week order by weeks_since
+                   rows between unbounded preceding and current row
+               )::bigint as cum_cents
+        from per_age
+    )
+    select strftime(cohort_week, '%Y-%m-%d') as cohort_week, weeks_since,
+           week_cents, cum_cents, cohort_n,
+           cum_cents::double / cohort_n::double as ltv_per_user_cents
+    from cum join sizes using (cohort_week)
+    order by 1, 2
+"""
+ORACLES["q_audience_overlap"] = """
+    with inc as (select distinct event_type, user_id from events),
+    inter as (
+        select a.event_type as ta, b.event_type as tb,
+               count(*)::bigint as n_both
+        from inc a join inc b
+          on a.user_id = b.user_id and a.event_type < b.event_type
+        group by 1, 2
+    ),
+    marg as (
+        select event_type, count(*)::bigint as n_users
+        from inc group by 1
+    )
+    select ta, tb, ma.n_users as n_a, mb.n_users as n_b, n_both,
+           n_both::double
+               / (ma.n_users + mb.n_users - n_both)::double as jaccard
+    from inter
+    join marg ma on ma.event_type = ta
+    join marg mb on mb.event_type = tb
+    order by ta, tb
+"""
+ORACLES["q_simhash_eval"] = f"""
+    with sims as ({_DK_SIMHASH_SQL}),
+    t as (
+        select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+        from (select doc_id, source, {_DK_TOKENS} as w from documents)
+    ),
+    p as (
+        select a.doc_id as a, b.doc_id as b,
+               len(list_distinct(list_intersect(a.sh, b.sh)))::double
+                   / len(list_distinct(a.sh || b.sh)) as jaccard
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id
+         and b.doc_id - a.doc_id <= 100
+    ),
+    scored as (
+        select (jaccard >= 0.5) as actual,
+               (bit_count(xor(sa.simhash, sb.simhash)) <= 9) as predicted
+        from p
+        join sims sa on sa.doc_id = p.a
+        join sims sb on sb.doc_id = p.b
+    ),
+    agg as (
+        select
+            sum(case when actual and predicted then 1 else 0 end)::bigint
+                as tp,
+            sum(case when not actual and predicted then 1 else 0 end)::bigint
+                as fp,
+            sum(case when actual and not predicted then 1 else 0 end)::bigint
+                as fn,
+            sum(case when not actual and not predicted then 1 else 0
+                end)::bigint as tn
+        from scored
+    )
+    select tp, fp, fn, tn,
+           case when tp + fp > 0
+                then tp::double / (tp + fp)::double end as "precision",
+           case when tp + fn > 0
+                then tp::double / (tp + fn)::double end as recall
+    from agg
+"""
+ORACLES["q_ab_cuped"] = """
+    with b as (select min(ts::date) as d0, max(ts::date) as d1 from events),
+    pu as (
+        select user_id,
+               sum(case when date_diff('day', d0, ts::date)
+                             < date_diff('day', d0, d1) // 2
+                        then floor(value * 100 + 0.5)::bigint
+                        else 0 end)::bigint as pre,
+               sum(case when date_diff('day', d0, ts::date)
+                             >= date_diff('day', d0, d1) // 2
+                        then floor(value * 100 + 0.5)::bigint
+                        else 0 end)::bigint as post
+        from events, b group by user_id
+    ),
+    pv as (
+        select user_id, pre, post,
+               ('0x' || substr(md5(user_id::varchar), 1, 8))::bigint % 2
+                   as variant
+        from pu
+    ),
+    g as (
+        select count(*)::bigint as n, sum(pre) as sx, sum(post) as sy,
+               sum(pre::hugeint * pre) as sxx,
+               sum(pre::hugeint * post) as sxy
+        from pv
+    ),
+    v as (
+        select variant, count(*)::bigint as n_v,
+               sum(pre) as sx_v, sum(post) as sy_v
+        from pv group by variant
+    )
+    select variant::bigint as variant, n_v,
+           sy_v::double / n_v::double as mean_post_cents,
+           (n * sxy - sx * sy)::double
+               / (n * sxx - sx * sx)::double as theta,
+           (sy_v::double / n_v::double)
+               - ((n * sxy - sx * sy)::double
+                  / (n * sxx - sx * sx)::double)
+                 * ((sx_v::double / n_v::double)
+                    - (sx::double / n::double)) as adjusted_mean_cents
+    from v, g order by variant
 """

@@ -148,6 +148,10 @@ HEADLINE = [
     "q_survival_table",
     "q_bloom_filter",
     "q_changepoint",
+    "q_cohort_ltv",
+    "q_audience_overlap",
+    "q_simhash_eval",
+    "q_ab_cuped",
 ]
 
 

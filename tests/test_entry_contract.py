@@ -100,7 +100,8 @@ def test_driver_window_composition():
               "q_cosine_topk_ivf_indexed", "q_dedup_clusters",
               "q_leakage_safe_split", "q_cosine_topk_lsh",
               "q_benford_check", "q_survival_table", "q_bloom_filter",
-              "q_changepoint", "q_streaming_bloom"]
+              "q_changepoint", "q_streaming_bloom", "q_cohort_ltv",
+              "q_audience_overlap", "q_simhash_eval", "q_ab_cuped"]
     n7 = len(round7)
     assert window[25:25 + n7] == round7
     greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",

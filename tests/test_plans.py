@@ -184,6 +184,10 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_survival_table",
         "q_bloom_filter",
         "q_changepoint",
+        "q_cohort_ltv",
+        "q_audience_overlap",
+        "q_simhash_eval",
+        "q_ab_cuped",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
