@@ -186,3 +186,48 @@ def test_k_core_raises_on_truncated_peel(spark):
 
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_core(df, 2, max_iters=1).collect()
+
+
+def test_pagerank_int_matches_python_reference_and_layout(spark):
+    """pagerank_int == a pure-Python integer recursion with the same
+    truncating-div semantics, on any input partitioning — the property
+    that makes the DuckDB unrolled-CTE oracle trustworthy."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        pagerank_int,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 2)]
+    sym = edges + [(b, a) for a, b in edges]
+    sym = sorted(set(sym))
+    SCALE, T = 10**12, 4
+    nodes = sorted({n for e in sym for n in e})
+    out_nb = {n: [b for a, b in sym if a == n] for n in nodes}
+    n = len(nodes)
+    base = (15 * (SCALE // n)) // 100
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(T):
+        s = {v: 0 for v in nodes}
+        for u in nodes:
+            c = r[u] // len(out_nb[u])
+            for v in out_nb[u]:
+                s[v] += c
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    for parts in (1, 3):
+        df = spark.createDataFrame(sym, ["src", "dst"]).repartition(parts)
+        got = {
+            row["node"]: row["rank_i"]
+            for row in pagerank_int(df, n_iters=T).collect()
+        }
+        assert got == r
+
+
+def test_pagerank_int_rejects_dangling_nodes(spark):
+    import pytest
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        pagerank_int,
+    )
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 has no out-edge
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_int(df)

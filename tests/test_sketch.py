@@ -161,3 +161,38 @@ def test_cube_distinct_sketch_tracks_exact_cells(spark, sf_dir):
     assert set(got) == set(exact)
     for cell, n in exact.items():
         assert abs(got[cell] - n) / max(n, 1) < 0.05, (cell, got[cell], n)
+
+
+def test_bloom_never_false_negative_and_fp_rate_sane(spark):
+    """Bloom invariant: EVERY true member probes maybe_member=True (no
+    false negatives, ever); false-positive rate on non-members stays
+    near the (1-e^{-kn/m})^k design point, property-tested over
+    arbitrary member sets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(members=st.sets(st.integers(0, 10_000), min_size=1, max_size=60))
+    def run(members):
+        mdf = spark.createDataFrame([(m,) for m in sorted(members)], ["key"])
+        bits = bloom_build(mdf, "key")
+        probe_keys = sorted(members) + [20_000 + i for i in range(100)]
+        pdf = spark.createDataFrame([(k,) for k in probe_keys], ["key"])
+        got = {
+            r["key"]: r["maybe_member"]
+            for r in bloom_probe(bits, pdf, "key").collect()
+        }
+        assert all(got[m] for m in members)  # no false negatives
+        fps = sum(1 for k in probe_keys if k >= 20_000 and got[k])
+        assert fps <= 30  # 4 hashes, <=240/1024 bits set -> fp ~ <0.3%
+
+    run()
