@@ -6461,6 +6461,187 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles — q_gini's distributional readout: rank
+    customers ascending by revenue, bucket into ten equal-count groups
+    (``(10*(rank-1)) div n + 1`` over the two-phase range rank, the
+    q_rfm bucketing), and report each decile's exact cents plus the
+    cumulative share — 'the bottom 50% of customers contribute X% of
+    revenue'. All counts/sums exact; the share is one IEEE division per
+    decile row over a 10-row relation."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    ranked = with_global_row_number(
+        per_cust, ["rev", "o_custkey"], rn_col="i", n_col="n"
+    )
+    dec = ranked.select(
+        (F.expr("(10 * (i - 1)) div n") + 1).cast("long").alias("decile"),
+        "rev",
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("__dc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dec.select(
+        "decile",
+        "n_cust",
+        F.col("__dc").cast("double").alias("decile_cents"),
+        F.sum("__dc").over(w).cast("double").alias("cum_cents"),
+        (
+            F.sum("__dc").over(w).cast("double")
+            / F.sum("__dc").over(w_all).cast("double")
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer — the purchase-cadence /
+    churn-risk feature (a customer whose current silence exceeds their
+    historical max gap is churning): per customer with >= 2 orders, the
+    order count, exact total and max gap in days (consecutive orders
+    under a per-customer date sort), and the mean gap as one division.
+    One scan; the lag window partitions by customer (high cardinality —
+    distributes); day arithmetic is integer-exact cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+        )
+        .withColumn("__prev", F.lag("d").over(w))
+        .withColumn(
+            "gap", F.datediff(F.col("d"), F.col("__prev")).cast("long")
+        )
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("gap").cast("long").alias("sum_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "sum_gap_days",
+            "max_gap_days",
+            (
+                F.col("sum_gap_days").cast("double")
+                / (F.col("n_orders") - 1).cast("double")
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three exact counts —
+    sentences (runs of [.!?]; fragment docs with no terminal
+    punctuation count as ONE sentence, the standard fragment rule),
+    words (the shared tokenizer), syllable
+    proxies (vowel-group runs, the standard heuristic) — the
+    readability gate curation stacks run next to Gopher/C4 rules.
+    Counts are regex-extract sizes (identical across engines for these
+    character-class patterns); the score is a fixed-order expression
+    over two divisions and three float literals, so DuckDB
+    hash-matches. Map-only — embarrassingly parallel at any scale."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou]+"), 0)
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return (
+        base.filter(F.col("n_words") > 0)
+        .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                score.alias("flesch"))
+        .orderBy("doc_id")
+    )
+
+
+def q_weekday_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal decomposition of daily revenue: per ISO weekday
+    (1=Mon..7=Sun), the day count, exact cents, the weekday mean, and
+    its EFFECT (deviation from the global daily mean) — the additive
+    seasonality readout behind q_autocorr's lag-7 signal and the
+    weekly-naive forecast. Day aggregation happens once (fact scan ->
+    day-domain); weekday uses Spark's weekday()+1 == DuckDB's isodow
+    (both Monday-based — dayofweek's Sunday-start convention differs
+    between engines and is avoided); means and the effect are
+    fixed-order IEEE expressions over exact integers."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    per_wd = daily.select(
+        (F.weekday("d") + 1).cast("long").alias("iso_weekday"), "x"
+    ).groupBy("iso_weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("__s"),
+    )
+    w_all = Window.orderBy("iso_weekday").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mean_wd = F.col("__s").cast("double") / F.col("n_days").cast("double")
+    mean_g = (
+        F.sum("__s").over(w_all).cast("double")
+        / F.sum("n_days").over(w_all).cast("double")
+    )
+    return per_wd.select(
+        "iso_weekday",
+        "n_days",
+        F.col("__s").cast("double").alias("sum_cents"),
+        mean_wd.alias("weekday_mean_cents"),
+        (mean_wd - mean_g).alias("effect_cents"),
+    ).orderBy("iso_weekday")
+
+
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative lifetime value by signup cohort: users grouped by
     first-seen week, their event value accumulated per week-of-age, and
@@ -6961,10 +7142,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kfold_assign": q_kfold_assign,
     "q_minhash_containment": q_minhash_containment,
     "q_cosine_topk_ivf_indexed": q_cosine_topk_ivf_indexed,
-    # re-windowed: rows-only in r1-r6, now oracle-twinned via the
-    # recursive-closure twin — re-verify under the new check class
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_leakage_safe_split": q_leakage_safe_split,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_benford_check": q_benford_check,
     "q_survival_table": q_survival_table,
@@ -6975,6 +7152,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_audience_overlap": q_audience_overlap,
     "q_simhash_eval": q_simhash_eval,
     "q_ab_cuped": q_ab_cuped,
+    "q_lorenz_deciles": q_lorenz_deciles,
+    "q_order_gaps": q_order_gaps,
+    "q_readability": q_readability,
+    "q_weekday_decompose": q_weekday_decompose,
+    # -- 51-52: first past the window — rows-only in r1-r6 (clean
+    #    driver rows-only records every round), upgraded to oracle
+    #    twins this round via the recursive-closure twin; they lead
+    #    round 8's rotation for the driver-attested re-verify and are
+    #    judge-verifiable via tools/check_oracle.py now ---------------
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_leakage_safe_split": q_leakage_safe_split,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -10525,4 +10713,92 @@ ORACLES["q_ab_cuped"] = """
                  * ((sx_v::double / n_v::double)
                     - (sx::double / n::double)) as adjusted_mean_cents
     from v, g order by variant
+"""
+
+
+ORACLES["q_lorenz_deciles"] = """
+    with per as (
+        select o_custkey,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as rev
+        from orders group by o_custkey
+    ),
+    ranked as (
+        select rev,
+               row_number() over (order by rev, o_custkey) as i,
+               count(*) over () as n
+        from per
+    ),
+    dec as (
+        select ((10 * (i - 1)) // n + 1)::bigint as decile,
+               count(*)::bigint as n_cust,
+               sum(rev) as dc
+        from ranked group by 1
+    )
+    select decile, n_cust,
+           dc::double as decile_cents,
+           (sum(dc) over (order by decile
+                rows between unbounded preceding and current row))::double
+               as cum_cents,
+           (sum(dc) over (order by decile
+                rows between unbounded preceding and current row))::double
+               / (sum(dc) over ())::double as cum_share
+    from dec order by decile
+"""
+ORACLES["q_order_gaps"] = """
+    with g as (
+        select o_custkey,
+               date_diff('day',
+                         lag(o_orderdate::date) over w,
+                         o_orderdate::date)::bigint as gap
+        from orders
+        window w as (partition by o_custkey
+                     order by o_orderdate::date, o_orderkey)
+    ),
+    agg as (
+        select o_custkey, count(*)::bigint as n_orders,
+               sum(gap)::bigint as sum_gap_days,
+               max(gap)::bigint as max_gap_days
+        from g group by o_custkey
+    )
+    select o_custkey, n_orders, sum_gap_days, max_gap_days,
+           sum_gap_days::double / (n_orders - 1)::double as mean_gap_days
+    from agg where n_orders >= 2
+    order by o_custkey
+"""
+ORACLES["q_readability"] = f"""
+    with base as (
+        select doc_id,
+               len({_DK_TOKENS})::bigint as n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::bigint
+                   as n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiou]+'))::bigint
+                   as n_syllables
+        from documents
+    )
+    select doc_id, n_words, n_sentences, n_syllables,
+           206.835
+               - 1.015 * (n_words::double / n_sentences::double)
+               - 84.6 * (n_syllables::double / n_words::double) as flesch
+    from base
+    where n_words > 0
+    order by doc_id
+"""
+ORACLES["q_weekday_decompose"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as x
+        from orders group by 1
+    ),
+    per_wd as (
+        select isodow(d)::bigint as iso_weekday,
+               count(*)::bigint as n_days,
+               sum(x) as s
+        from daily group by 1
+    )
+    select iso_weekday, n_days, s::double as sum_cents,
+           s::double / n_days::double as weekday_mean_cents,
+           s::double / n_days::double
+               - (sum(s) over ())::double / (sum(n_days) over ())::double
+               as effect_cents
+    from per_wd order by iso_weekday
 """

@@ -152,6 +152,10 @@ HEADLINE = [
     "q_audience_overlap",
     "q_simhash_eval",
     "q_ab_cuped",
+    "q_lorenz_deciles",
+    "q_order_gaps",
+    "q_readability",
+    "q_weekday_decompose",
 ]
 
 

@@ -97,11 +97,12 @@ def test_driver_window_composition():
               "q_incremental_distinct_exact", "q_ks_test", "q_gini",
               "q_target_encode_loo", "q_rfm", "q_autocorr",
               "q_kfold_assign", "q_minhash_containment",
-              "q_cosine_topk_ivf_indexed", "q_dedup_clusters",
-              "q_leakage_safe_split", "q_cosine_topk_lsh",
+              "q_cosine_topk_ivf_indexed", "q_cosine_topk_lsh",
               "q_benford_check", "q_survival_table", "q_bloom_filter",
               "q_changepoint", "q_streaming_bloom", "q_cohort_ltv",
-              "q_audience_overlap", "q_simhash_eval", "q_ab_cuped"]
+              "q_audience_overlap", "q_simhash_eval", "q_ab_cuped",
+              "q_lorenz_deciles", "q_order_gaps", "q_readability",
+              "q_weekday_decompose"]
     n7 = len(round7)
     assert window[25:25 + n7] == round7
     greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
@@ -112,17 +113,19 @@ def test_driver_window_composition():
               "q_runtime_filter_join", "q_resample_ffill", "q_sessionize",
               "q_range_join", "q_streaming_tumbling", "q_funnel_steps",
               "q_salted_join", "q_cms_heavy_hitters"]
-    n_greens_in = 50 - 25 - n7
-    assert window[25 + n7:50] == greens[:n_greens_in]
-    # everything past the window is cumulatively driver-green (r1-r6) —
-    # nothing unverified sits outside the window: first the greens the
-    # round-7 additions displaced, then the r6 window block
-    n_spill = len(greens) - n_greens_in
-    assert list(qs)[50:50 + n_spill] == greens[n_greens_in:]
+    assert 25 + n7 == 50  # round-7 additions fill the window exactly
+    # slots 51-52: the two label-propagation queries — rows-only with
+    # clean driver records in r1-r6, oracle-twinned this round; they
+    # lead round 8's rotation (judge-verifiable via check_oracle now)
+    assert list(qs)[50:52] == ["q_dedup_clusters", "q_leakage_safe_split"]
+    # everything after is cumulatively driver-green (r1-r6): the
+    # representative greens, then the r6 window block
+    assert list(qs)[52:52 + len(greens)] == greens
     r6_green_head = ["q_outlier_zscore", "q_drift_chi2",
                      "q_sample_weighted", "q_profile_table_approx",
                      "q_pq_topk"]
-    assert list(qs)[50 + n_spill:55 + n_spill] == r6_green_head
+    ofs = 52 + len(greens)
+    assert list(qs)[ofs:ofs + 5] == r6_green_head
 
 
 def test_entry_runs_on_plain_session(spark):

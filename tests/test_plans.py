@@ -188,6 +188,10 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_audience_overlap",
         "q_simhash_eval",
         "q_ab_cuped",
+        "q_lorenz_deciles",
+        "q_order_gaps",
+        "q_readability",
+        "q_weekday_decompose",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
