@@ -6461,6 +6461,123 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-pretokens per whitespace word
+    and characters per BPE token — the tokenizer-efficiency metric
+    multilingual corpus reports lead with (high fertility = the
+    tokenizer fragments that domain; drives vocab decisions next to
+    q_vocab_coverage's ablation). Exact integer sums from ONE scan
+    (map-side combined), two IEEE divisions per source row."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_words"),
+        F.sum(TX.bpe_token_count(F.col("text")))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.sum(F.length(F.col("text"))).cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("n_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double")
+        ).alias("chars_per_token"),
+    ).orderBy("source")
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights for domain sampling (the
+    multilingual-corpus balancing rule, alpha = 0.5): upweight small
+    sources by sampling proportional to ``n^alpha`` instead of ``n``.
+    sqrt is a correctly-rounded IEEE op in both engines, and the
+    normalization avoids cross-row float accumulation entirely by
+    FIXED-POINT integerizing each sqrt (``floor(sqrt(n)*1e9 + 0.5)``
+    -> bigint) so the denominator is an EXACT integer sum — the weight
+    is then one IEEE division per source. Compare ``share_raw`` (raw
+    n/total) to ``weight_t05``: the readout shows how much the
+    temperature flattens the mixture."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scaled = counts.withColumn(
+        "__sq",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long"),
+    )
+    w_all = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scaled.select(
+        "source",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_all).cast("double")
+        ).alias("share_raw"),
+        (
+            F.col("__sq").cast("double")
+            / F.sum("__sq").over(w_all).cast("double")
+        ).alias("weight_t05"),
+    ).orderBy("source")
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the datasheet block a corpus release
+    documents (Gebru et al.): document/word/BPE-token/char volumes,
+    mean document length, language composition (share of 'en'), and
+    the exact-duplicate rate (1 - distinct md5(text) / docs). One scan
+    plus a source-sized readout; every rate is a single IEEE division
+    of exact integers, so the whole card hash-checks cross-engine."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_words"),
+        F.sum(TX.bpe_token_count(F.col("text")))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.sum(F.length(F.col("text"))).cast("long").alias("n_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.count_distinct(F.md5(F.col("text")))
+        .cast("long")
+        .alias("n_unique_texts"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        (
+            F.col("n_words").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_words_per_doc"),
+        (
+            F.col("n_en").cast("double") / F.col("n_docs").cast("double")
+        ).alias("share_en"),
+        (
+            F.lit(1.0)
+            - F.col("n_unique_texts").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("exact_dup_rate"),
+    ).orderBy("source")
+
+
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve in deciles — q_gini's distributional readout: rank
     customers ascending by revenue, bucket into ten equal-count groups
@@ -7163,6 +7280,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    judge-verifiable via tools/check_oracle.py now ---------------
     "q_dedup_clusters": q_dedup_clusters,
     "q_leakage_safe_split": q_leakage_safe_split,
+    # -- 53-55: round-7 session-7 additions, also past the window —
+    #    judge-verifiable via check_oracle; window rotation for round 8
+    "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_mixture_temperature": q_mixture_temperature,
+    "q_dataset_card": q_dataset_card,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -10801,4 +10923,61 @@ ORACLES["q_weekday_decompose"] = """
                - (sum(s) over ())::double / (sum(n_days) over ())::double
                as effect_cents
     from per_wd order by iso_weekday
+"""
+
+
+_DK_BPE_COUNT = (
+    "len(regexp_extract_all(lower(text),"
+    " ' ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+'))::bigint"
+)
+
+ORACLES["q_tokenizer_fertility"] = f"""
+    with agg as (
+        select source, count(*)::bigint as n_docs,
+               sum(len({_DK_TOKENS})::bigint)::bigint as n_words,
+               sum({_DK_BPE_COUNT})::bigint as n_bpe_tokens,
+               sum(length(text)::bigint)::bigint as n_chars
+        from documents group by source
+    )
+    select source, n_docs, n_words, n_bpe_tokens, n_chars,
+           n_bpe_tokens::double / n_words::double as fertility,
+           n_chars::double / n_bpe_tokens::double as chars_per_token
+    from agg order by source
+"""
+ORACLES["q_mixture_temperature"] = """
+    with counts as (
+        select source, count(*)::bigint as n_docs
+        from documents group by source
+    ),
+    scaled as (
+        select source, n_docs,
+               floor(sqrt(n_docs::double) * 1e9 + 0.5)::bigint as sq
+        from counts
+    )
+    select source, n_docs,
+           n_docs::double
+               / (sum(n_docs) over (order by source
+                    rows between unbounded preceding
+                    and unbounded following))::double as share_raw,
+           sq::double
+               / (sum(sq) over (order by source
+                    rows between unbounded preceding
+                    and unbounded following))::double as weight_t05
+    from scaled order by source
+"""
+ORACLES["q_dataset_card"] = f"""
+    with agg as (
+        select source, count(*)::bigint as n_docs,
+               sum(len({_DK_TOKENS})::bigint)::bigint as n_words,
+               sum({_DK_BPE_COUNT})::bigint as n_bpe_tokens,
+               sum(length(text)::bigint)::bigint as n_chars,
+               sum(case when lang = 'en' then 1 else 0 end)::bigint as n_en,
+               count(distinct md5(text))::bigint as n_unique_texts
+        from documents group by source
+    )
+    select source, n_docs, n_words, n_bpe_tokens, n_chars,
+           n_words::double / n_docs::double as mean_words_per_doc,
+           n_en::double / n_docs::double as share_en,
+           1.0 - n_unique_texts::double / n_docs::double as exact_dup_rate
+    from agg order by source
 """

@@ -156,6 +156,9 @@ HEADLINE = [
     "q_order_gaps",
     "q_readability",
     "q_weekday_decompose",
+    "q_tokenizer_fertility",
+    "q_mixture_temperature",
+    "q_dataset_card",
 ]
 
 

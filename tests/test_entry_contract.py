@@ -118,13 +118,18 @@ def test_driver_window_composition():
     # clean driver records in r1-r6, oracle-twinned this round; they
     # lead round 8's rotation (judge-verifiable via check_oracle now)
     assert list(qs)[50:52] == ["q_dedup_clusters", "q_leakage_safe_split"]
+    # slots 53-55: session-7 additions, also past the window and
+    # check_oracle-verified; they join the round-8 rotation head
+    session7 = ["q_tokenizer_fertility", "q_mixture_temperature",
+                "q_dataset_card"]
+    assert list(qs)[52:55] == session7
     # everything after is cumulatively driver-green (r1-r6): the
     # representative greens, then the r6 window block
-    assert list(qs)[52:52 + len(greens)] == greens
+    assert list(qs)[55:55 + len(greens)] == greens
     r6_green_head = ["q_outlier_zscore", "q_drift_chi2",
                      "q_sample_weighted", "q_profile_table_approx",
                      "q_pq_topk"]
-    ofs = 52 + len(greens)
+    ofs = 55 + len(greens)
     assert list(qs)[ofs:ofs + 5] == r6_green_head
 
 

@@ -192,6 +192,9 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_order_gaps",
         "q_readability",
         "q_weekday_decompose",
+        "q_tokenizer_fertility",
+        "q_mixture_temperature",
+        "q_dataset_card",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
