@@ -6461,6 +6461,49 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix: verified LSH pairs (Jaccard
+    >= 0.5, the exact q_minhash_lsh_pairs set) grouped by the SOURCE
+    PAIR they connect — the contamination-origin readout: which feeds
+    re-publish each other's content (and, when one 'source' is an
+    evaluation benchmark, where test-set leakage enters). Canonical
+    (lo, hi) source orientation; within-source pairs appear on the
+    diagonal. The pair pipeline is the banding equi-join; attaching two
+    source labels is two id-equi-joins against the narrow (doc_id,
+    source) projection."""
+    from .operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5,
+        sig_path=_tmp_path("xsrc_sigs"),
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a"), F.col("source").alias("src_a")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b"), F.col("source").alias("src_b")
+            ),
+            "b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+    )
+    return (
+        labeled.groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source: BPE-pretokens per whitespace word
     and characters per BPE token — the tokenizer-efficiency metric
@@ -7285,6 +7328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_mixture_temperature": q_mixture_temperature,
     "q_dataset_card": q_dataset_card,
+    "q_cross_source_dups": q_cross_source_dups,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -10980,4 +11024,18 @@ ORACLES["q_dataset_card"] = f"""
            n_en::double / n_docs::double as share_en,
            1.0 - n_unique_texts::double / n_docs::double as exact_dup_rate
     from agg order by source
+"""
+
+
+ORACLES["q_cross_source_dups"] = f"""
+    with recursive
+    {_DK_LSH_PAIR_CTES}
+    select least(sa.source, sb.source) as source_lo,
+           greatest(sa.source, sb.source) as source_hi,
+           count(*)::bigint as n_pairs
+    from pairs p
+    join documents sa on sa.doc_id = p.a
+    join documents sb on sb.doc_id = p.b
+    group by 1, 2
+    order by 1, 2
 """

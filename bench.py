@@ -159,6 +159,7 @@ HEADLINE = [
     "q_tokenizer_fertility",
     "q_mixture_temperature",
     "q_dataset_card",
+    "q_cross_source_dups",
 ]
 
 
