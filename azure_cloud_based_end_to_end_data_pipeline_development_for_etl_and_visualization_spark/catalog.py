@@ -6461,6 +6461,46 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order value: ten buckets
+    holding equal ROW counts, with each bucket's exact boundary values
+    and its exact cents mass — the statistics structure optimizers and
+    data-profilers collect when value distributions are skewed
+    (equi-WIDTH buckets put 90% of rows in one bin; equi-depth adapts).
+    Bucketing is ``(10*(rank-1)) div n + 1`` over the two-phase range
+    rank on (cents, orderkey) — a total order, so bucket boundaries are
+    deterministic and DuckDB's row_number() twin hash-matches; min/max
+    per bucket are the exact fences a pruning layer would persist."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = with_global_row_number(
+        vals, ["cents", "o_orderkey"], rn_col="i", n_col="n"
+    )
+    return (
+        ranked.select(
+            (F.expr("(10 * (i - 1)) div n") + 1).cast("long").alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate matrix: verified LSH pairs (Jaccard
     >= 0.5, the exact q_minhash_lsh_pairs set) grouped by the SOURCE
@@ -7329,6 +7369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_temperature": q_mixture_temperature,
     "q_dataset_card": q_dataset_card,
     "q_cross_source_dups": q_cross_source_dups,
+    "q_equi_depth_histogram": q_equi_depth_histogram,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -11038,4 +11079,27 @@ ORACLES["q_cross_source_dups"] = f"""
     join documents sb on sb.doc_id = p.b
     group by 1, 2
     order by 1, 2
+"""
+
+
+ORACLES["q_equi_depth_histogram"] = """
+    with vals as (
+        select o_orderkey,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    ),
+    ranked as (
+        select cents,
+               row_number() over (order by cents, o_orderkey) as i,
+               count(*) over () as n
+        from vals
+    )
+    select ((10 * (i - 1)) // n + 1)::bigint as bucket,
+           count(*)::bigint as n_rows,
+           min(cents)::bigint as lo_cents,
+           max(cents)::bigint as hi_cents,
+           sum(cents)::double as sum_cents
+    from ranked
+    group by 1
+    order by 1
 """

@@ -160,6 +160,7 @@ HEADLINE = [
     "q_mixture_temperature",
     "q_dataset_card",
     "q_cross_source_dups",
+    "q_equi_depth_histogram",
 ]
 
 

@@ -196,6 +196,7 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_mixture_temperature",
         "q_dataset_card",
         "q_cross_source_dups",
+        "q_equi_depth_histogram",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
