@@ -6461,6 +6461,117 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily revenue series (Lin et al., DMKD
+    2007): z-normalize against the series mean/std, then map each day
+    to one of four symbols at the standard Gaussian breakpoints
+    (-0.6745, 0, 0.6745) — the symbolic representation motif-discovery
+    and anomaly pipelines index time series by. Exactness: daily cents
+    and the power sums are exact integers; mean and std are TWO shared
+    fixed-order IEEE scalars (std as one sqrt of an exact-integer
+    ratio), the z-score one subtraction + division per row, and the
+    breakpoints are literals — so the symbol string itself
+    hash-matches. One fact scan; everything after is day-domain."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stats = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__n"),
+        F.sum("x").over(w_all).cast("decimal(38,0)").alias("__sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(w_all)
+        .alias("__sxx"),
+    )
+    mean = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    std = F.sqrt(
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("double")
+        / (F.col("__n") * F.col("__n")).cast("double")
+    )
+    z = (F.col("x").cast("double") - mean) / std
+    sym = (
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return stats.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("cents"),
+        z.alias("z"),
+        sym.alias("sax_symbol"),
+    ).orderBy("day")
+
+
+def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from CMS inner products (the AMS/CMS
+    optimizer trick): ``|A join B|`` on a key equals the inner product
+    of the two frequency vectors, and the minimum over depth rows of
+    ``sum_b cms_A[d][b] * cms_B[d][b]`` upper-bounds it using only two
+    kilobyte sketches — how an optimizer chooses join order WITHOUT
+    scanning either side. Here: lineitem joined to orders on orderkey,
+    estimate vs exact count and the realized overestimate ratio. The
+    md5-salted sketches are bit-reproducible, so the ESTIMATE ITSELF
+    (not just the exact count) hash-checks cross-engine. Two one-pass
+    sketch builds + a cell equi-join of two 4x1024 grids; the exact
+    side is one keyed aggregate join for the audit column."""
+    from .operators.sketch import cms_build
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("key")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key")
+    )
+    sk_a = cms_build(li, "key", depth=4, width=1024)
+    sk_b = cms_build(orders, "key", depth=4, width=1024)
+    prod = (
+        sk_a.withColumnRenamed("cnt", "ca")
+        .join(
+            sk_b.withColumnRenamed("cnt", "cb"),
+            ["depth_idx", "bucket"],
+        )
+        .groupBy("depth_idx")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+            .cast("long")
+            .alias("__ip")
+        )
+        .agg(F.min("__ip").cast("long").alias("est_join_size"))
+    )
+    exact = (
+        li.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(orders.groupBy("key").agg(F.count(F.lit(1)).alias("nb")), "key")
+        .agg(
+            F.sum(F.col("na").cast("decimal(38,0)") * F.col("nb"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return prod.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (
+            F.col("est_join_size").cast("double")
+            / F.col("exact_join_size").cast("double")
+        ).alias("overestimate_ratio"),
+    )
+
+
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equi-height) histogram of order value: ten buckets
     holding equal ROW counts, with each bucket's exact boundary values
@@ -7370,6 +7481,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dataset_card": q_dataset_card,
     "q_cross_source_dups": q_cross_source_dups,
     "q_equi_depth_histogram": q_equi_depth_histogram,
+    "q_sax_symbols": q_sax_symbols,
+    "q_join_cardinality_est": q_join_cardinality_est,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -11102,4 +11215,70 @@ ORACLES["q_equi_depth_histogram"] = """
     from ranked
     group by 1
     order by 1
+"""
+
+
+ORACLES["q_sax_symbols"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as x
+        from orders group by 1
+    ),
+    stats as (
+        select d, x,
+               count(*) over ()::bigint as n,
+               sum(x) over () as sx,
+               sum(x::hugeint * x) over () as sxx
+        from daily
+    ),
+    z as (
+        select d, x,
+               (x::double - sx::double / n::double)
+                   / sqrt((n * sxx - sx * sx)::double / (n * n)::double)
+                   as z
+        from stats
+    )
+    select strftime(d, '%Y-%m-%d') as day, x::bigint as cents, z,
+           case when z < -0.6745 then 'a'
+                when z < 0.0 then 'b'
+                when z < 0.6745 then 'c'
+                else 'd' end as sax_symbol
+    from z order by day
+"""
+ORACLES["q_join_cardinality_est"] = """
+    with la as (select l_orderkey::varchar as key from lineitem),
+    ob as (select o_orderkey::varchar as key from orders),
+    ca as (
+        select k.d as depth_idx,
+               ('0x' || substr(md5('cms:' || key), 1 + 8 * k.d, 8))::bigint
+                   % 1024 as bucket,
+               count(*)::bigint as cnt
+        from la cross join (values (0), (1), (2), (3)) as k(d)
+        group by 1, 2
+    ),
+    cb as (
+        select k.d as depth_idx,
+               ('0x' || substr(md5('cms:' || key), 1 + 8 * k.d, 8))::bigint
+                   % 1024 as bucket,
+               count(*)::bigint as cnt
+        from ob cross join (values (0), (1), (2), (3)) as k(d)
+        group by 1, 2
+    ),
+    ip as (
+        select ca.depth_idx,
+               sum(ca.cnt::hugeint * cb.cnt)::bigint as v
+        from ca join cb using (depth_idx, bucket)
+        group by 1
+    ),
+    est as (select min(v)::bigint as est_join_size from ip),
+    exact as (
+        select sum(a.na::hugeint * b.nb)::bigint as exact_join_size
+        from (select key, count(*)::bigint as na from la group by key) a
+        join (select key, count(*)::bigint as nb from ob group by key) b
+          using (key)
+    )
+    select est_join_size, exact_join_size,
+           est_join_size::double / exact_join_size::double
+               as overestimate_ratio
+    from est, exact
 """

@@ -161,6 +161,8 @@ HEADLINE = [
     "q_dataset_card",
     "q_cross_source_dups",
     "q_equi_depth_histogram",
+    "q_sax_symbols",
+    "q_join_cardinality_est",
 ]
 
 

@@ -197,6 +197,8 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_dataset_card",
         "q_cross_source_dups",
         "q_equi_depth_histogram",
+        "q_sax_symbols",
+        "q_join_cardinality_est",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
