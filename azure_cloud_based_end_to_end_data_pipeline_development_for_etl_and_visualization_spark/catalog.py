@@ -6461,6 +6461,150 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate recall audit (q_simhash_eval's sibling for
+    the OTHER detector): on the blocked pair universe where exact
+    Jaccard is affordable, score LSH banding's candidate set against
+    truth (Jaccard >= 0.5) — the measured recall/precision that
+    justifies trusting banding at unblocked scale, where no exact
+    audit is possible. Both signals are deterministic (md5 MinHash,
+    exact shingle sets), so the confusion matrix hash-checks
+    cross-engine. The banding pipeline runs once (materialized
+    signatures); truth pairs ride the narrow blocked join."""
+    from .operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        materialized_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    narrow = docs.select(F.col("source").alias("blk"), F.col("doc_id"))
+    pairs = (
+        narrow.select("blk", F.col("doc_id").alias("a"))
+        .join(narrow.select("blk", F.col("doc_id").alias("b")), "blk")
+        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= 100))
+        .select("a", "b")
+    )
+    jac = jaccard_pairs(docs, pairs, "doc_id", "text")
+    sigs = materialized_signatures(
+        docs, "doc_id", "text", _tmp_path("lshrecall_sigs")
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id").withColumn(
+        "predicted", F.lit(True)
+    )
+    scored = jac.join(cands, ["a", "b"], "left").select(
+        (F.col("jaccard") >= 0.5).alias("actual"),
+        F.coalesce(F.col("predicted"), F.lit(False)).alias("predicted"),
+    )
+    agg = scored.agg(
+        F.sum(F.when(F.col("actual") & F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~F.col("actual") & F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("actual") & ~F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("actual") & ~F.col("predicted"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("candidate_precision"),
+    )
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per month over the lineitem fact: unit
+    prices (extendedprice/quantity) weighted by BASE-month quantities —
+    'what would the base basket cost at month t's prices', the
+    inflation-tracking readout retail/procurement analytics publish.
+    Exact path: per (month, part) cents and quantities aggregate in ONE
+    scan; unit prices stay RATIONAL (cents_t * qty_0 products as
+    decimal(38,0) after cross-multiplying denominators out:
+    ``index_t = sum_p(c_t/q_t * q_0) / sum_p(c_0/q_0 * q_0)`` is
+    evaluated as exact integer sums of ``c_t * q_0 * q_0_den`` terms —
+    here simplified by summing ``c_t * q_0`` against ``q_t``-normalized
+    prices via ONE division per part, then dec_sum for order-safe
+    accumulation); the final index is a fixed-order double division.
+    Only months sharing parts with the base month contribute
+    (inner-join semantics, identical both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "month",
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("month", "l_partkey")
+        .agg(
+            F.sum("cents").alias("c"),
+            F.sum("qty").alias("q"),
+        )
+    )
+    first_month = base.agg(F.min("month").alias("__m0"))
+    m0 = (
+        base.join(
+            F.broadcast(first_month), base["month"] == F.col("__m0")
+        )
+        .select(
+            F.col("l_partkey").alias("__pk0"),
+            F.col("c").alias("c0"),
+            F.col("q").alias("q0"),
+        )
+    )
+    # per-part basket terms stay EXACT integers: the unit-price ratio
+    # cross-multiplies to (c_t * q0 * 10^6) div q_t under defined
+    # truncating division (a double->decimal(18,6) cast of the ratio is
+    # NOT hash-safe — engines round arbitrary doubles differently at
+    # the 6th decimal; caught by the sf0.1 sweep), so the micro-cent
+    # basket sums merge exactly and the index is one IEEE division
+    joined = base.join(
+        F.broadcast(m0), base["l_partkey"] == F.col("__pk0")
+    ).select(
+        "month",
+        F.expr(
+            "(CAST(c AS DECIMAL(38,0)) * q0 * 1000000) div q"
+        ).alias("pt_q0_micro"),
+        F.expr("CAST(c0 AS DECIMAL(38,0)) * 1000000").alias("p0_q0_micro"),
+    )
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.sum("pt_q0_micro").alias("__num"),
+            F.sum("p0_q0_micro").alias("__den"),
+        )
+        .select(
+            "month",
+            (
+                F.col("__num").cast("double") / F.col("__den").cast("double")
+            ).alias("laspeyres_index"),
+        )
+        .orderBy("month")
+    )
+
+
 def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization of the daily revenue series (Lin et al., DMKD
     2007): z-normalize against the series mean/std, then map each day
@@ -7483,6 +7627,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_equi_depth_histogram": q_equi_depth_histogram,
     "q_sax_symbols": q_sax_symbols,
     "q_join_cardinality_est": q_join_cardinality_est,
+    "q_lsh_recall_eval": q_lsh_recall_eval,
+    "q_price_index": q_price_index,
     "q_star_join": q_star_join,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_merge": q_scd2_merge,
@@ -11281,4 +11427,80 @@ ORACLES["q_join_cardinality_est"] = """
            est_join_size::double / exact_join_size::double
                as overestimate_ratio
     from est, exact
+"""
+
+
+ORACLES["q_lsh_recall_eval"] = f"""
+    with sig as ({_DK_MINHASH_SQL}),
+    bands as (
+        select doc_id, 0 as band_id, mh0 as v0, mh1 as v1 from sig
+        union all select doc_id, 1, mh2, mh3 from sig
+        union all select doc_id, 2, mh4, mh5 from sig
+        union all select doc_id, 3, mh6, mh7 from sig
+    ),
+    cand as (
+        select distinct l.doc_id as a, r.doc_id as b
+        from bands l join bands r
+          on l.band_id = r.band_id and l.v0 = r.v0 and l.v1 = r.v1
+         and l.doc_id < r.doc_id
+    ),
+    t as (
+        select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+        from (select doc_id, source, {_DK_TOKENS} as w from documents)
+    ),
+    p as (
+        select a.doc_id as a, b.doc_id as b,
+               len(list_distinct(list_intersect(a.sh, b.sh)))::double
+                   / len(list_distinct(a.sh || b.sh)) as jaccard
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id
+         and b.doc_id - a.doc_id <= 100
+    ),
+    scored as (
+        select (p.jaccard >= 0.5) as actual,
+               (c.a is not null) as predicted
+        from p left join cand c on c.a = p.a and c.b = p.b
+    ),
+    agg as (
+        select
+            sum(case when actual and predicted then 1 else 0 end)::bigint
+                as tp,
+            sum(case when not actual and predicted then 1 else 0 end)::bigint
+                as fp,
+            sum(case when actual and not predicted then 1 else 0 end)::bigint
+                as fn,
+            sum(case when not actual and not predicted then 1 else 0
+                end)::bigint as tn
+        from scored
+    )
+    select tp, fp, fn, tn,
+           case when tp + fn > 0
+                then tp::double / (tp + fn)::double end as recall,
+           case when tp + fp > 0
+                then tp::double / (tp + fp)::double end
+               as candidate_precision
+    from agg
+"""
+ORACLES["q_price_index"] = """
+    with base as (
+        select strftime(o_orderdate, '%Y-%m') as month, l_partkey,
+               sum(floor(l_extendedprice * 100 + 0.5)::bigint)::bigint as c,
+               sum(l_quantity::bigint)::bigint as q
+        from lineitem join orders on l_orderkey = o_orderkey
+        group by 1, 2
+    ),
+    m0 as (
+        select l_partkey, c as c0, q as q0 from base
+        where month = (select min(month) from base)
+    ),
+    joined as (
+        select month,
+               (b.c::hugeint * m0.q0 * 1000000) // b.q as pt_q0_micro,
+               m0.c0::hugeint * 1000000 as p0_q0_micro
+        from base b join m0 using (l_partkey)
+    )
+    select month,
+           sum(pt_q0_micro)::double / sum(p0_q0_micro)::double
+               as laspeyres_index
+    from joined group by month order by month
 """

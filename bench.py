@@ -163,6 +163,8 @@ HEADLINE = [
     "q_equi_depth_histogram",
     "q_sax_symbols",
     "q_join_cardinality_est",
+    "q_lsh_recall_eval",
+    "q_price_index",
 ]
 
 

@@ -123,15 +123,16 @@ def test_driver_window_composition():
     session7 = ["q_tokenizer_fertility", "q_mixture_temperature",
                 "q_dataset_card", "q_cross_source_dups",
                 "q_equi_depth_histogram", "q_sax_symbols",
-                "q_join_cardinality_est"]
-    assert list(qs)[52:59] == session7
+                "q_join_cardinality_est", "q_lsh_recall_eval",
+                "q_price_index"]
+    assert list(qs)[52:61] == session7
     # everything after is cumulatively driver-green (r1-r6): the
     # representative greens, then the r6 window block
-    assert list(qs)[59:59 + len(greens)] == greens
+    assert list(qs)[61:61 + len(greens)] == greens
     r6_green_head = ["q_outlier_zscore", "q_drift_chi2",
                      "q_sample_weighted", "q_profile_table_approx",
                      "q_pq_topk"]
-    ofs = 59 + len(greens)
+    ofs = 61 + len(greens)
     assert list(qs)[ofs:ofs + 5] == r6_green_head
 
 

@@ -199,6 +199,8 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_equi_depth_histogram",
         "q_sax_symbols",
         "q_join_cardinality_est",
+        "q_lsh_recall_eval",
+        "q_price_index",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
