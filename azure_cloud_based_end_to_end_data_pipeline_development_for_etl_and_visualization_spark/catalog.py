@@ -6110,10 +6110,13 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage (each row's own target is excluded from its group mean:
     ``(sum_g - x) / (n_g - 1)``). Exact: cents integerize per order,
     per-nation sums are ONE map-side-combined aggregate of the
-    orders⋈customer lookup join (customer is the broadcast dim), the
-    nation table of (n_g, sum_g) is 25 rows broadcast back, and the
-    encoding is one IEEE division of exact integers per row — map-only
-    after the two broadcast joins, the 100 TB shape."""
+    orders⋈customer lookup join, the nation table of (n_g, sum_g) is
+    25 rows broadcast back, and the encoding is one IEEE division of
+    exact integers per row. Customer SCALES WITH THE FACT (sf×150k
+    rows; billions at 100 TB), so its join carries NO build-side hint
+    — a shuffle on the high-cardinality ``o_custkey`` is the correct
+    100 TB plan, and AQE still broadcasts when the side is genuinely
+    small. Only the 25-row nation aggregate is force-broadcast."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     oc = orders.select(
@@ -6123,7 +6126,7 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     ).join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     nat = oc.groupBy("c_nationkey").agg(
@@ -6579,9 +6582,12 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncating division (a double->decimal(18,6) cast of the ratio is
     # NOT hash-safe — engines round arbitrary doubles differently at
     # the 6th decimal; caught by the sf0.1 sweep), so the micro-cent
-    # basket sums merge exactly and the index is one IEEE division
+    # basket sums merge exactly and the index is one IEEE division.
+    # m0 is parts-dimension-sized (sf x 200k rows) — it SCALES, so no
+    # build-side hint: the equi-join shuffles on l_partkey at scale and
+    # AQE broadcasts only when the base basket is genuinely small.
     joined = base.join(
-        F.broadcast(m0), base["l_partkey"] == F.col("__pk0")
+        m0, base["l_partkey"] == F.col("__pk0")
     ).select(
         "month",
         F.expr(
@@ -8001,7 +8007,7 @@ ORACLES: dict[str, str] = {
         agg as (
             select n_click, n_view,
                    max(abs(cum_c::hugeint * n_view
-                           - cum_v::hugeint * n_click))::double as d_num
+                           - cum_v::hugeint * n_click))::varchar::double as d_num
             from cum, tot group by n_click, n_view
         )
         select n_click, n_view, d_num,
@@ -8025,8 +8031,8 @@ ORACLES: dict[str, str] = {
                    sum(i::hugeint * rev) as six
             from ranked
         )
-        select n, sx::double as total_cents,
-               (2 * six - (n + 1) * sx)::double / (n * sx)::double as gini
+        select n, sx::varchar::double as total_cents,
+               (2 * six - (n + 1) * sx)::varchar::double / (n * sx)::varchar::double as gini
         from agg
     """,
     "q_target_encode_loo": """
@@ -8104,15 +8110,15 @@ ORACLES: dict[str, str] = {
             from daily a join daily b on a.d + 7 = b.d
         )
         select 1::bigint as lag, n_pairs,
-               (n_pairs * sxy - sx * sy)::double
-                   / (sqrt((n_pairs * sxx - sx * sx)::double)
-                      * sqrt((n_pairs * syy - sy * sy)::double)) as autocorr
+               (n_pairs * sxy - sx * sy)::varchar::double
+                   / (sqrt((n_pairs * sxx - sx * sx)::varchar::double)
+                      * sqrt((n_pairs * syy - sy * sy)::varchar::double)) as autocorr
         from a1
         union all
         select 7::bigint as lag, n_pairs,
-               (n_pairs * sxy - sx * sy)::double
-                   / (sqrt((n_pairs * sxx - sx * sx)::double)
-                      * sqrt((n_pairs * syy - sy * sy)::double)) as autocorr
+               (n_pairs * sxy - sx * sy)::varchar::double
+                   / (sqrt((n_pairs * sxx - sx * sx)::varchar::double)
+                      * sqrt((n_pairs * syy - sy * sy)::varchar::double)) as autocorr
         from a7
         order by lag
     """,
@@ -8219,8 +8225,8 @@ ORACLES: dict[str, str] = {
         with s as (
             select event_type,
                    count(value) as n,
-                   cast(sum(cast(value as decimal(18,6))) as double) as sx,
-                   cast(sum(cast(value * value as decimal(28,8))) as double) as sxx
+                   cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double) as sx,
+                   cast(cast(sum(cast(value * value as decimal(28,8))) as varchar) as double) as sxx
             from events where value is not null group by event_type
         ),
         st as (
@@ -8260,7 +8266,7 @@ ORACLES: dict[str, str] = {
     "q_runtime_filter_join": """
         select o_orderpriority,
                count(*) as n_items,
-               sum(l_quantity::decimal(18,6))::double as sum_qty
+               sum(l_quantity::decimal(18,6))::varchar::double as sum_qty
         from lineitem join orders on l_orderkey = o_orderkey
         where o_orderpriority = '1-URGENT'
         group by o_orderpriority
@@ -8377,7 +8383,7 @@ ORACLES: dict[str, str] = {
             from lineitem group by l_orderkey
         )
         select r.r_name, year(o.o_orderdate) as order_year,
-               cast(sum(order_rev) as double) as revenue,
+               cast(cast(sum(order_rev) as varchar) as double) as revenue,
                sum(order_items)::bigint as n_items
         from per_order p
         left join orders o   on p.l_orderkey = o.o_orderkey
@@ -8388,7 +8394,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_star_join": """
         select r.r_name, year(o.o_orderdate) as order_year,
-               cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(18,6))) as double) as revenue,
+               cast(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(18,6))) as varchar) as double) as revenue,
                count(*) as n_items
         from lineitem l
         left join orders o   on l.l_orderkey = o.o_orderkey
@@ -8407,10 +8413,10 @@ ORACLES: dict[str, str] = {
     """,
     "q_groupby_agg": """
         select l_returnflag, l_linestatus,
-               cast(sum(cast(l_quantity as decimal(18,6))) as double) as sum_qty,
-               cast(sum(cast(l_extendedprice as decimal(18,6))) as double) as sum_base_price,
-               cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) as sum_disc_price,
-               cast(sum(cast(l_quantity as decimal(18,6))) as double) / count(l_quantity) as avg_qty,
+               cast(cast(sum(cast(l_quantity as decimal(18,6))) as varchar) as double) as sum_qty,
+               cast(cast(sum(cast(l_extendedprice as decimal(18,6))) as varchar) as double) as sum_base_price,
+               cast(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as varchar) as double) as sum_disc_price,
+               cast(cast(sum(cast(l_quantity as decimal(18,6))) as varchar) as double) / count(l_quantity) as avg_qty,
                count(*) as count_order
         from lineitem
         group by l_returnflag, l_linestatus
@@ -8418,7 +8424,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_orderby_limit": """
         select o_custkey,
-               cast(sum(cast(o_totalprice as decimal(18,6))) as double) as total_spent,
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) as varchar) as double) as total_spent,
                count(*) as n_orders
         from orders
         group by o_custkey
@@ -8443,8 +8449,8 @@ ORACLES: dict[str, str] = {
         select l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') as orderdate,
                o_orderpriority,
-               cast(sum(cast(l_extendedprice * (1 - l_discount)
-                    as decimal(18,6))) as double) as revenue
+               cast(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                    as decimal(18,6))) as varchar) as double) as revenue
         from customer, orders, lineitem
         where c_mktsegment = 'BUILDING'
           and c_custkey = o_custkey
@@ -8468,14 +8474,14 @@ ORACLES: dict[str, str] = {
     """,
     "q_window_frame": """
         select o_custkey, o_orderkey,
-               cast(sum(cast(o_totalprice as decimal(18,6))) over (
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) over (
                    partition by o_custkey order by o_orderdate, o_orderkey
                    rows between unbounded preceding and current row
-               ) as double) as running_total,
-               cast(sum(cast(o_totalprice as decimal(18,6))) over (
+               ) as varchar) as double) as running_total,
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) over (
                    partition by o_custkey order by o_orderdate, o_orderkey
                    rows between 2 preceding and current row
-               ) as double) as moving_sum3
+               ) as varchar) as double) as moving_sum3
         from orders
     """,
     "q_cross_join": """
@@ -8499,8 +8505,8 @@ ORACLES: dict[str, str] = {
     """,
     "q_weighted_avg": """
         select l_returnflag,
-               cast(sum(cast(l_discount * l_quantity as decimal(28,8))) as double)
-                   / cast(sum(cast(l_discount as decimal(18,6))) as double)
+               cast(cast(sum(cast(l_discount * l_quantity as decimal(28,8))) as varchar) as double)
+                   / cast(cast(sum(cast(l_discount as decimal(18,6))) as varchar) as double)
                    as disc_weighted_qty
         from lineitem group by l_returnflag order by l_returnflag
     """,
@@ -8514,7 +8520,7 @@ ORACLES: dict[str, str] = {
     "q_sql_analytics": """
         with spend as (
             select r.r_name, c.c_mktsegment,
-                   cast(sum(cast(o.o_totalprice as decimal(18,6))) as double)
+                   cast(cast(sum(cast(o.o_totalprice as decimal(18,6))) as varchar) as double)
                        as revenue
             from orders o
             join customer c on o.o_custkey = c.c_custkey
@@ -8523,8 +8529,8 @@ ORACLES: dict[str, str] = {
             group by r.r_name, c.c_mktsegment
         )
         select r_name, c_mktsegment, revenue,
-               revenue / cast(sum(cast(revenue as decimal(18,6)))
-                              over (partition by r_name) as double)
+               revenue / cast(cast(sum(cast(revenue as decimal(18,6)))
+                              over (partition by r_name) as varchar) as double)
                    as region_share
         from spend
         order by r_name, c_mktsegment
@@ -8670,14 +8676,14 @@ ORACLES: dict[str, str] = {
     """,
     "q_rollup": """
         select l_returnflag, l_linestatus,
-               cast(sum(cast(l_quantity as decimal(18,6))) as double) as sum_qty,
+               cast(cast(sum(cast(l_quantity as decimal(18,6))) as varchar) as double) as sum_qty,
                count(*) as n
         from lineitem
         group by rollup (l_returnflag, l_linestatus)
     """,
     "q_cube": """
         select o_orderstatus, o_orderpriority,
-               cast(sum(cast(o_totalprice as decimal(18,6))) as double) as sum_price,
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) as varchar) as double) as sum_price,
                count(*) as n
         from orders
         group by cube (o_orderstatus, o_orderpriority)
@@ -8685,7 +8691,7 @@ ORACLES: dict[str, str] = {
     "q_grouping_sets": """
         select c_nationkey, c_mktsegment,
                count(*) as n,
-               cast(sum(cast(c_acctbal as decimal(18,6))) as double) as sum_bal
+               cast(cast(sum(cast(c_acctbal as decimal(18,6))) as varchar) as double) as sum_bal
         from customer
         group by grouping sets ((c_nationkey), (c_mktsegment))
     """,
@@ -8701,7 +8707,7 @@ ORACLES: dict[str, str] = {
     "q_topk_per_group": """
         with spend as (
             select o_custkey,
-                   cast(sum(cast(o_totalprice as decimal(18,6))) as double) as total_spent
+                   cast(cast(sum(cast(o_totalprice as decimal(18,6))) as varchar) as double) as total_spent
             from orders group by o_custkey
         )
         select c_custkey, c_mktsegment, total_spent,
@@ -8716,11 +8722,11 @@ ORACLES: dict[str, str] = {
         with s as (
             select l_returnflag,
                    count(*) as n,
-                   cast(sum(cast(l_discount as decimal(18,6))) as double) as sx,
-                   cast(sum(cast(l_discount * l_discount as decimal(28,8))) as double) as sxx,
-                   cast(sum(cast(l_quantity as decimal(18,6))) as double) as sy,
-                   cast(sum(cast(l_quantity * l_quantity as decimal(28,8))) as double) as syy,
-                   cast(sum(cast(l_discount * l_quantity as decimal(28,8))) as double) as sxy
+                   cast(cast(sum(cast(l_discount as decimal(18,6))) as varchar) as double) as sx,
+                   cast(cast(sum(cast(l_discount * l_discount as decimal(28,8))) as varchar) as double) as sxx,
+                   cast(cast(sum(cast(l_quantity as decimal(18,6))) as varchar) as double) as sy,
+                   cast(cast(sum(cast(l_quantity * l_quantity as decimal(28,8))) as varchar) as double) as syy,
+                   cast(cast(sum(cast(l_discount * l_quantity as decimal(28,8))) as varchar) as double) as sxy
             from lineitem group by l_returnflag
         )
         select l_returnflag, n,
@@ -8736,7 +8742,7 @@ ORACLES: dict[str, str] = {
     "q_resample_ffill": """
         with b as (
             select user_id, time_bucket(interval 6 hours, ts) as tb,
-                   cast(sum(cast(value as decimal(18,6))) as double)
+                   cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double)
                        / count(value) as mean_value
             from events group by user_id, tb
         ),
@@ -8848,7 +8854,7 @@ ORACLES: dict[str, str] = {
     "q_window_tumbling": """
         select strftime(time_bucket(interval '6 hours', ts), '%Y-%m-%d %H:%M:%S') as window_start,
                event_type, count(*) as n_events,
-               cast(sum(cast(value as decimal(18,6))) as double) as sum_value
+               cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double) as sum_value
         from events group by 1, 2
     """,
     "q_window_sliding": """
@@ -9195,7 +9201,7 @@ ORACLES: dict[str, str] = {
     "q_streaming_tumbling": """
         select strftime(time_bucket(interval '6 hours', ts), '%Y-%m-%d %H:%M:%S') as window_start,
                event_type, count(*) as n_events,
-               cast(sum(cast(value as decimal(18,6))) as double) as sum_value
+               cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double) as sum_value
         from events group by 1, 2
     """,
     # version 2 = after batch1 (inserts, original names), before batch2
@@ -9261,14 +9267,14 @@ ORACLES: dict[str, str] = {
     # oracles are the PLAIN join + aggregate
     "q_salted_join": """
         select c_mktsegment, count(*)::bigint as n_orders,
-               cast(sum(cast(o_totalprice as decimal(18,6))) as double)
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) as varchar) as double)
                    as total_revenue
         from orders join customer on o_custkey = c_custkey
         group by c_mktsegment order by c_mktsegment
     """,
     "q_bucketed_join": """
         select c_mktsegment, count(*)::bigint as n_orders,
-               cast(sum(cast(o_totalprice as decimal(18,6))) as double)
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) as varchar) as double)
                    as total_revenue
         from orders join customer on o_custkey = c_custkey
         group by c_mktsegment order by c_mktsegment
@@ -9541,7 +9547,7 @@ ORACLES: dict[str, str] = {
     "q_incremental_rollup": """
         select o_orderpriority,
                count(*) as n_rows,
-               cast(sum(cast(o_totalprice as decimal(18,6))) as double)
+               cast(cast(sum(cast(o_totalprice as decimal(18,6))) as varchar) as double)
                    as total_price
         from orders
         group by o_orderpriority
@@ -9728,7 +9734,7 @@ ORACLES: dict[str, str] = {
         )
         select event_id, user_id, epoch_s,
                (count(*) over w)::bigint as n_24h,
-               cast(sum(cast(value as decimal(18,6))) over w as double)
+               cast(cast(sum(cast(value as decimal(18,6))) over w as varchar) as double)
                    as sum_24h
         from e
         window w as (partition by user_id order by epoch_s
@@ -9772,11 +9778,11 @@ ORACLES: dict[str, str] = {
         s as (
             select count(*)::double as n,
                    {", ".join(
-                       f"sum(floor({a} * 1e{s} + 0.5)::bigint)::double / 1e{s} as s_{a}"
+                       f"sum(floor({a} * 1e{s} + 0.5)::bigint)::varchar::double / 1e{s} as s_{a}"
                        for a, s in _CORR_SCALE1.items()
                    )},
                    {", ".join(
-                       f"sum(floor({a} * {b} * 1e{s} + 0.5)::bigint)::double / 1e{s} as s_{a}_{b}"
+                       f"sum(floor({a} * {b} * 1e{s} + 0.5)::bigint)::varchar::double / 1e{s} as s_{a}_{b}"
                        for (a, b), s in _CORR_SCALE2.items()
                    )}
             from v
@@ -9824,8 +9830,8 @@ ORACLES: dict[str, str] = {
         with g as (
             select event_type,
                    count(*) as n,
-                   cast(sum(cast(value as decimal(18,6))) as double) as s,
-                   cast(sum(cast(value * value as decimal(28,8))) as double)
+                   cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double) as s,
+                   cast(cast(sum(cast(value * value as decimal(28,8))) as varchar) as double)
                        as ss
             from events
             where event_type in ('view', 'purchase')
@@ -9879,12 +9885,12 @@ ORACLES: dict[str, str] = {
         ),
         s as (
             select count(*)::double as n,
-                   sum(floor(x * 1e6 + 0.5)::bigint)::double / 1e6 as sx,
-                   sum(floor(y * 1e10 + 0.5)::bigint)::double / 1e10 as sy,
-                   sum(floor(x * x * 1e8 + 0.5)::bigint)::double / 1e8 as sxx,
-                   sum(floor(x * y * 1e10 + 0.5)::bigint)::double / 1e10
+                   sum(floor(x * 1e6 + 0.5)::bigint)::varchar::double / 1e6 as sx,
+                   sum(floor(y * 1e10 + 0.5)::bigint)::varchar::double / 1e10 as sy,
+                   sum(floor(x * x * 1e8 + 0.5)::bigint)::varchar::double / 1e8 as sxx,
+                   sum(floor(x * y * 1e10 + 0.5)::bigint)::varchar::double / 1e10
                        as sxy,
-                   sum(floor(y * y * 1e10 + 0.5)::bigint)::double / 1e10
+                   sum(floor(y * y * 1e10 + 0.5)::bigint)::varchar::double / 1e10
                        as syy
             from v
         )
@@ -9900,7 +9906,7 @@ ORACLES: dict[str, str] = {
     "q_interpolate_linear": """
         with b as (
             select user_id, time_bucket(interval 6 hours, ts) as tb,
-                   cast(sum(cast(value as decimal(18,6))) as double)
+                   cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double)
                        / count(value) as mean_value
             from events group by user_id, tb
         ),
@@ -10028,12 +10034,12 @@ ORACLES: dict[str, str] = {
         s as (
             select l_returnflag,
                    count(*)::double as n,
-                   sum(floor(x * 1e6 + 0.5)::bigint)::double / 1e6 as sx,
-                   sum(floor(y * 1e10 + 0.5)::bigint)::double / 1e10 as sy,
-                   sum(floor(x * x * 1e8 + 0.5)::bigint)::double / 1e8 as sxx,
-                   sum(floor(x * y * 1e10 + 0.5)::bigint)::double / 1e10
+                   sum(floor(x * 1e6 + 0.5)::bigint)::varchar::double / 1e6 as sx,
+                   sum(floor(y * 1e10 + 0.5)::bigint)::varchar::double / 1e10 as sy,
+                   sum(floor(x * x * 1e8 + 0.5)::bigint)::varchar::double / 1e8 as sxx,
+                   sum(floor(x * y * 1e10 + 0.5)::bigint)::varchar::double / 1e10
                        as sxy,
-                   sum(floor(y * y * 1e10 + 0.5)::bigint)::double / 1e10
+                   sum(floor(y * y * 1e10 + 0.5)::bigint)::varchar::double / 1e10
                        as syy
             from v group by l_returnflag
         )
@@ -10166,7 +10172,7 @@ ORACLES: dict[str, str] = {
                min(value) as low,
                arg_max(value, ts) as close,
                count(*) as n_events,
-               cast(sum(cast(value as decimal(18,6))) as double) as volume
+               cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double) as volume
         from events
         group by 1, 2
         order by user_id, bucket_s
@@ -10474,8 +10480,8 @@ ORACLES: dict[str, str] = {
     "q_anova_f": """
         with g as (
             select event_type, count(*)::bigint as n,
-                   cast(sum(cast(value as decimal(18,6))) as double) as s,
-                   cast(sum(cast(value * value as decimal(28,8))) as double)
+                   cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double) as s,
+                   cast(cast(sum(cast(value * value as decimal(28,8))) as varchar) as double)
                        as ss
             from events group by event_type
         ),
@@ -10623,7 +10629,7 @@ ORACLES: dict[str, str] = {
         with ser as (
             select event_type,
                    floor(epoch(ts))::bigint // 21600 as bucket,
-                   cast(sum(cast(value as decimal(18,6))) as double)
+                   cast(cast(sum(cast(value as decimal(18,6))) as varchar) as double)
                        / count(*) as m
             from events
             group by 1, 2
@@ -10644,7 +10650,7 @@ ORACLES: dict[str, str] = {
         )
         select s.event_type, t.n_buckets,
                count(*)::bigint as n_scored,
-               (sum(a12)::double / 1e12) / count(*)::double as mape
+               (sum(a12)::varchar::double / 1e12) / count(*)::double as mape
         from scored s join totals t using (event_type)
         group by s.event_type, t.n_buckets
         order by s.event_type
@@ -10780,7 +10786,7 @@ ORACLES: dict[str, str] = {
         )
         select label, dim::bigint as dim,
                count(*)::bigint as n,
-               (sum(floor(v * 1e6 + 0.5)::bigint)::double / 1e6)
+               (sum(floor(v * 1e6 + 0.5)::bigint)::varchar::double / 1e6)
                    / count(*)::double as centroid_val
         from ex
         group by label, dim
@@ -10791,7 +10797,7 @@ ORACLES: dict[str, str] = {
                count(*)::bigint as n_orders,
                count(case when o_custkey % 97 = 0 then 1 end)::bigint
                    as n_tombstoned_left,
-               cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+               cast(cast(sum(cast(o_totalprice as decimal(18,2))) as varchar) as double)
                    as total_price
         from orders
         where o_custkey % 97 <> 0
@@ -11038,9 +11044,9 @@ ORACLES["q_changepoint"] = """
         from cum
     )
     select strftime(d, '%Y-%m-%d') as change_day,
-           c::double as cusum_scaled,
-           prefix::double / t::double as mean_before_cents,
-           (s - prefix)::double / (n - t)::double as mean_after_cents
+           c::varchar::double as cusum_scaled,
+           prefix::varchar::double / t::double as mean_before_cents,
+           (s - prefix)::varchar::double / (n - t)::double as mean_after_cents
     from scored order by c desc, d limit 1
 """
 
@@ -11170,14 +11176,14 @@ ORACLES["q_ab_cuped"] = """
         from pv group by variant
     )
     select variant::bigint as variant, n_v,
-           sy_v::double / n_v::double as mean_post_cents,
-           (n * sxy - sx * sy)::double
-               / (n * sxx - sx * sx)::double as theta,
-           (sy_v::double / n_v::double)
-               - ((n * sxy - sx * sy)::double
-                  / (n * sxx - sx * sx)::double)
-                 * ((sx_v::double / n_v::double)
-                    - (sx::double / n::double)) as adjusted_mean_cents
+           sy_v::varchar::double / n_v::double as mean_post_cents,
+           (n * sxy - sx * sy)::varchar::double
+               / (n * sxx - sx * sx)::varchar::double as theta,
+           (sy_v::varchar::double / n_v::double)
+               - ((n * sxy - sx * sy)::varchar::double
+                  / (n * sxx - sx * sx)::varchar::double)
+                 * ((sx_v::varchar::double / n_v::double)
+                    - (sx::varchar::double / n::double)) as adjusted_mean_cents
     from v, g order by variant
 """
 
@@ -11201,13 +11207,13 @@ ORACLES["q_lorenz_deciles"] = """
         from ranked group by 1
     )
     select decile, n_cust,
-           dc::double as decile_cents,
+           dc::varchar::double as decile_cents,
            (sum(dc) over (order by decile
-                rows between unbounded preceding and current row))::double
+                rows between unbounded preceding and current row))::varchar::double
                as cum_cents,
            (sum(dc) over (order by decile
-                rows between unbounded preceding and current row))::double
-               / (sum(dc) over ())::double as cum_share
+                rows between unbounded preceding and current row))::varchar::double
+               / (sum(dc) over ())::varchar::double as cum_share
     from dec order by decile
 """
 ORACLES["q_order_gaps"] = """
@@ -11261,10 +11267,10 @@ ORACLES["q_weekday_decompose"] = """
                sum(x) as s
         from daily group by 1
     )
-    select iso_weekday, n_days, s::double as sum_cents,
-           s::double / n_days::double as weekday_mean_cents,
-           s::double / n_days::double
-               - (sum(s) over ())::double / (sum(n_days) over ())::double
+    select iso_weekday, n_days, s::varchar::double as sum_cents,
+           s::varchar::double / n_days::double as weekday_mean_cents,
+           s::varchar::double / n_days::double
+               - (sum(s) over ())::varchar::double / (sum(n_days) over ())::varchar::double
                as effect_cents
     from per_wd order by iso_weekday
 """
@@ -11357,7 +11363,7 @@ ORACLES["q_equi_depth_histogram"] = """
            count(*)::bigint as n_rows,
            min(cents)::bigint as lo_cents,
            max(cents)::bigint as hi_cents,
-           sum(cents)::double as sum_cents
+           sum(cents)::varchar::double as sum_cents
     from ranked
     group by 1
     order by 1
@@ -11379,8 +11385,8 @@ ORACLES["q_sax_symbols"] = """
     ),
     z as (
         select d, x,
-               (x::double - sx::double / n::double)
-                   / sqrt((n * sxx - sx * sx)::double / (n * n)::double)
+               (x::double - sx::varchar::double / n::double)
+                   / sqrt((n * sxx - sx * sx)::varchar::double / (n * n)::double)
                    as z
         from stats
     )
@@ -11500,7 +11506,7 @@ ORACLES["q_price_index"] = """
         from base b join m0 using (l_partkey)
     )
     select month,
-           sum(pt_q0_micro)::double / sum(p0_q0_micro)::double
+           sum(pt_q0_micro)::varchar::double / sum(p0_q0_micro)::varchar::double
                as laspeyres_index
     from joined group by month order by month
 """

@@ -590,13 +590,31 @@ def test_cube_sketch_unions_base_partials(spark, sf_dir):
     assert "Expand" not in plan  # no cube re-expansion of the input
 
 
-def test_target_encode_loo_broadcasts_both_lookups(spark, sf_dir):
-    """The dim lookup (customer) and the 25-row nation stats table must
-    BOTH ride broadcast joins — the fact shuffles only for the tiny
-    per-nation aggregate, never for either join."""
-    plan = plan_of(catalog.q_target_encode_loo(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+def test_target_encode_loo_hints_only_the_bounded_nation_stats(spark, sf_dir):
+    """Customer SCALES with the fact (sf x 150k rows), so its join must
+    carry NO build-side hint — a forced broadcast of a fact-scaling
+    relation is a driver/executor OOM at 100 TB. The only hint allowed
+    is the 25-row per-nation stats broadcast-back. AQE may still CHOOSE
+    to broadcast customer at test scale; the contract is about the
+    hint, not the runtime pick."""
+    opt = catalog.q_target_encode_loo(
+        spark, sf_dir
+    )._jdf.queryExecution().optimizedPlan().toString()
+    hint_lines = [ln for ln in opt.splitlines() if "Hint=(" in ln]
+    assert len(hint_lines) == 1, hint_lines
+    assert "c_nationkey" in hint_lines[0]  # the 25-row nation aggregate
+
+
+def test_price_index_hints_only_the_one_row_base_month(spark, sf_dir):
+    """The base-month basket m0 is parts-dimension-sized (sf x 200k
+    rows) — it scales, so its join on l_partkey must be unhinted; the
+    only forced broadcast is the 1-row min-month scalar."""
+    opt = catalog.q_price_index(
+        spark, sf_dir
+    )._jdf.queryExecution().optimizedPlan().toString()
+    hint_lines = [ln for ln in opt.splitlines() if "Hint=(" in ln]
+    assert len(hint_lines) == 1, hint_lines
+    assert "__m0" in hint_lines[0]  # the 1-row first-month scalar
 
 
 def test_gini_rank_is_distributed_two_phase(spark, sf_dir):
