@@ -1814,7 +1814,11 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_train(emb, n_sub=8, dim=64, n_centroids=16, n_iters=2)
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_topk(emb, queries, books, k=10).orderBy("query_id", "rank")
+    # rerank=None on purpose: this entry pins the RAW ADC rung (the API
+    # default is the tuned rerank=100 operating point)
+    return pq_topk(emb, queries, books, k=10, rerank=None).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_cosine_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6360,25 +6364,27 @@ def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
             "first_view"
         ),
-    )
-    pur = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
-        F.min("ts").alias("__any_first_purchase")
+    ).filter(F.col("first_view").isNotNull())
+    # first purchase AT OR AFTER the first view — a user whose only
+    # early purchase precedes first_view but who purchases again later
+    # is a conversion (first-ever min(ts) would misclassify them as
+    # censored; that drift between docstring and readout was round-7
+    # ADVICE)
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__first_purchase_after"))
     )
     maxd = ev.agg(F.max(F.to_date("ts")).alias("__maxd"))
     durations = (
-        per.filter(F.col("first_view").isNotNull())
-        .join(pur, "user_id", "left")
+        per.join(pur, "user_id", "left")
         .crossJoin(F.broadcast(maxd))
         .select(
-            F.when(
-                F.col("__any_first_purchase") >= F.col("first_view"),
-                F.datediff(
-                    F.to_date("__any_first_purchase"),
-                    F.to_date("first_view"),
-                ),
-            )
-            .otherwise(None)
-            .alias("__event_dur"),
+            F.datediff(
+                F.to_date("__first_purchase_after"), F.to_date("first_view")
+            ).alias("__event_dur"),
             F.datediff(F.col("__maxd"), F.to_date("first_view")).alias(
                 "__censor_dur"
             ),
@@ -7545,6 +7551,988 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_windowed(
         docs, "doc_id", "text", "source", window=100
     ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# round 8: rank statistics (Spearman / Kruskal-Wallis / ROC-AUC / Kendall)
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer order frequency and
+    revenue — the monotone-association sibling of q_corr_matrix's
+    Pearson (robust to the heavy-tailed monetary distribution). Ranks
+    come from TWO two-phase global range ranks (with_global_row_number
+    — no single-reducer sort; ties broken by custkey, so ranks are
+    exact integer permutations both engines); rho is Pearson over the
+    integer ranks via exact decimal(38,0) power sums with the final
+    sqrt/divide as mirrored IEEE ops — the q_autocorr scheme on rank
+    space. ONE orders scan, customers-sized relation after."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    base = with_global_row_number(
+        per, ["frequency", "o_custkey"], rn_col="__rf"
+    )
+    base = with_global_row_number(
+        base, ["monetary_cents", "o_custkey"], rn_col="__rm", n_col="__n"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = base.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(dec("__rf")).alias("sx"),
+        F.sum(dec("__rm")).alias("sy"),
+        F.sum(dec("__rf") * F.col("__rf")).alias("sxx"),
+        F.sum(dec("__rf") * F.col("__rm")).alias("sxy"),
+        F.sum(dec("__rm") * F.col("__rm")).alias("syy"),
+    )
+    return agg.select(
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event-type cohorts — the
+    rank-based (distribution-free) counterpart of q_anova_f: did any
+    cohort's VALUE DISTRIBUTION shift, judged on ranks so outliers
+    can't dominate. One global two-phase rank of every value (total
+    order (value, event_id) — deterministic tie policy, identical both
+    engines), per-cohort rank sums as exact decimals, then
+    ``H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1)`` over a FIXED-ORDER
+    five-cohort pivot (the q_anova_f chaining discipline — double sums
+    across groups are order-dependent)."""
+    from .operators.relational import with_global_row_number
+
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    ranked = with_global_row_number(
+        ev.select("event_id", "event_type", "value"),
+        ["value", "event_id"],
+        rn_col="__rk",
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("__rk").cast("decimal(38,0)")).cast("double").alias("r_g"),
+    )
+    one = g.agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col(c))).alias(
+                f"{c}_{i}"
+            )
+            for i, t in enumerate(types)
+            for c in ("n_g", "r_g")
+        ]
+    )
+    n = [F.col(f"n_g_{i}") for i in range(5)]
+    r = [F.col(f"r_g_{i}") for i in range(5)]
+    n_total = n[0] + n[1] + n[2] + n[3] + n[4]
+    nd = n_total.cast("double")
+    t_sum = (
+        (r[0] * r[0] / n[0].cast("double"))
+        + (r[1] * r[1] / n[1].cast("double"))
+        + (r[2] * r[2] / n[2].cast("double"))
+        + (r[3] * r[3] / n[3].cast("double"))
+        + (r[4] * r[4] / n[4].cast("double"))
+    )
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * t_sum - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    return one.select(
+        F.lit(5).cast("long").alias("k"),
+        n_total.cast("long").alias("n_total"),
+        h.alias("h_stat"),
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of ``value`` as a purchase-vs-view classifier score —
+    the model-eval readout a training pipeline computes for every
+    candidate quality/score column, via the rank-sum identity
+    ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` (the
+    Mann-Whitney U statistic normalized): one global two-phase rank
+    over the pooled cohorts (tie policy: (value, event_id) total order,
+    identical both engines), one tiny aggregate, exact integers until
+    the single final IEEE division."""
+    from .operators.relational import with_global_row_number
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ranked = with_global_row_number(
+        ev.select("event_id", "event_type", "value"),
+        ["value", "event_id"],
+        rn_col="__rk",
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("__rk")
+            ).otherwise(0).cast("decimal(38,0)")
+        ).alias("r_pos"),
+    )
+    # cross-multiplied by 2 so every intermediate is an exact integer
+    # (a decimal division would round at scale 6 in Spark)
+    num = F.lit(2).cast("decimal(38,0)") * F.col("r_pos") - F.col(
+        "n_pos"
+    ).cast("decimal(38,0)") * (F.col("n_pos") + 1)
+    den = (
+        F.lit(2).cast("decimal(38,0)") * F.col("n_pos") * F.col("n_neg")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (num.cast("double") / den.cast("double")).alias("auc"),
+    )
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily order count — the
+    concordance view of the volume/value relationship, exact over the
+    DAY-DOMAIN pair space (n_days^2/2 pairs — bounded by the calendar,
+    never fact-sized; the q_ks_test domain-relation discipline).
+    Concordant/discordant/tie counts are exact integers from a d1 < d2
+    self-join; ``tau_b = (C-D) / (sqrt(n0-tx) * sqrt(n0-ty))`` is the
+    only float arithmetic, mirrored operation-for-operation."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("cents").alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    sgn = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+        .cast("long")
+        .alias("tx"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+        .cast("long")
+        .alias("ty"),
+    )
+    return agg.select(
+        "n0",
+        "c",
+        "d",
+        "tx",
+        "ty",
+        (
+            (F.col("c") - F.col("d")).cast("double")
+            / (
+                F.sqrt((F.col("n0") - F.col("tx")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: economic readouts (HHI / winsorized mean / ABC / MoM growth)
+# ---------------------------------------------------------------------------
+
+
+def q_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of nation revenue
+    shares within each region — the market-concentration readout
+    (sum of squared shares; 1/25..1). Exact rational:
+    ``HHI = sum(s_i^2) / S^2`` cross-multiplies the shares away, so
+    the only floats are one varchar-routed cast of the exact
+    decimal(38,0) square sum and one IEEE square+divide. Customer
+    SCALES with the fact — its join is UNHINTED (AQE decides); the
+    25-row nation table broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nat = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("cents").alias("s_i"))
+    )
+    dec = F.col("s_i").cast("decimal(38,0)")
+    return (
+        per_nat.join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum(dec).cast("decimal(38,0)").alias("__s"),
+            F.sum(dec * F.col("s_i")).alias("__ssq"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "n_nations",
+            F.col("__s").cast("long").alias("total_cents"),
+            (
+                F.col("__ssq").cast("double")
+                / (F.col("__s").cast("double") * F.col("__s").cast("double"))
+            ).alias("hhi"),
+        )
+        .orderBy("region")
+    )
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value (clip at the exact p5/p95 rank
+    positions, then average) — the robust-central-tendency readout that
+    survives fat tails without discarding rows like a trimmed mean.
+    Bounds come from ONE pass over the two-phase global rank (the exact
+    rank-selection discipline of q_percentile_rank — no interpolation,
+    so both engines pick the identical order statistics); the clip +
+    mean is a second map-side-combined pass with exact decimal sums and
+    one final IEEE division."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = with_global_row_number(
+        vals, ["cents", "o_orderkey"], rn_col="__rn", n_col="__n"
+    )
+    lo_pos = F.expr("(5 * (__n - 1)) div 100") + 1
+    hi_pos = F.expr("(95 * (__n - 1)) div 100") + 1
+    bounds = ranked.agg(
+        F.min(F.when(F.col("__rn") == lo_pos, F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.min(F.when(F.col("__rn") == hi_pos, F.col("cents"))).alias(
+            "hi_cents"
+        ),
+    )
+    clipped = vals.crossJoin(F.broadcast(bounds)).select(
+        "lo_cents",
+        "hi_cents",
+        F.greatest(
+            F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("cents"))
+        ).alias("w"),
+    )
+    return clipped.groupBy("lo_cents", "hi_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean_cents"),
+    )
+
+
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    revenue descending, class A = the head covering 80% of cumulative
+    revenue, B to 95%, C the tail — the inventory-analytics cut.
+    Scale shape: the descending rank AND the cumulative revenue both
+    ride the two-phase range machinery (rank via negated cents — no
+    single-reducer sort; cumulative via with_grouped_running_sum over a
+    constant group), and the class decision is an INTEGER
+    cross-multiplied comparison (cum*100 vs total*80 in decimal — no
+    share floats at all), so the readout is exact."""
+    from .operators.relational import with_grouped_running_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.select(
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+        .withColumn("__neg", -F.col("rev"))
+        .withColumn("__g", F.lit(0))
+    )
+    path = _tmp_path("abc_parts")
+    per_part.write.mode("overwrite").parquet(path)
+    per_part = spark.read.parquet(path)
+    cum = with_grouped_running_sum(
+        per_part, ["__g"], ["__neg", "l_partkey"], "rev", out_col="__cum"
+    )
+    total = per_part.agg(
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("__total")
+    )
+    classed = cum.crossJoin(F.broadcast(total)).select(
+        "rev",
+        F.when(
+            F.col("__cum").cast("decimal(38,0)") * 100
+            <= F.col("__total") * 80,
+            "A",
+        )
+        .when(
+            F.col("__cum").cast("decimal(38,0)") * 100
+            <= F.col("__total") * 95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("rev").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("class_revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the first derivative every
+    reporting surface publishes. ONE fact scan to exact monthly cents
+    (month-domain-sized relation, so the lag window is a ~100-row sort,
+    not the un-partitioned-window trap); growth is one IEEE division of
+    exact integers; the first month's ratio is NULL on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "month",
+            "rev_cents",
+            "prev_cents",
+            (
+                (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+                / F.col("prev_cents").cast("double")
+            ).alias("mom_ratio"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: curation / corpus-assembly additions
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-shingle share per document in doc_id (= ingestion) order —
+    the corpus-redundancy growth curve dedup teams watch: a shingle is
+    NOVEL in the first document (min doc_id) that contains it, and a
+    crawl whose late documents contribute few novel shingles has gone
+    stale. Shape: tokens materialize once (shingles_of contract),
+    shingles hash to longs via the cross-engine md5 hash32 (strings
+    never shuffle; identical collisions both engines), ONE group-by
+    shingle for the first-seen owner, one join back, per-doc counts +
+    a single IEEE division."""
+    from .functions.text import hash32, shingles_of, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    sh = (
+        toks.select(
+            "doc_id", F.explode(shingles_of(F.col("__toks"))).alias("__s")
+        )
+        .select("doc_id", hash32(F.col("__s")).alias("h"))
+        .distinct()
+    )
+    path = _tmp_path("novelty_shingles")
+    sh.write.mode("overwrite").parquet(path)
+    sh = spark.read.parquet(path)
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("__first_doc"))
+    per_doc = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty_share"),
+    ).orderBy("doc_id")
+
+
+def q_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-shift
+    readout behind mixture design (two sources with near-disjoint
+    vocabularies need separate curation thresholds). Distinct
+    (source, token-hash) incidence builds once (strings hash to longs,
+    cross-engine md5); the pair space is |sources|^2 over per-source
+    DISTINCT vocabularies, never document-sized; Jaccard is exact
+    integer counts + one division."""
+    from .functions.text import hash32, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    voc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("__t"))
+        .select("source", hash32(F.col("__t")).alias("h"))
+        .distinct()
+    )
+    path = _tmp_path("vocab_sources")
+    voc.write.mode("overwrite").parquet(path)
+    voc = spark.read.parquet(path)
+    sizes = voc.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = voc.select(F.col("source").alias("source_a"), "h")
+    b = voc.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan with overlap (size 64 tokens, stride
+    48 — 16-token overlap): the RAG/embedding chunking manifest, emitted
+    as pure integer boundaries BEFORE any text materializes — the
+    fan-out stage that feeds an embed/index pipeline. One map-only pass
+    (token count per doc, sequence-explode of chunk starts); every
+    column is exact integer arithmetic, so the whole plan hash-checks."""
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    starts = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(48))
+        ).alias("tok_start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("tok_start") / 48).cast("long").alias("chunk_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.col("tok_start") + 64, F.col("n_tokens"))
+        .cast("long")
+        .alias("tok_end"),
+        (
+            F.least(F.col("tok_start") + 64, F.col("n_tokens"))
+            - F.col("tok_start")
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+        (
+            F.least(F.col("tok_start") + 64, F.col("n_tokens"))
+            == F.col("n_tokens")
+        ).alias("is_last"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic corpus sample (k=100): rank every document
+    by its md5 hash (content-independent, layout/run-reproducible —
+    what rand() reservoir sampling cannot promise) and keep the k
+    smallest. The rank rides the two-phase range machinery, so no
+    single reducer ever sorts the corpus — the distributed 'reservoir'
+    done right; downstream eval sets cite (doc_id, sample_rank)."""
+    from .functions.text import hash32
+    from .operators.relational import with_global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", hash32(F.col("doc_id").cast("string")).alias("__h")
+    )
+    ranked = with_global_row_number(
+        hashed, ["__h", "doc_id"], rn_col="__rn"
+    )
+    return (
+        ranked.filter(F.col("__rn") <= 100)
+        .select(
+            "doc_id", "source", F.col("__rn").cast("long").alias("sample_rank")
+        )
+        .orderBy("sample_rank")
+    )
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup over the media table: content digests
+    come through the Arrow mapInPandas path (multimodal/binary), groups
+    form on the 32-byte digest (payloads never shuffle — the
+    digest-not-text discipline of q_dedup_exact applied to media), and
+    each group's canonical copy is its min media_id. The oracle
+    recomputes sha256 in SQL, so the Python-worker plumbing AND the
+    dedup decision hash-check together."""
+    from .multimodal.binary import extract_features
+
+    feats = extract_features(_media_table(spark, sf_dir)).select(
+        "media_id", "content_digest"
+    )
+    w = Window.partitionBy("content_digest")
+    return (
+        feats.withColumn(
+            "group_size", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .withColumn(
+            "is_canonical",
+            F.col("media_id") == F.min("media_id").over(w),
+        )
+        .select("media_id", "content_digest", "group_size", "is_canonical")
+        .orderBy("media_id")
+    )
+
+
+def q_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup clustering — the dedup
+    quality readout reviewers ask for first (a giant cluster means the
+    threshold collapsed the corpus; all-singletons means it is too
+    strict). Reuses the full LSH -> connected-components pipeline and
+    aggregates (size, n_clusters); the DuckDB twin wraps the same
+    recursive-CTE closure oracle that verifies q_dedup_clusters."""
+    from .operators.components import dedup_clusters
+    from .operators.dedup import minhash_near_duplicates
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        labeled = dedup_clusters(pairs, docs, "doc_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    sizes = labeled.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: relational / temporal scenarios
+# ---------------------------------------------------------------------------
+
+
+def q_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO queue matching: per user, the k-th purchase pairs with the
+    k-th view (rank equi-join — the set-based formulation of 'consume
+    the queue in order', no per-row loop, no state machine). The signed
+    lag between the paired events is the queue wait. Shape: two
+    user-partitioned rank windows (high-cardinality key, distributes)
+    + one (user, k) equi-join; integer epoch arithmetic end to end."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .withColumn("k", F.row_number().over(w))
+        .select("user_id", "k", F.col("ep").alias("view_ep"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .withColumn("k", F.row_number().over(w))
+        .select("user_id", "k", F.col("ep").alias("purchase_ep"))
+    )
+    matched = purchases.join(views, ["user_id", "k"])
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(F.col("purchase_ep") - F.col("view_ep"))
+            .cast("long")
+            .alias("total_wait_seconds"),
+        )
+        .select(
+            "user_id",
+            "n_matched",
+            "total_wait_seconds",
+            (
+                F.col("total_wait_seconds").cast("double")
+                / F.col("n_matched").cast("double")
+            ).alias("mean_wait_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key skew handling for outer joins — THE production join
+    pathology: 20% of facts carry a NULL dimension key (unattributed
+    orders), and a plain outer join ships every one of them through the
+    shuffle to hash to the same reducer-side null bucket. The engine
+    splits the nulls off BEFORE the exchange (they can never match —
+    SQL null-equality), joins only keyed rows, and unions the null
+    stripe back — the null-segregation rewrite. Result is
+    hash-identical to the naive left join the oracle runs."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    facts = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 5 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_key"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    keyed = facts.filter(F.col("cust_key").isNotNull()).join(
+        cust, F.col("cust_key") == F.col("c_custkey"), "left"
+    )
+    nulls = facts.filter(F.col("cust_key").isNull()).select(
+        "o_orderkey",
+        "cust_key",
+        "cents",
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    return (
+        keyed.select(
+            "o_orderkey", "cust_key", "cents", "c_custkey", "c_mktsegment"
+        )
+        .unionByName(nulls)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_mktsegment").isNotNull().alias("attributed"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED funnel: first view -> first click within 1 hour
+    of it -> first purchase within 24 hours of that click, per user —
+    the windowed variant q_funnel_steps cannot express (its stages have
+    no deadline, so stale conversions inflate every step). Three
+    per-user conditional aggregates chained by bounded joins; integer
+    epoch arithmetic; the readout is stage counts + two IEEE ratios."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("ep"),
+    )
+    fv = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("view_ep"))
+    )
+    fc = (
+        base.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("view_ep"))
+            & (F.col("ep") <= F.col("view_ep") + 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("click_ep"))
+    )
+    fp = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("ep") >= F.col("click_ep"))
+            & (F.col("ep") <= F.col("click_ep") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("purchase_ep"))
+    )
+    agg = (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viewed"),
+            F.count("click_ep").cast("long").alias("n_clicked_1h"),
+            F.count("purchase_ep").cast("long").alias("n_purchased_24h"),
+        )
+    )
+    return agg.select(
+        "n_viewed",
+        "n_clicked_1h",
+        "n_purchased_24h",
+        (
+            F.col("n_clicked_1h").cast("double")
+            / F.col("n_viewed").cast("double")
+        ).alias("click_rate"),
+        (
+            F.col("n_purchased_24h").cast("double")
+            / F.col("n_viewed").cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
+def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension scenario: facts land before 20% of their
+    customer rows exist; unresolved keys take the -1 placeholder nation
+    (the inferred-member pattern), and when the dim batch arrives only
+    the PLACEHOLDER rows re-join — never the resolved majority. Final
+    state is closed-form (every key eventually resolves), so the oracle
+    is the plain join with a repair-flag; the Spark side actually runs
+    the two-pass flow, proving repair touches the placeholder stripe
+    only."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dim_b1 = cust.filter(F.col("c_custkey") % 5 != 0)
+    dim_b2 = cust.filter(F.col("c_custkey") % 5 == 0)
+    pass1 = facts.join(
+        dim_b1, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.coalesce(F.col("c_nationkey").cast("long"), F.lit(-1)).alias(
+            "nationkey"
+        ),
+    )
+    resolved = pass1.filter(F.col("nationkey") != -1).withColumn(
+        "late_resolved", F.lit(False)
+    )
+    repaired = (
+        pass1.filter(F.col("nationkey") == -1)
+        .drop("nationkey")
+        .join(dim_b2, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "cents",
+            F.coalesce(F.col("c_nationkey").cast("long"), F.lit(-1)).alias(
+                "nationkey"
+            ),
+            F.lit(True).alias("late_resolved"),
+        )
+    )
+    return (
+        resolved.unionByName(repaired)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.sum(F.when(F.col("late_resolved"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_resolved"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_cumulative_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users to date, per day — the corpus/user growth curve.
+    The naive form (COUNT(DISTINCT) over an expanding window) rescans
+    history per day; the first-seen identity makes it ONE scan: a user
+    counts on exactly their first day, so users-to-date = running sum
+    of new-user counts over the DAY-DOMAIN relation (the q_ks_test
+    window class — calendar-sized, never fact-sized)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("users_to_date"),
+    ).orderBy("day")
+
+
+def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-quintile migration between the first and second
+    half of the order history — the churn/upsell matrix: where did Q5
+    customers of H1 land in H2? Halves split at the integer midpoint
+    day (scalar broadcast); customers active in BOTH halves rank into
+    quintiles per half via the two-phase range rank (integer bucket
+    arithmetic, no ntile, no global sort); the readout is the 5x5
+    transition count grid."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = base.agg(
+        F.min("d").alias("__mn"), F.max("d").alias("__mx")
+    ).select(
+        F.date_add(
+            F.col("__mn"),
+            (F.datediff(F.col("__mx"), F.col("__mn")) / 2).cast("int"),
+        ).alias("__mid")
+    )
+    halves = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("d") <= F.col("__mid"), F.col("cents")).otherwise(
+                    0
+                )
+            ).alias("h1_cents"),
+            F.sum(
+                F.when(F.col("d") > F.col("__mid"), F.col("cents")).otherwise(0)
+            ).alias("h2_cents"),
+            F.sum(F.when(F.col("d") <= F.col("__mid"), 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("d") > F.col("__mid"), 1).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select("o_custkey", "h1_cents", "h2_cents")
+    )
+    path = _tmp_path("decile_halves")
+    halves.write.mode("overwrite").parquet(path)
+    halves = spark.read.parquet(path)
+    ranked = with_global_row_number(
+        halves, ["h1_cents", "o_custkey"], rn_col="__r1", n_col="__n"
+    )
+    ranked = with_global_row_number(
+        ranked, ["h2_cents", "o_custkey"], rn_col="__r2"
+    )
+    q1 = (F.expr("(5 * (__r1 - 1)) div __n") + 1).cast("long")
+    q2 = (F.expr("(5 * (__r2 - 1)) div __n") + 1).cast("long")
+    return (
+        ranked.select(q1.alias("q_h1"), q2.alias("q_h2"))
+        .groupBy("q_h1", "q_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("q_h1", "q_h2")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10945,17 +11933,18 @@ ORACLES["q_survival_table"] = """
         from events group by user_id
     ),
     pur as (
-        select user_id, min(ts) as fp
-        from events where event_type = 'purchase' group by user_id
+        select e.user_id, min(e.ts) as fp
+        from events e join per using (user_id)
+        where e.event_type = 'purchase' and e.ts >= per.first_view
+        group by e.user_id
     ),
     mx as (select max(ts::date) as maxd from events),
     durs as (
         select coalesce(
-                   case when fp >= first_view
-                        then date_diff('day', first_view::date, fp::date) end,
+                   date_diff('day', first_view::date, fp::date),
                    date_diff('day', first_view::date, maxd)
                )::bigint as dur,
-               coalesce(fp >= first_view, false) as converted
+               fp is not null as converted
         from per left join pur using (user_id), mx
         where first_view is not null
     ),
@@ -11509,4 +12498,479 @@ ORACLES["q_price_index"] = """
            sum(pt_q0_micro)::varchar::double / sum(p0_q0_micro)::varchar::double
                as laspeyres_index
     from joined group by month order by month
+"""
+
+
+# -- round 8: rank statistics ------------------------------------------------
+
+QUERIES["q_spearman_corr"] = q_spearman_corr
+ORACLES["q_spearman_corr"] = """
+    with per as (
+        select o_custkey, count(*)::bigint as f,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as m
+        from orders group by o_custkey
+    ),
+    r as (
+        select row_number() over (order by f, o_custkey) as rf,
+               row_number() over (order by m, o_custkey) as rm,
+               count(*) over () as n
+        from per
+    ),
+    a as (
+        select max(n)::bigint as n,
+               sum(rf::hugeint) as sx, sum(rm::hugeint) as sy,
+               sum(rf::hugeint * rf) as sxx,
+               sum(rf::hugeint * rm) as sxy,
+               sum(rm::hugeint * rm) as syy
+        from r
+    )
+    select n,
+           (n * sxy - sx * sy)::varchar::double
+               / (sqrt((n * sxx - sx * sx)::varchar::double)
+                  * sqrt((n * syy - sy * sy)::varchar::double))
+               as spearman_rho
+    from a
+"""
+
+QUERIES["q_kruskal_wallis"] = q_kruskal_wallis
+ORACLES["q_kruskal_wallis"] = """
+    with r as (
+        select event_type,
+               row_number() over (order by value, event_id) as rk
+        from events
+    ),
+    g as (
+        select event_type, count(*)::bigint as n_g,
+               sum(rk::hugeint)::varchar::double as r_g
+        from r group by event_type
+    ),
+    p as (
+        select
+            max(case when event_type = 'click' then n_g end) as n_g_0,
+            max(case when event_type = 'click' then r_g end) as r_g_0,
+            max(case when event_type = 'error' then n_g end) as n_g_1,
+            max(case when event_type = 'error' then r_g end) as r_g_1,
+            max(case when event_type = 'purchase' then n_g end) as n_g_2,
+            max(case when event_type = 'purchase' then r_g end) as r_g_2,
+            max(case when event_type = 'signup' then n_g end) as n_g_3,
+            max(case when event_type = 'signup' then r_g end) as r_g_3,
+            max(case when event_type = 'view' then n_g end) as n_g_4,
+            max(case when event_type = 'view' then r_g end) as r_g_4
+        from g
+    )
+    select 5::bigint as k,
+           (n_g_0 + n_g_1 + n_g_2 + n_g_3 + n_g_4)::bigint as n_total,
+           12.0 / ((n_g_0 + n_g_1 + n_g_2 + n_g_3 + n_g_4)::double
+                   * ((n_g_0 + n_g_1 + n_g_2 + n_g_3 + n_g_4)::double + 1.0))
+               * ((r_g_0 * r_g_0 / n_g_0::double)
+                  + (r_g_1 * r_g_1 / n_g_1::double)
+                  + (r_g_2 * r_g_2 / n_g_2::double)
+                  + (r_g_3 * r_g_3 / n_g_3::double)
+                  + (r_g_4 * r_g_4 / n_g_4::double))
+           - 3.0 * ((n_g_0 + n_g_1 + n_g_2 + n_g_3 + n_g_4)::double + 1.0)
+               as h_stat
+    from p
+"""
+
+QUERIES["q_roc_auc"] = q_roc_auc
+ORACLES["q_roc_auc"] = """
+    with r as (
+        select event_type,
+               row_number() over (order by value, event_id) as rk
+        from events where event_type in ('purchase', 'view')
+    ),
+    a as (
+        select sum(case when event_type = 'purchase' then 1 else 0 end)::bigint
+                   as n_pos,
+               sum(case when event_type = 'view' then 1 else 0 end)::bigint
+                   as n_neg,
+               sum(case when event_type = 'purchase' then rk::hugeint
+                        else 0 end) as r_pos
+        from r
+    )
+    select n_pos, n_neg,
+           (2 * r_pos - n_pos::hugeint * (n_pos + 1))::varchar::double
+               / (2 * n_pos::hugeint * n_neg)::varchar::double as auc
+    from a
+"""
+
+QUERIES["q_kendall_tau_daily"] = q_kendall_tau_daily
+ORACLES["q_kendall_tau_daily"] = """
+    with daily as (
+        select o_orderdate::date as dd,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as x,
+               count(*)::bigint as y
+        from orders group by 1
+    ),
+    pairs as (
+        select a.x as xa, a.y as ya, b.x as xb, b.y as yb
+        from daily a join daily b on a.dd < b.dd
+    ),
+    agg as (
+        select count(*)::bigint as n0,
+               sum(case when (xb - xa) * (yb - ya) > 0 then 1 else 0 end)::bigint as c,
+               sum(case when (xb - xa) * (yb - ya) < 0 then 1 else 0 end)::bigint as d,
+               sum(case when xa = xb then 1 else 0 end)::bigint as tx,
+               sum(case when ya = yb then 1 else 0 end)::bigint as ty
+        from pairs
+    )
+    select n0, c, d, tx, ty,
+           (c - d)::double
+               / (sqrt((n0 - tx)::double) * sqrt((n0 - ty)::double)) as tau_b
+    from agg
+"""
+
+
+# -- round 8: economic readouts ----------------------------------------------
+
+QUERIES["q_herfindahl"] = q_herfindahl
+ORACLES["q_herfindahl"] = """
+    with per_nat as (
+        select c_nationkey,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as s_i
+        from orders join customer on o_custkey = c_custkey
+        group by c_nationkey
+    )
+    select r_name as region,
+           count(*)::bigint as n_nations,
+           sum(s_i)::bigint as total_cents,
+           sum(s_i::hugeint * s_i)::varchar::double
+               / (sum(s_i)::varchar::double * sum(s_i)::varchar::double)
+               as hhi
+    from per_nat
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by r_name
+    order by region
+"""
+
+QUERIES["q_winsorized_mean"] = q_winsorized_mean
+ORACLES["q_winsorized_mean"] = """
+    with vals as (
+        select o_orderkey,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    ),
+    ranked as (
+        select cents,
+               row_number() over (order by cents, o_orderkey) as rn,
+               count(*) over () as n
+        from vals
+    ),
+    bounds as (
+        select min(case when rn = (5 * (n - 1)) // 100 + 1 then cents end)
+                   as lo_cents,
+               min(case when rn = (95 * (n - 1)) // 100 + 1 then cents end)
+                   as hi_cents
+        from ranked
+    )
+    select lo_cents, hi_cents,
+           count(*)::bigint as n,
+           sum(greatest(lo_cents, least(hi_cents, cents)))::varchar::double
+               / count(*)::double as winsorized_mean_cents
+    from vals, bounds
+    group by lo_cents, hi_cents
+"""
+
+QUERIES["q_abc_pareto"] = q_abc_pareto
+ORACLES["q_abc_pareto"] = """
+    with per_part as (
+        select l_partkey,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                   ::bigint)::bigint as rev
+        from lineitem group by l_partkey
+    ),
+    cum as (
+        select rev,
+               sum(rev) over (order by -rev, l_partkey
+                   rows between unbounded preceding and current row) as c,
+               sum(rev) over () as total
+        from per_part
+    ),
+    classed as (
+        select rev,
+               case when c::hugeint * 100 <= total * 80 then 'A'
+                    when c::hugeint * 100 <= total * 95 then 'B'
+                    else 'C' end as abc_class
+        from cum
+    )
+    select abc_class,
+           count(*)::bigint as n_parts,
+           sum(rev)::bigint as class_revenue_cents
+    from classed group by abc_class order by abc_class
+"""
+
+QUERIES["q_mom_growth"] = q_mom_growth
+ORACLES["q_mom_growth"] = """
+    with monthly as (
+        select strftime(o_orderdate::date, '%Y-%m') as month,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint
+                   as rev_cents
+        from orders group by 1
+    )
+    select month, rev_cents,
+           lag(rev_cents) over (order by month) as prev_cents,
+           (rev_cents - lag(rev_cents) over (order by month))::double
+               / (lag(rev_cents) over (order by month))::double as mom_ratio
+    from monthly order by month
+"""
+
+
+# -- round 8: curation / corpus-assembly -------------------------------------
+
+QUERIES["q_ngram_novelty"] = q_ngram_novelty
+ORACLES["q_ngram_novelty"] = f"""
+    with t as (select doc_id, {_DK_TOKENS} as w from documents),
+    shex as (select doc_id, unnest({_DK_SHINGLES}) as s from t),
+    sh as (
+        select distinct doc_id, {_DK_HASH32} as h from shex
+    ),
+    first as (select h, min(doc_id) as first_doc from sh group by h),
+    per_doc as (
+        select sh.doc_id,
+               count(*)::bigint as n_shingles,
+               sum(case when first.first_doc = sh.doc_id then 1 else 0
+                   end)::bigint as n_novel
+        from sh join first using (h)
+        group by sh.doc_id
+    )
+    select doc_id, n_shingles, n_novel,
+           n_novel::double / n_shingles::double as novelty_share
+    from per_doc order by doc_id
+"""
+
+QUERIES["q_vocab_overlap_sources"] = q_vocab_overlap_sources
+ORACLES["q_vocab_overlap_sources"] = f"""
+    with tok as (select source, unnest({_DK_TOKENS}) as s from documents),
+    voc as (select distinct source, {_DK_HASH32} as h from tok),
+    sizes as (select source, count(*)::bigint as n from voc group by source),
+    inter as (
+        select a.source as source_a, b.source as source_b,
+               count(*)::bigint as n_common
+        from voc a join voc b on a.h = b.h and a.source < b.source
+        group by 1, 2
+    )
+    select source_a, source_b,
+           sa.n as n_a, sb.n as n_b, n_common,
+           n_common::double / (sa.n + sb.n - n_common)::double
+               as vocab_jaccard
+    from inter
+    join sizes sa on sa.source = inter.source_a
+    join sizes sb on sb.source = inter.source_b
+    order by source_a, source_b
+"""
+
+QUERIES["q_rag_chunk_overlap"] = q_rag_chunk_overlap
+ORACLES["q_rag_chunk_overlap"] = f"""
+    with base as (
+        select doc_id, len({_DK_TOKENS})::bigint as n_tokens
+        from documents
+    ),
+    starts as (
+        select doc_id, n_tokens, unnest(generate_series(0, n_tokens - 1, 48))
+                   as tok_start
+        from base where n_tokens >= 1
+    )
+    select doc_id,
+           (tok_start // 48)::bigint as chunk_id,
+           tok_start::bigint as tok_start,
+           least(tok_start + 64, n_tokens)::bigint as tok_end,
+           (least(tok_start + 64, n_tokens) - tok_start)::bigint
+               as chunk_tokens,
+           least(tok_start + 64, n_tokens) = n_tokens as is_last
+    from starts order by doc_id, chunk_id
+"""
+
+QUERIES["q_reservoir_sample"] = q_reservoir_sample
+ORACLES["q_reservoir_sample"] = """
+    with hashed as (
+        select doc_id, source,
+               ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint as h
+        from documents
+    ),
+    ranked as (
+        select doc_id, source,
+               row_number() over (order by h, doc_id) as rn
+        from hashed
+    )
+    select doc_id, source, rn::bigint as sample_rank
+    from ranked where rn <= 100 order by sample_rank
+"""
+
+QUERIES["q_multimodal_dedup"] = q_multimodal_dedup
+ORACLES["q_multimodal_dedup"] = """
+    with feats as (
+        select doc_id as media_id, sha256(text) as content_digest
+        from documents
+    )
+    select media_id, content_digest,
+           count(*) over (partition by content_digest)::bigint as group_size,
+           media_id = min(media_id) over (partition by content_digest)
+               as is_canonical
+    from feats order by media_id
+"""
+
+QUERIES["q_dup_cluster_size_dist"] = q_dup_cluster_size_dist
+ORACLES["q_dup_cluster_size_dist"] = f"""
+    with base as ({ORACLES["q_dedup_clusters"]}),
+    sizes as (
+        select cluster_rep, count(*)::bigint as cluster_size
+        from base group by cluster_rep
+    )
+    select cluster_size, count(*)::bigint as n_clusters
+    from sizes group by cluster_size order by cluster_size
+"""
+
+
+# -- round 8: relational / temporal scenarios --------------------------------
+
+QUERIES["q_fifo_match"] = q_fifo_match
+ORACLES["q_fifo_match"] = """
+    with base as (
+        select user_id, event_id, event_type,
+               floor(epoch(ts))::bigint as ep
+        from events
+    ),
+    v as (
+        select user_id,
+               row_number() over (partition by user_id
+                                  order by ep, event_id) as k,
+               ep as view_ep
+        from base where event_type = 'view'
+    ),
+    p as (
+        select user_id,
+               row_number() over (partition by user_id
+                                  order by ep, event_id) as k,
+               ep as purchase_ep
+        from base where event_type = 'purchase'
+    ),
+    m as (select p.user_id, purchase_ep, view_ep from p join v using (user_id, k))
+    select user_id,
+           count(*)::bigint as n_matched,
+           sum(purchase_ep - view_ep)::bigint as total_wait_seconds,
+           sum(purchase_ep - view_ep)::varchar::double / count(*)::double
+               as mean_wait_seconds
+    from m group by user_id order by user_id
+"""
+
+QUERIES["q_null_skew_join"] = q_null_skew_join
+ORACLES["q_null_skew_join"] = """
+    with facts as (
+        select o_orderkey,
+               case when o_custkey % 5 = 0 then null
+                    else o_custkey end as cust_key,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    )
+    select o_orderkey, cents,
+           c_mktsegment as segment,
+           c_mktsegment is not null as attributed
+    from facts left join customer on cust_key = c_custkey
+    order by o_orderkey
+"""
+
+QUERIES["q_funnel_windowed"] = q_funnel_windowed
+ORACLES["q_funnel_windowed"] = """
+    with base as (
+        select user_id, event_type, floor(epoch(ts))::bigint as ep
+        from events
+    ),
+    fv as (
+        select user_id, min(ep) as view_ep
+        from base where event_type = 'view' group by user_id
+    ),
+    fc as (
+        select b.user_id, min(ep) as click_ep
+        from base b join fv using (user_id)
+        where event_type = 'click'
+          and ep >= view_ep and ep <= view_ep + 3600
+        group by b.user_id
+    ),
+    fp as (
+        select b.user_id, min(ep) as purchase_ep
+        from base b join fc using (user_id)
+        where event_type = 'purchase'
+          and ep >= click_ep and ep <= click_ep + 86400
+        group by b.user_id
+    ),
+    agg as (
+        select count(*)::bigint as n_viewed,
+               count(click_ep)::bigint as n_clicked_1h,
+               count(purchase_ep)::bigint as n_purchased_24h
+        from fv left join fc using (user_id) left join fp using (user_id)
+    )
+    select n_viewed, n_clicked_1h, n_purchased_24h,
+           n_clicked_1h::double / n_viewed::double as click_rate,
+           n_purchased_24h::double / n_viewed::double as conversion_rate
+    from agg
+"""
+
+QUERIES["q_late_arriving_dim"] = q_late_arriving_dim
+ORACLES["q_late_arriving_dim"] = """
+    with facts as (
+        select o_orderkey, o_custkey,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    )
+    select coalesce(c_nationkey::bigint, -1) as nationkey,
+           count(*)::bigint as n_orders,
+           sum(cents)::bigint as revenue_cents,
+           sum(case when o_custkey % 5 = 0 then 1 else 0 end)::bigint
+               as n_late_resolved
+    from facts left join customer on o_custkey = c_custkey
+    group by 1 order by 1
+"""
+
+QUERIES["q_cumulative_distinct_daily"] = q_cumulative_distinct_daily
+ORACLES["q_cumulative_distinct_daily"] = """
+    with firsts as (
+        select user_id, min(ts::date) as first_day from events group by user_id
+    ),
+    per_day as (
+        select first_day, count(*)::bigint as n_new_users
+        from firsts group by first_day
+    )
+    select strftime(first_day, '%Y-%m-%d') as day,
+           n_new_users,
+           sum(n_new_users) over (order by first_day
+               rows between unbounded preceding and current row)::bigint
+               as users_to_date
+    from per_day order by day
+"""
+
+QUERIES["q_decile_transition"] = q_decile_transition
+ORACLES["q_decile_transition"] = """
+    with base as (
+        select o_custkey, o_orderdate::date as d,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    ),
+    bounds as (
+        select min(d) + ((max(d) - min(d)) // 2)::integer as mid from base
+    ),
+    halves as (
+        select o_custkey,
+               sum(case when d <= mid then cents else 0 end)::bigint
+                   as h1_cents,
+               sum(case when d > mid then cents else 0 end)::bigint
+                   as h2_cents,
+               sum(case when d <= mid then 1 else 0 end) as n1,
+               sum(case when d > mid then 1 else 0 end) as n2
+        from base, bounds group by o_custkey
+    ),
+    active as (
+        select o_custkey, h1_cents, h2_cents
+        from halves where n1 > 0 and n2 > 0
+    ),
+    ranked as (
+        select row_number() over (order by h1_cents, o_custkey) as r1,
+               row_number() over (order by h2_cents, o_custkey) as r2,
+               count(*) over () as n
+        from active
+    )
+    select ((5 * (r1 - 1)) // n + 1)::bigint as q_h1,
+           ((5 * (r2 - 1)) // n + 1)::bigint as q_h2,
+           count(*)::bigint as n_customers
+    from ranked group by 1, 2 order by 1, 2
 """

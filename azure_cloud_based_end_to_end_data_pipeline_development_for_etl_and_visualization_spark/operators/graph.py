@@ -297,12 +297,26 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     if not converged:
+        # The loop observes convergence via an extra confirming round
+        # (n_keep == prev_n), so max_iters == rounds-actually-needed
+        # would discard a correct result. One final degree check settles
+        # it: if every surviving node already has degree >= k, the peel
+        # IS at the fixpoint (round-7 ADVICE).
+        deg = (
+            cur.select(F.col("src").alias("node"))
+            .union(cur.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        converged = deg.filter(F.col("deg") < k).limit(1).count() == 0
+    if not converged:
         raise RuntimeError(
             f"k_core: peeling did not reach a fixpoint within "
             f"max_iters={max_iters} rounds (last survivor count "
             f"{prev_n}); the result would NOT be a true {k}-core — "
             f"raise max_iters (each round strictly shrinks the node "
-            f"set, so node-count rounds always suffice)"
+            f"set plus one confirming round, so node-count + 1 rounds "
+            f"always suffice)"
         )
     out = (
         cur.select(F.col("src").alias("node"))

@@ -156,6 +156,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iters: int = 2,
+    sample_frac: float | None = None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over the corpus, expressed in
     DataFrame ops (no MLlib dependency, no Python in the per-row path).
@@ -166,7 +167,10 @@ def kmeans_centroids(
     expression), then recompute means with posexplode + groupBy. Only
     centroid-sized data (n_centroids x dim rows) ever reaches the driver
     — corpus-size work stays distributed, so iterations scale to any
-    corpus the cluster can scan."""
+    corpus the cluster can scan. ``sample_frac`` trains on a
+    deterministic xxhash64 sample (:func:`train_sample`) — the 100 TB
+    shape: cluster a fraction, assign everything."""
+    corpus = train_sample(corpus, id_col, sample_frac)
     seeds = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
@@ -285,7 +289,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
     n_iters: int = 2,
     centroids: np.ndarray | None = None,
     index: DataFrame | None = None,
@@ -300,6 +304,11 @@ def cosine_topk_ivf(
     so the compare count drops from |Q| x |C| to roughly
     |Q| x |C| x n_probe / n_centroids. Recall is tunable via n_probe
     (n_probe = n_centroids degrades gracefully to exact brute force).
+    The DEFAULT ``n_probe=12`` of 16 cells is the measured >=0.9
+    operating point (bench.py ann: recall@10 0.93 at 1.48 s vs 1.94 s
+    exact at sf0.1 with prewarmed artifacts) — callers chasing speed
+    over recall lower it explicitly; ``F.slice`` clamps, so fewer
+    centroids than the default probe count just means a full probe.
     Pass ``centroids`` (a :func:`load_centroids` artifact) to skip
     training, and ``index`` (a :func:`build_ivf_index` DataFrame) to
     skip the per-call cell assignment — with both prewarmed, the query
@@ -498,6 +507,28 @@ def _pq_assign_scores(sub_vec, cents: np.ndarray):
     )
 
 
+def train_sample(
+    corpus: DataFrame,
+    id_col: str,
+    sample_frac: float | None,
+) -> DataFrame:
+    """Deterministic pseudo-random training sample: keep the rows whose
+    ``xxhash64(id)`` falls under the fraction threshold — layout- and
+    run-independent (``rand()`` is neither), map-only (no sort, no
+    shuffle), and the same trick that seeds IVF/k-means init. Codebook
+    quality needs only a representative sample, not the corpus: at
+    100 TB, training always runs on a fraction like this while
+    encode/assign runs on everything."""
+    if sample_frac is None or sample_frac >= 1.0:
+        return corpus
+    if not 0.0 < sample_frac < 1.0:
+        raise ValueError(f"sample_frac={sample_frac} outside (0, 1]")
+    bound = int(sample_frac * 1_000_000)
+    return corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(bound)
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -506,6 +537,7 @@ def pq_train(
     dim: int = 64,
     n_centroids: int = 16,
     n_iters: int = 3,
+    sample_frac: float | None = None,
 ) -> np.ndarray:
     """Train PQ codebooks: the vector splits into ``n_sub`` contiguous
     subspaces, each clustered independently under TRUE squared-L2
@@ -517,10 +549,15 @@ def pq_train(
     (subspace, cell, position, value) tuples, aggregated in one shuffle)
     — not n_sub separate k-means jobs. Only codebook-sized data
     (n_sub x n_centroids x sub_dim doubles) ever reaches the driver, so
-    training scales to any corpus sample the cluster can scan."""
+    training scales to any corpus sample the cluster can scan.
+    ``sample_frac`` trains on a deterministic xxhash64 sample (see
+    :func:`train_sample`) — the 100 TB shape, and ~k-fold cheaper per
+    iteration at bench scale with recall unchanged (measured in
+    bench.py's ann section)."""
     if dim % n_sub:
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_dim = dim // n_sub
+    corpus = train_sample(corpus, id_col, sample_frac)
 
     seeds = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
@@ -640,7 +677,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    rerank: int | None = None,
+    rerank: int | None = 100,
     codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation (ADC):
@@ -659,7 +696,11 @@ def pq_topk(
     ``rerank=R`` adds the standard exact re-rank stage: ADC picks a
     top-R shortlist per query, true vectors re-score it, top-k emits —
     recall@k becomes ~recall@R of the ADC stage at R x |Q| exact
-    comparisons (see :func:`_exact_rerank`).
+    comparisons (see :func:`_exact_rerank`). The DEFAULT ``rerank=100``
+    is the measured >=0.8 operating point (bench.py ann: pq16_rerank
+    recall@10 0.82 at 1.16 s vs 1.94 s exact at sf0.1, prewarmed) —
+    pass ``rerank=None`` for raw ADC when the shortlist re-scan is the
+    bottleneck.
 
     ``codes`` accepts a MATERIALIZED :func:`pq_encode` output so the
     query path scans 8-byte codes instead of re-encoding the corpus per

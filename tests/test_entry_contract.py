@@ -173,3 +173,14 @@ def test_docs_counts_in_sync():
     counts = [int(c) for c in re.findall(r"Catalog: (\d+) queries", survey)]
     assert counts, "SURVEY.md no longer has a 'Catalog: N queries' sentence"
     assert all(c == len(entry_mod.queries()) for c in counts), counts
+
+
+def test_coverage_md_lists_every_query():
+    """COVERAGE.md presents itself as the operator-inventory -> queries()
+    map, but ~30 round-7 queries silently never made it in (r7 VERDICT
+    doc-drift item). Pin it the way SURVEY counts are pinned: every
+    catalog.QUERIES key must appear in COVERAGE.md, so the drift is
+    impossible to reintroduce."""
+    coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
+    missing = [k for k in entry_mod.queries() if k not in coverage]
+    assert not missing, f"COVERAGE.md missing {len(missing)} queries: {missing}"

@@ -188,6 +188,24 @@ def test_k_core_raises_on_truncated_peel(spark):
         k_core(df, 2, max_iters=1).collect()
 
 
+def test_k_core_final_round_fixpoint_is_accepted(spark):
+    """max_iters exactly equal to the peel rounds needed must NOT raise:
+    convergence is normally observed via an extra confirming round, but
+    when the survivor set is already degree-stable the result IS the
+    k-core (round-7 ADVICE — a correct result was being discarded)."""
+    from itertools import combinations
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.graph import (
+        k_core,
+    )
+
+    # K4 + one pendant: a single peel round reaches the fixpoint
+    edges = sorted({(a, b) for a, b in combinations(range(1, 5), 2)} | {(4, 5)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, 3, max_iters=1).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_pagerank_int_matches_python_reference_and_layout(spark):
     """pagerank_int == a pure-Python integer recursion with the same
     truncating-div semantics, on any input partitioning — the property

@@ -152,7 +152,10 @@ def test_pq_deterministic_and_near_dup_recall(spark, emb):
         ))
     perturbed = spark.createDataFrame(rows, emb.schema)
     corpus = emb.unionByName(perturbed)
-    top = S.pq_topk(corpus, perturbed, books, k=1)
+    # rerank=None: this asserts RAW ADC code-identity (with the default
+    # exact re-rank the query's own corpus copy wins at sim=1.0, which
+    # is correct behavior but not what this test pins)
+    top = S.pq_topk(corpus, perturbed, books, k=1, rerank=None)
     hits = top.filter(F.col("neighbor_id") == F.col("query_id") - 100000).count()
     # a 0.01-sigma perturbation encodes to the same codes, so ADC ranks the
     # source vector at its reconstruction's top — allow one miss for
@@ -179,7 +182,7 @@ def test_ivfpq_full_probe_matches_adc_and_near_dup_recall(spark, emb):
     full = S.cosine_topk_ivfpq(
         emb, queries, books, k=10, n_centroids=4, n_probe=4
     )
-    adc = S.pq_topk(emb, queries, books, k=11)
+    adc = S.pq_topk(emb, queries, books, k=11, rerank=None)
     full_pairs = {
         (r["query_id"], r["neighbor_id"]): r["sim"] for r in full.collect()
     }
@@ -377,6 +380,6 @@ def test_pq_rerank_recall_beats_plain_adc(spark, emb):
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return sum(len(truth[q] & got.get(q, set())) for q in truth) / n_truth
 
-    plain = recall(S.pq_topk(emb, queries, books, k=5))
+    plain = recall(S.pq_topk(emb, queries, books, k=5, rerank=None))
     refined = recall(S.pq_topk(emb, queries, books, k=5, rerank=60))
     assert refined >= plain
