@@ -8536,6 +8536,390 @@ def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 8 batch 2: skew / histograms / embedding QA / rolling trend
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for events.user_id — the profile a
+    shuffle planner consults before choosing salting/AQE-skew-split:
+    per-key frequencies bucketed into power-of-two bands (bucket =
+    bit length of the count — ``length(bin(f))``, pure integer, no
+    libm log2), with key counts, event mass, max frequency, and each
+    band's share of total events. Two tiny aggregates after the one
+    fact scan; output is ~64 rows at any scale."""
+    ev = _events(spark, sf_dir)
+    freq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    per_bucket = (
+        freq.withColumn("bucket", F.length(F.bin(F.col("f"))).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("f").cast("long").alias("bucket_events"),
+            F.max("f").cast("long").alias("max_freq"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_bucket.select(
+        "bucket",
+        "n_keys",
+        "bucket_events",
+        "max_freq",
+        (
+            F.col("bucket_events").cast("double")
+            / F.sum("bucket_events").over(w).cast("double")
+        ).alias("events_share"),
+    ).orderBy("bucket")
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per source in power-of-two buckets
+    (bit-length trick again — no float log) — the length profile behind
+    truncation/packing budgets and the first thing a curation report
+    plots. Map-only token counts, one combine-able aggregate,
+    sources x ~20 buckets output at any corpus size."""
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        base.withColumn(
+            "bucket", F.length(F.bin(F.col("n_tokens"))).cast("long")
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus — the vector
+    QA gate (norm collapse / explosion detection before any index is
+    built). Norms come from the bit-reproducible left-fold dot
+    (functions/vectors — the q_cosine_topk precedent), integerize to
+    micro-units, and the per-label moments ride exact decimal power
+    sums with the mean/std as mirrored IEEE ops."""
+    from .functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    inorm = (
+        emb.select(
+            "label",
+            F.floor(
+                V.norm(F.col("embedding")) * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nm"),
+        )
+    )
+    dec = F.col("nm").cast("decimal(38,0)")
+    agg = inorm.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * F.col("nm")).alias("sxx"),
+        F.min("nm").cast("long").alias("min_norm_micro"),
+        F.max("nm").cast("long").alias("max_norm_micro"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_norm_micro"
+        ),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("std_norm_micro"),
+        "min_norm_micro",
+        "max_norm_micro",
+    ).orderBy("label")
+
+
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling OLS slope of daily revenue on the day index — the
+    local trend detector behind 'is this series turning'. The frame
+    sums are window power sums over the DAY-DOMAIN series (calendar-
+    sized; the q_ks_test window class), all exact integers cast to
+    decimal before the composite products; slope emits only where the
+    frame has >= 2 distinct days."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    mind = daily.agg(F.min("d").alias("__mind"))
+    base = daily.crossJoin(F.broadcast(mind)).select(
+        "d",
+        "x",
+        F.datediff(F.col("d"), F.col("__mind")).cast("long").alias("t"),
+    )
+    w = Window.orderBy("t").rowsBetween(-27, Window.currentRow)
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).over(w)  # noqa: E731
+    framed = base.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
+        dec("t").alias("st"),
+        dec("x").alias("sx"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).over(w).alias(
+            "stt"
+        ),
+        F.sum((F.col("t") * F.col("x")).cast("decimal(38,0)")).over(w).alias(
+            "stx"
+        ),
+    )
+    num = F.col("n_frame") * F.col("stx") - F.col("st") * F.col("sx")
+    den = F.col("n_frame") * F.col("stt") - F.col("st") * F.col("st")
+    return framed.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("rev_cents"),
+        "n_frame",
+        F.when(
+            (F.col("n_frame") >= 2) & (den != 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("slope_cents_per_day"),
+    ).orderBy("day")
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality strength of the daily revenue series: eta² =
+    SSB/SST of the ISO-weekday grouping — 'how much of daily variance
+    is explained by day-of-week', the statistic that justifies (or
+    kills) q_seasonal_naive_mape's weekly model. q_anova_f's fixed-
+    order pivot discipline over the 7 weekday cohorts of the DAY-DOMAIN
+    series; exact integer group sums, varchar-routed wide casts, fixed
+    double chains."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+        .select(
+            F.dayofweek(F.col("d")).alias("__dow_sun1"),
+            "x",
+        )
+        .select(
+            # ISO weekday 1..7 (Mon..Sun) from Spark's Sunday-1 dayofweek
+            F.when(F.col("__dow_sun1") == 1, 7)
+            .otherwise(F.col("__dow_sun1") - 1)
+            .alias("wd"),
+            "x",
+        )
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    g = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(dec).cast("double").alias("s_g"),
+        F.sum(dec * F.col("x")).cast("double").alias("ss_g"),
+    )
+    one = g.agg(
+        *[
+            F.max(F.when(F.col("wd") == i, F.col(c))).alias(f"{c}_{i}")
+            for i in range(1, 8)
+            for c in ("n_g", "s_g", "ss_g")
+        ]
+    )
+    n = [F.col(f"n_g_{i}") for i in range(1, 8)]
+    s = [F.col(f"s_g_{i}") for i in range(1, 8)]
+    ss = [F.col(f"ss_g_{i}") for i in range(1, 8)]
+    n_total = n[0] + n[1] + n[2] + n[3] + n[4] + n[5] + n[6]
+    nd = n_total.cast("double")
+    s_tot = s[0] + s[1] + s[2] + s[3] + s[4] + s[5] + s[6]
+    ss_tot = ss[0] + ss[1] + ss[2] + ss[3] + ss[4] + ss[5] + ss[6]
+    t_sum = (
+        (s[0] * s[0] / n[0].cast("double"))
+        + (s[1] * s[1] / n[1].cast("double"))
+        + (s[2] * s[2] / n[2].cast("double"))
+        + (s[3] * s[3] / n[3].cast("double"))
+        + (s[4] * s[4] / n[4].cast("double"))
+        + (s[5] * s[5] / n[5].cast("double"))
+        + (s[6] * s[6] / n[6].cast("double"))
+    )
+    ssb = t_sum - s_tot * s_tot / nd
+    sst = ss_tot - s_tot * s_tot / nd
+    return one.select(
+        n_total.cast("long").alias("n_days"),
+        ssb.alias("ssb"),
+        sst.alias("sst"),
+        (ssb / sst).alias("eta2_weekday"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: LSH parameter sweep + streaming CDC apply
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep: the SAME 8-wide signature artifact
+    banded three ways — (2 bands x 4 rows), (4 x 2), (8 x 1) — with
+    candidate volume and verified precision (true Jaccard >= 0.5) per
+    configuration. This is the measurement behind choosing (b, r): more
+    bands = higher recall = more candidates to verify; the sweep makes
+    the trade a TABLE instead of folklore. Signatures materialize ONCE
+    (the artifact pattern); each config is a value-vector band
+    equi-join + per-pair verification over its candidates only."""
+    from functools import reduce
+
+    from .operators.dedup import (
+        hashed_shingle_sets,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        materialized_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = materialized_signatures(
+        docs, "doc_id", "text", _tmp_path("band_sweep_sigs")
+    )
+    # the verification-side shingle sets ALSO materialize once: three
+    # configs re-reference them, and each re-reference would re-run
+    # tokenize->shingle->hash over the corpus (measured ~1/3 of the
+    # sweep's wall clock at sf0.1)
+    sets_path = _tmp_path("band_sweep_sets")
+    hashed_shingle_sets(docs, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(sets_path)
+    sets = spark.read.parquet(sets_path)
+    rows = []
+    for bands in (2, 4, 8):
+        cands = lsh_candidate_pairs(sigs, "doc_id", k=8, bands=bands)
+        ver = jaccard_pairs(docs, cands, "doc_id", "text", sets=sets)
+        rows.append(
+            ver.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+                .cast("long")
+                .alias("n_true"),
+            ).select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(8 // bands).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_true").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                ).alias("candidate_precision"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), rows).orderBy("bands")
+
+
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY (the q_streaming_bloom check class for
+    changelogs): q_cdc_apply's I/U/D changelog arrives as three
+    micro-batches; foreachBatch applies each onto a BATCH-ID-VERSIONED
+    snapshot state (recomputing v(b) from v(b-1) — idempotent under
+    micro-batch replay, the crash-recovery contract). Each key appears
+    once in the changelog, so batch boundaries cannot reorder a key's
+    ops, and the final state is exactly the batch apply — the readout
+    rides q_cdc_apply's DuckDB oracle unchanged."""
+    import os
+    import shutil
+
+    from .operators.diff import apply_changelog, snapshot_diff
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        old = orders.filter(F.col("o_orderkey") < 12000)
+        new = orders.filter(F.col("o_orderkey") >= 2000).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        diff = snapshot_diff(old, new, ["o_orderkey"])
+        changelog = diff.filter(F.col("change") != "unchanged").select(
+            "o_orderkey",
+            F.when(F.col("change") == "inserted", "I")
+            .when(F.col("change") == "deleted", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("o_orderstatus_new").alias("o_orderstatus"),
+            F.col("o_totalprice_new").alias("o_totalprice"),
+        )
+        stage = _tmp_path("cdc_stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        for i in range(3):
+            changelog.filter(
+                F.pmod(F.col("o_orderkey"), 3) == i
+            ).coalesce(1).write.mode("append").parquet(stage)
+        state_dir = _tmp_path("cdc_state")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        ckpt = _tmp_path("cdc_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        old_path = _tmp_path("cdc_initial")
+        old.write.mode("overwrite").parquet(old_path)
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            prev = os.path.join(state_dir, f"v{batch_id - 1}")
+            snap = (
+                spark.read.parquet(prev)
+                if batch_id > 0 and os.path.exists(prev)
+                else spark.read.parquet(old_path)
+            )
+            out = apply_changelog(
+                snap,
+                batch_df,
+                ["o_orderkey"],
+                ["o_orderstatus", "o_totalprice"],
+            )
+            out.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(changelog.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        last = max(
+            int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+        )
+        return (
+            spark.read.parquet(os.path.join(state_dir, f"v{last}"))
+            .orderBy("o_orderkey")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8547,7 +8931,69 @@ def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: greens behind the window. Composition pinned by
 #: tests/test_entry_contract.test_driver_window_composition.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # == ROUND-7 WINDOW (slots 1-50) ====================================
+    # == ROUND-8 WINDOW (slots 1-50) ====================================
+    # -- 1-11: the round-7 rotation head (r7 VERDICT item 1): upgraded /
+    #    added past the r7 window, all judge-verified at both SFs in r7;
+    #    driver-green here completes 232/232 cumulative attestation ----
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_leakage_safe_split": q_leakage_safe_split,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_mixture_temperature": q_mixture_temperature,
+    "q_dataset_card": q_dataset_card,
+    "q_cross_source_dups": q_cross_source_dups,
+    "q_equi_depth_histogram": q_equi_depth_histogram,
+    "q_sax_symbols": q_sax_symbols,
+    "q_join_cardinality_est": q_join_cardinality_est,
+    "q_lsh_recall_eval": q_lsh_recall_eval,
+    "q_price_index": q_price_index,
+    # -- 12-33: round-8 additions (all oracle-twinned; verified at
+    #    sf0.001 + spot-verified sf0.01 this session) -------------------
+    "q_spearman_corr": q_spearman_corr,
+    "q_kruskal_wallis": q_kruskal_wallis,
+    "q_roc_auc": q_roc_auc,
+    "q_kendall_tau_daily": q_kendall_tau_daily,
+    "q_herfindahl": q_herfindahl,
+    "q_winsorized_mean": q_winsorized_mean,
+    "q_abc_pareto": q_abc_pareto,
+    "q_mom_growth": q_mom_growth,
+    "q_ngram_novelty": q_ngram_novelty,
+    "q_vocab_overlap_sources": q_vocab_overlap_sources,
+    "q_rag_chunk_overlap": q_rag_chunk_overlap,
+    "q_reservoir_sample": q_reservoir_sample,
+    "q_multimodal_dedup": q_multimodal_dedup,
+    "q_dup_cluster_size_dist": q_dup_cluster_size_dist,
+    "q_fifo_match": q_fifo_match,
+    "q_null_skew_join": q_null_skew_join,
+    "q_funnel_windowed": q_funnel_windowed,
+    "q_late_arriving_dim": q_late_arriving_dim,
+    "q_cumulative_distinct_daily": q_cumulative_distinct_daily,
+    "q_decile_transition": q_decile_transition,
+    "q_lsh_band_sweep": q_lsh_band_sweep,
+    "q_streaming_cdc_apply": q_streaming_cdc_apply,
+    "q_key_skew_profile": q_key_skew_profile,
+    "q_doc_length_histogram": q_doc_length_histogram,
+    "q_embedding_norm_profile": q_embedding_norm_profile,
+    "q_rolling_slope": q_rolling_slope,
+    "q_seasonality_strength": q_seasonality_strength,
+    # -- 34-50: the round-8 varchar-route oracle fix re-attestations —
+    #    every query whose DuckDB twin changed this round (wide
+    #    int->double now correctly rounded) re-enters the window so the
+    #    driver re-verifies them under the patched oracles; plus the two
+    #    de-hinted plans and the survival-table semantics fix ----------
+    "q_autocorr": q_autocorr,
+    "q_gini": q_gini,
+    "q_ks_test": q_ks_test,
+    "q_changepoint": q_changepoint,
+    "q_ab_cuped": q_ab_cuped,
+    "q_survival_table": q_survival_table,
+    "q_linreg": q_linreg,
+    "q_linreg_group": q_linreg_group,
+    "q_corr_matrix": q_corr_matrix,
+    "q_anova_f": q_anova_f,
+    "q_target_encode_loo": q_target_encode_loo,
+    "q_rfm": q_rfm,
+    # == PAST THE WINDOW ================================================
+    # == former round-7 window (all driver-green in r7) =================
     # -- 1-4: session-5 batch D — the 25 entries below (through
     #    q_quarantine_split) are the only catalog queries with no driver
     #    row after r6; all 23 oracle-twinned ones judge-verified via
@@ -12973,4 +13419,230 @@ ORACLES["q_decile_transition"] = """
            ((5 * (r2 - 1)) // n + 1)::bigint as q_h2,
            count(*)::bigint as n_customers
     from ranked group by 1, 2 order by 1, 2
+"""
+
+
+# -- round 8: LSH parameter sweep + streaming CDC apply ----------------------
+
+
+def _dk_band_sweep_sql() -> str:
+    """DuckDB twin of q_lsh_band_sweep: per (bands, rows) config, the
+    value-vector banding over the shared md5 minhash signature CTE plus
+    per-candidate true-Jaccard verification (string shingle sets — the
+    sizes, hence every value, match the Spark side's hashed sets)."""
+    configs = [(2, 4), (4, 2), (8, 1)]
+    ctes = [
+        f"sig as ({_DK_MINHASH_SQL})",
+        f"""sh as (
+            select doc_id, list_distinct({_DK_SHINGLES}) as sh
+            from (select doc_id, {_DK_TOKENS} as w from documents)
+        )""",
+    ]
+    selects = []
+    for bands, r in configs:
+        band_rows = " union all ".join(
+            "select doc_id, {b} as band_id, [{cols}] as bucket from sig".format(
+                b=b, cols=", ".join(f"mh{b * r + i}" for i in range(r))
+            )
+            for b in range(bands)
+        )
+        ctes.append(f"bands_{bands} as ({band_rows})")
+        selects.append(
+            f"""
+            select {bands}::bigint as bands, {r}::bigint as rows_per_band,
+                   n_candidates, n_true,
+                   case when n_candidates > 0
+                        then n_true::double / n_candidates::double
+                   end as candidate_precision
+            from (
+                select count(*)::bigint as n_candidates,
+                       sum(case when jaccard >= 0.5 then 1 else 0 end)::bigint
+                           as n_true
+                from (
+                    select len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+                               / len(list_distinct(sa.sh || sb.sh)) as jaccard
+                    from (
+                        select distinct l.doc_id as a, r2.doc_id as b
+                        from bands_{bands} l join bands_{bands} r2
+                          on l.band_id = r2.band_id and l.bucket = r2.bucket
+                         and l.doc_id < r2.doc_id
+                    ) c
+                    join sh sa on sa.doc_id = c.a
+                    join sh sb on sb.doc_id = c.b
+                )
+            )"""
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        + " union all ".join(selects)
+        + " order by bands"
+    )
+
+
+QUERIES["q_lsh_band_sweep"] = q_lsh_band_sweep
+ORACLES["q_lsh_band_sweep"] = _dk_band_sweep_sql()
+
+QUERIES["q_streaming_cdc_apply"] = q_streaming_cdc_apply
+ORACLES["q_streaming_cdc_apply"] = ORACLES["q_cdc_apply"]
+
+
+# -- round 8 batch 2 oracles -------------------------------------------------
+
+QUERIES["q_key_skew_profile"] = q_key_skew_profile
+ORACLES["q_key_skew_profile"] = """
+    with freq as (
+        select user_id, count(*)::bigint as f from events group by user_id
+    ),
+    per_bucket as (
+        select length(bin(f))::bigint as bucket,
+               count(*)::bigint as n_keys,
+               sum(f)::bigint as bucket_events,
+               max(f)::bigint as max_freq
+        from freq group by 1
+    )
+    select bucket, n_keys, bucket_events, max_freq,
+           bucket_events::double
+               / (sum(bucket_events) over ())::varchar::double
+               as events_share
+    from per_bucket order by bucket
+"""
+
+QUERIES["q_doc_length_histogram"] = q_doc_length_histogram
+ORACLES["q_doc_length_histogram"] = f"""
+    with base as (
+        select source, len({_DK_TOKENS})::bigint as n_tokens from documents
+    )
+    select source, length(bin(n_tokens))::bigint as bucket,
+           count(*)::bigint as n_docs,
+           min(n_tokens)::bigint as min_tokens,
+           max(n_tokens)::bigint as max_tokens,
+           sum(n_tokens)::bigint as total_tokens
+    from base group by 1, 2 order by 1, 2
+"""
+
+QUERIES["q_embedding_norm_profile"] = q_embedding_norm_profile
+ORACLES["q_embedding_norm_profile"] = """
+    with inorm as (
+        select label,
+               floor(sqrt(list_sum(list_transform(generate_series(1, 64),
+                   i -> embedding[i]::double * embedding[i]::double)))
+                   * 1e6 + 0.5)::bigint as nm
+        from embeddings
+    ),
+    agg as (
+        select label, count(*)::bigint as n,
+               sum(nm::hugeint) as sx,
+               sum(nm::hugeint * nm) as sxx,
+               min(nm)::bigint as min_norm_micro,
+               max(nm)::bigint as max_norm_micro
+        from inorm group by label
+    )
+    select label::bigint as label, n,
+           sx::varchar::double / n::double as mean_norm_micro,
+           sqrt((n * sxx - sx * sx)::varchar::double) / n::double
+               as std_norm_micro,
+           min_norm_micro, max_norm_micro
+    from agg order by label
+"""
+
+QUERIES["q_rolling_slope"] = q_rolling_slope
+ORACLES["q_rolling_slope"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as x
+        from orders group by 1
+    ),
+    base as (
+        select d, x, (d - min(d) over ())::bigint as t from daily
+    ),
+    framed as (
+        select d, x,
+               count(*) over w::bigint as n_frame,
+               sum(t) over w as st,
+               sum(x) over w as sx,
+               sum(t::hugeint * t) over w as stt,
+               sum(t::hugeint * x) over w as stx
+        from base
+        window w as (order by t rows between 27 preceding and current row)
+    )
+    select strftime(d, '%Y-%m-%d') as day,
+           x as rev_cents,
+           n_frame,
+           case when n_frame >= 2
+                 and n_frame * stt - st * st <> 0
+                then (n_frame * stx - st * sx)::varchar::double
+                     / (n_frame * stt - st * st)::varchar::double
+           end as slope_cents_per_day
+    from framed order by day
+"""
+
+QUERIES["q_seasonality_strength"] = q_seasonality_strength
+ORACLES["q_seasonality_strength"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as x
+        from orders group by 1
+    ),
+    wk as (select isodow(d)::bigint as wd, x from daily),
+    g as (
+        select wd, count(*)::bigint as n_g,
+               sum(x::hugeint)::varchar::double as s_g,
+               sum(x::hugeint * x)::varchar::double as ss_g
+        from wk group by wd
+    ),
+    p as (
+        select
+            max(case when wd = 1 then n_g end) as n_g_1,
+            max(case when wd = 1 then s_g end) as s_g_1,
+            max(case when wd = 1 then ss_g end) as ss_g_1,
+            max(case when wd = 2 then n_g end) as n_g_2,
+            max(case when wd = 2 then s_g end) as s_g_2,
+            max(case when wd = 2 then ss_g end) as ss_g_2,
+            max(case when wd = 3 then n_g end) as n_g_3,
+            max(case when wd = 3 then s_g end) as s_g_3,
+            max(case when wd = 3 then ss_g end) as ss_g_3,
+            max(case when wd = 4 then n_g end) as n_g_4,
+            max(case when wd = 4 then s_g end) as s_g_4,
+            max(case when wd = 4 then ss_g end) as ss_g_4,
+            max(case when wd = 5 then n_g end) as n_g_5,
+            max(case when wd = 5 then s_g end) as s_g_5,
+            max(case when wd = 5 then ss_g end) as ss_g_5,
+            max(case when wd = 6 then n_g end) as n_g_6,
+            max(case when wd = 6 then s_g end) as s_g_6,
+            max(case when wd = 6 then ss_g end) as ss_g_6,
+            max(case when wd = 7 then n_g end) as n_g_7,
+            max(case when wd = 7 then s_g end) as s_g_7,
+            max(case when wd = 7 then ss_g end) as ss_g_7
+        from p_src
+    ),
+    p_src as (select * from g)
+    select
+        (n_g_1 + n_g_2 + n_g_3 + n_g_4 + n_g_5 + n_g_6 + n_g_7)::bigint
+            as n_days,
+        (((s_g_1 * s_g_1 / n_g_1::double) + (s_g_2 * s_g_2 / n_g_2::double)
+          + (s_g_3 * s_g_3 / n_g_3::double) + (s_g_4 * s_g_4 / n_g_4::double)
+          + (s_g_5 * s_g_5 / n_g_5::double) + (s_g_6 * s_g_6 / n_g_6::double)
+          + (s_g_7 * s_g_7 / n_g_7::double))
+         - (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           * (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           / (n_g_1 + n_g_2 + n_g_3 + n_g_4 + n_g_5 + n_g_6 + n_g_7)::double)
+            as ssb,
+        ((ss_g_1 + ss_g_2 + ss_g_3 + ss_g_4 + ss_g_5 + ss_g_6 + ss_g_7)
+         - (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           * (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           / (n_g_1 + n_g_2 + n_g_3 + n_g_4 + n_g_5 + n_g_6 + n_g_7)::double)
+            as sst,
+        (((s_g_1 * s_g_1 / n_g_1::double) + (s_g_2 * s_g_2 / n_g_2::double)
+          + (s_g_3 * s_g_3 / n_g_3::double) + (s_g_4 * s_g_4 / n_g_4::double)
+          + (s_g_5 * s_g_5 / n_g_5::double) + (s_g_6 * s_g_6 / n_g_6::double)
+          + (s_g_7 * s_g_7 / n_g_7::double))
+         - (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           * (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           / (n_g_1 + n_g_2 + n_g_3 + n_g_4 + n_g_5 + n_g_6 + n_g_7)::double)
+        / (((ss_g_1 + ss_g_2 + ss_g_3 + ss_g_4 + ss_g_5 + ss_g_6 + ss_g_7)
+         - (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           * (s_g_1 + s_g_2 + s_g_3 + s_g_4 + s_g_5 + s_g_6 + s_g_7)
+           / (n_g_1 + n_g_2 + n_g_3 + n_g_4 + n_g_5 + n_g_6 + n_g_7)::double))
+            as eta2_weekday
+    from p
 """

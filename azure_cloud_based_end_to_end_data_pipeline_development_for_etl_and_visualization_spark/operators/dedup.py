@@ -153,12 +153,35 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) frame of xxhash64'd distinct shingle sets — the
+    verification-side artifact. Callers running SEVERAL verification
+    passes over the same corpus (e.g. the q_lsh_band_sweep configs)
+    should materialize this once to parquet and pass it to
+    :func:`jaccard_pairs` via ``sets`` — each re-reference otherwise
+    re-runs tokenize->shingle->hash over the full corpus."""
+    tok = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    return tok.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(TX.shingles_of(F.col("__toks"), shingle_n)),
+            lambda s: F.xxhash64(s),
+        ).alias("sh"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """True Jaccard similarity (distinct word n-gram shingles) for given
     candidate ``(a, b)`` pairs — the verification stage after LSH.
@@ -171,13 +194,10 @@ def jaccard_pairs(
     measured 3x faster at sf0.1: 13.0 s -> 4.2 s). The DuckDB oracles
     keep comparing raw shingle strings — sizes agree, so hashes still
     match."""
-    tok = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
-    sets_df = tok.select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(TX.shingles_of(F.col("__toks"), shingle_n)),
-            lambda s: F.xxhash64(s),
-        ).alias("sh"),
+    sets_df = (
+        sets
+        if sets is not None
+        else hashed_shingle_sets(df, id_col, text_col, shingle_n)
     )
     a = sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))

@@ -165,6 +165,33 @@ HEADLINE = [
     "q_join_cardinality_est",
     "q_lsh_recall_eval",
     "q_price_index",
+    # round-8 additions (appended; earlier entries stay comparable)
+    "q_spearman_corr",
+    "q_kruskal_wallis",
+    "q_roc_auc",
+    "q_kendall_tau_daily",
+    "q_herfindahl",
+    "q_winsorized_mean",
+    "q_abc_pareto",
+    "q_mom_growth",
+    "q_ngram_novelty",
+    "q_vocab_overlap_sources",
+    "q_rag_chunk_overlap",
+    "q_reservoir_sample",
+    "q_multimodal_dedup",
+    "q_dup_cluster_size_dist",
+    "q_fifo_match",
+    "q_null_skew_join",
+    "q_funnel_windowed",
+    "q_late_arriving_dim",
+    "q_cumulative_distinct_daily",
+    "q_decile_transition",
+    "q_lsh_band_sweep",
+    "q_key_skew_profile",
+    "q_doc_length_histogram",
+    "q_embedding_norm_profile",
+    "q_rolling_slope",
+    "q_seasonality_strength",
 ]
 
 

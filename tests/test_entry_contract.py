@@ -67,73 +67,50 @@ def test_rows_only_queries_are_the_documented_set():
 
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-7 window —
-    slots 1-25 are the 25 entries that had no driver row after r6
-    (session-5 batch D + the session-6 batch; the 23 oracle-twinned
-    ones were judge-verified via check_oracle in r6), slots 26+ are
-    round-7 additions as they land, and the tail is the flagship plus
-    representative multi-round greens — so an accidental reorder can't
+    checks the FIRST 50 entries of queries(). Pin the round-8 window —
+    slots 1-11 are the round-7 rotation head (past-the-window entries
+    judge-verified at both SFs in r7; driver-green here completes
+    232/232 cumulative attestation for the r7 catalog), slots 12-33 are
+    the round-8 additions, and slots 34-50 re-enter every query whose
+    DuckDB oracle changed under the round-8 varchar-route fix (wide
+    int->double now correctly rounded) plus the two de-hinted plans and
+    the survival-table semantics fix — so an accidental reorder can't
     silently starve the gate (that is precisely what happened in
-    round 1). Driver-green here -> 199/199 cumulative for the r6
-    catalog."""
+    round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
-    rows_only_in_window = [n for n in window if n not in oracles]
-    assert rows_only_in_window == ["q_logreg_gd", "q_kcore"]
-    batch_d = ["q_scd2_asof_lookup", "q_vocab_coverage",
-               "q_degree_distribution", "q_event_path_topk"]
-    assert window[:4] == batch_d
-    session6 = ["q_prefix_filter_join", "q_token_budget_fill",
-                "q_mixture_waterfill", "q_time_weighted_avg", "q_anova_f",
-                "q_interval_coalesce", "q_scd3_merge",
-                "q_tfidf_cosine_pairs", "q_seasonal_naive_mape",
-                "q_logreg_gd", "q_k_anonymity",
-                "q_streaming_full_interval", "q_epoch_reshard",
-                "q_date_dim", "q_concurrency_sweep", "q_kcore",
-                "q_hard_negatives", "q_negative_samples",
-                "q_label_centroids", "q_gdpr_delete", "q_quarantine_split"]
-    assert window[4:25] == session6
-    round7 = ["q_pagerank_exact", "q_split_singleton_agreement",
-              "q_incremental_distinct_exact", "q_ks_test", "q_gini",
-              "q_target_encode_loo", "q_rfm", "q_autocorr",
-              "q_kfold_assign", "q_minhash_containment",
-              "q_cosine_topk_ivf_indexed", "q_cosine_topk_lsh",
-              "q_benford_check", "q_survival_table", "q_bloom_filter",
-              "q_changepoint", "q_streaming_bloom", "q_cohort_ltv",
-              "q_audience_overlap", "q_simhash_eval", "q_ab_cuped",
-              "q_lorenz_deciles", "q_order_gaps", "q_readability",
-              "q_weekday_decompose"]
-    n7 = len(round7)
-    assert window[25:25 + n7] == round7
-    greens = ["q_star_join", "q_scd1_merge", "q_scd2_merge",
-              "q_window_tumbling", "q_window_session", "q_asof_join",
-              "q_dedup_exact", "q_dedup_minhash", "q_minhash_lsh_pairs",
-              "q_cosine_topk", "q_decontaminate", "q_time_travel",
-              "q_surrogate_key_fact", "q_orc_roundtrip",
-              "q_runtime_filter_join", "q_resample_ffill", "q_sessionize",
-              "q_range_join", "q_streaming_tumbling", "q_funnel_steps",
-              "q_salted_join", "q_cms_heavy_hitters"]
-    assert 25 + n7 == 50  # round-7 additions fill the window exactly
-    # slots 51-52: the two label-propagation queries — rows-only with
-    # clean driver records in r1-r6, oracle-twinned this round; they
-    # lead round 8's rotation (judge-verifiable via check_oracle now)
-    assert list(qs)[50:52] == ["q_dedup_clusters", "q_leakage_safe_split"]
-    # slots 53-55: session-7 additions, also past the window and
-    # check_oracle-verified; they join the round-8 rotation head
-    session7 = ["q_tokenizer_fertility", "q_mixture_temperature",
-                "q_dataset_card", "q_cross_source_dups",
-                "q_equi_depth_histogram", "q_sax_symbols",
-                "q_join_cardinality_est", "q_lsh_recall_eval",
-                "q_price_index"]
-    assert list(qs)[52:61] == session7
-    # everything after is cumulatively driver-green (r1-r6): the
-    # representative greens, then the r6 window block
-    assert list(qs)[61:61 + len(greens)] == greens
-    r6_green_head = ["q_outlier_zscore", "q_drift_chi2",
-                     "q_sample_weighted", "q_profile_table_approx",
-                     "q_pq_topk"]
-    ofs = 61 + len(greens)
-    assert list(qs)[ofs:ofs + 5] == r6_green_head
+    # the round-8 window is fully oracle-twinned — zero rows-only slots
+    assert [n for n in window if n not in oracles] == []
+    rotation_head = ["q_dedup_clusters", "q_leakage_safe_split",
+                     "q_tokenizer_fertility", "q_mixture_temperature",
+                     "q_dataset_card", "q_cross_source_dups",
+                     "q_equi_depth_histogram", "q_sax_symbols",
+                     "q_join_cardinality_est", "q_lsh_recall_eval",
+                     "q_price_index"]
+    assert window[:11] == rotation_head
+    round8 = ["q_spearman_corr", "q_kruskal_wallis", "q_roc_auc",
+              "q_kendall_tau_daily", "q_herfindahl", "q_winsorized_mean",
+              "q_abc_pareto", "q_mom_growth", "q_ngram_novelty",
+              "q_vocab_overlap_sources", "q_rag_chunk_overlap",
+              "q_reservoir_sample", "q_multimodal_dedup",
+              "q_dup_cluster_size_dist", "q_fifo_match",
+              "q_null_skew_join", "q_funnel_windowed",
+              "q_late_arriving_dim", "q_cumulative_distinct_daily",
+              "q_decile_transition", "q_lsh_band_sweep",
+              "q_streaming_cdc_apply", "q_key_skew_profile",
+              "q_doc_length_histogram", "q_embedding_norm_profile",
+              "q_rolling_slope", "q_seasonality_strength"]
+    assert window[11:38] == round8
+    oracle_fix_reattest = ["q_autocorr", "q_gini", "q_ks_test",
+                           "q_changepoint", "q_ab_cuped",
+                           "q_survival_table", "q_linreg",
+                           "q_linreg_group", "q_corr_matrix", "q_anova_f",
+                           "q_target_encode_loo", "q_rfm"]
+    assert window[38:50] == oracle_fix_reattest
+    # the former round-7 window follows immediately — every entry in it
+    # is driver-green from r7 and stays addressable
+    assert list(qs)[50:54] == ["q_scd2_asof_lookup", "q_vocab_coverage",
+                               "q_degree_distribution", "q_event_path_topk"]
 
 
 def test_entry_runs_on_plain_session(spark):

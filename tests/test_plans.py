@@ -201,6 +201,34 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_join_cardinality_est",
         "q_lsh_recall_eval",
         "q_price_index",
+        # round-8 additions (q_streaming_cdc_apply excluded: foreachBatch
+        # runs side-effecting jobs; its batch twin q_cdc_apply is swept;
+        # q_dup_cluster_size_dist / q_lsh_band_sweep excluded for runtime
+        # — their building blocks q_dedup_clusters / q_minhash_lsh_pairs
+        # are already covered)
+        "q_spearman_corr",
+        "q_kruskal_wallis",
+        "q_roc_auc",
+        "q_kendall_tau_daily",
+        "q_herfindahl",
+        "q_winsorized_mean",
+        "q_abc_pareto",
+        "q_mom_growth",
+        "q_ngram_novelty",
+        "q_vocab_overlap_sources",
+        "q_rag_chunk_overlap",
+        "q_reservoir_sample",
+        "q_fifo_match",
+        "q_null_skew_join",
+        "q_funnel_windowed",
+        "q_late_arriving_dim",
+        "q_cumulative_distinct_daily",
+        "q_decile_transition",
+        "q_key_skew_profile",
+        "q_doc_length_histogram",
+        "q_embedding_norm_profile",
+        "q_rolling_slope",
+        "q_seasonality_strength",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
@@ -660,3 +688,27 @@ def test_changepoint_is_one_fact_scan(spark, sf_dir):
     day-domain-sized relation (q_ks_test class)."""
     plan = plan_of(catalog.q_changepoint(spark, sf_dir))
     assert plan.count("FileScan") == 1
+
+
+def test_null_skew_join_segregates_nulls_before_exchange(spark, sf_dir):
+    """The null-key stripe must never enter the join: the join's fact
+    side carries an IsNotNull filter (nulls split off pre-exchange and
+    union back) — the null-bucket hotspot can't form at any scale."""
+    plan = plan_of(catalog.q_null_skew_join(spark, sf_dir))
+    assert "Union" in plan
+    # the keyed branch's scan carries the not-null predicate (Catalyst
+    # folds it into a CASE over the original key expression)
+    assert "ELSE isnotnull(o_custkey" in plan
+
+
+def test_abc_pareto_rank_and_prefix_sum_are_distributed(spark, sf_dir):
+    """Descending revenue rank AND the cumulative revenue must both ride
+    range partitionings — no single-reducer sort of the parts relation."""
+    plan = plan_of(catalog.q_abc_pareto(spark, sf_dir))
+    assert "__neg" in plan and "rangepartitioning(__g" in plan
+
+
+def test_spearman_ranks_are_two_phase(spark, sf_dir):
+    plan = plan_of(catalog.q_spearman_corr(spark, sf_dir))
+    assert "rangepartitioning(frequency" in plan
+    assert "rangepartitioning(monetary_cents" in plan
