@@ -8920,6 +8920,592 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-8 batch 3: rank/agreement statistics, exact medians, dyadic
+# time-series smoothing, graph refinement, MIPS retrieval, adaptive
+# curation filters, global-share relational scenarios
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median order value by order priority — the
+    rank-selection statistic done WITHOUT ``percentile`` (a
+    single-reducer sort per group when the optimizer can't split it) and
+    without approximation: the two-phase grouped rank
+    (operators/relational.with_grouped_row_number) spreads each
+    priority's sort across all reducers, then the median is the 1-2
+    middle rows selected by pure (rn, n) arithmetic — ``lo=(n+1) div
+    2``, ``hi=n div 2 + 1`` — and one bounded aggregate. Exact at any
+    scale: the only rows that survive the rank filter are 2 per group.
+    Cents integerize; the even-n midpoint average of two longs is
+    .5-exact in double, so the readout hash-checks."""
+    from .operators.relational import with_grouped_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = with_grouped_row_number(
+        base, ["o_orderpriority"], ["cents", "o_orderkey"], rn_col="rn",
+        n_col="n",
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("median_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two customer-value raters — the
+    account-balance quintile and the realized-revenue quintile — the
+    chance-corrected agreement score behind label-quality audits
+    (rater A = a prior, rater B = an outcome; kappa near 0 says the
+    prior adds nothing). Both quintiles come from the two-phase global
+    rank (no single-reducer sort; ``((rn-1)*5) div n``), the confusion
+    matrix is one 25-cell aggregate, and kappa reduces to ONE IEEE
+    division of exact integers: ``(N·D - S) / (N² - S)`` with D the
+    diagonal count and ``S = Σ_k row_k·col_k`` (the ``N·po - N²·pe``
+    cross-multiplication, so no float accumulates). All post-rank
+    relations are quintile-sized."""
+    from .operators.relational import with_global_row_number
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("ac"),
+    )
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    j = cust.join(rev, cust.ck == rev.o_custkey).select("ck", "ac", "rev")
+    ra = with_global_row_number(j, ["ac", "ck"], rn_col="ra", n_col="n")
+    rb = with_global_row_number(
+        ra.select("ck", "rev", "ra", "n"), ["rev", "ck"], rn_col="rb"
+    )
+    lab = rb.select(
+        F.expr("((ra - 1) * 5) div n").alias("qa"),
+        F.expr("((rb - 1) * 5) div n").alias("qb"),
+    )
+    cells = lab.groupBy("qa", "qb").agg(F.count(F.lit(1)).alias("m"))
+    tot = cells.agg(
+        F.sum("m").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("qa") == F.col("qb"), F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    rk = cells.groupBy("qa").agg(F.sum("m").alias("rk"))
+    ck_ = cells.groupBy("qb").agg(F.sum("m").alias("colk"))
+    s = (
+        rk.join(ck_, rk.qa == ck_.qb)
+        .agg(
+            F.sum(F.col("rk").cast("decimal(38,0)") * F.col("colk"))
+            .alias("s")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            "n_customers",
+            "diag",
+            (
+                (
+                    F.col("n_customers").cast("decimal(38,0)") * F.col("diag")
+                    - F.col("s")
+                ).cast("double")
+                / (
+                    F.col("n_customers").cast("decimal(38,0)")
+                    * F.col("n_customers")
+                    - F.col("s")
+                ).cast("double")
+            ).alias("kappa"),
+        )
+    )
+
+
+def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square decomposition of the market-segment × region
+    contingency table — the independence diagnostic read CELL BY CELL
+    (which segment over-indexes in which region), the form that stays
+    hash-checkable: each cell's expected count and chi² term are single
+    IEEE divisions of exact integers (``(N·obs - r·c)²`` and ``N·r·c``
+    as decimals), where a float chi² TOTAL would depend on summation
+    order and is left to the caller. One fact-side aggregate (customer
+    scan → 25 cells, map-side combined); nation/region are bounded dims
+    and broadcast; the margins come from quintile-sized self-aggregates
+    broadcast back onto the cells."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    cells = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("c_mktsegment", "r_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    rows_m = cells.groupBy("c_mktsegment").agg(F.sum("n_obs").alias("r_tot"))
+    cols_m = cells.groupBy("r_name").agg(F.sum("n_obs").alias("c_tot"))
+    n_tot = cells.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        cells.join(F.broadcast(rows_m), "c_mktsegment")
+        .join(F.broadcast(cols_m), "r_name")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_mktsegment",
+            "r_name",
+            "n_obs",
+            (
+                (dec("r_tot") * F.col("c_tot")).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("expected"),
+            (
+                (
+                    (dec("n_total") * F.col("n_obs")
+                     - dec("r_tot") * F.col("c_tot"))
+                    * (dec("n_total") * F.col("n_obs")
+                       - dec("r_tot") * F.col("c_tot"))
+                ).cast("double")
+                / (dec("n_total") * F.col("r_tot") * F.col("c_tot"))
+                .cast("double")
+            ).alias("chi2_term"),
+        )
+        .orderBy("c_mktsegment", "r_name")
+    )
+
+
+def q_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue with
+    DYADIC weights (α=1/2, 16-term horizon) — the trend smoother made
+    bit-reproducible: weights ``2^(15-i)`` are exact longs, so the
+    windowed numerator ``Σ rev_{t-i}·2^(15-i)`` is an exact decimal and
+    the EWMA is ONE IEEE division by the (gap-renormalized) weight sum —
+    where a float ``ewm`` recursion is unhashable (order- and
+    history-dependent). The lag grid is an equi-join, not a range scan:
+    each day exploded × a broadcast 16-row lag dimension lands on its
+    anchor day by date equality, then anchors semi-join to days that
+    exist (calendar gaps renormalize instead of decaying toward 0).
+    Day-domain-sized throughout — the calendar, not the fact, bounds
+    every post-aggregate relation."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    lags = spark.createDataFrame(
+        [(i, 1 << (15 - i)) for i in range(16)], "i int, w long"
+    )
+    contrib = daily.crossJoin(F.broadcast(lags)).select(
+        F.date_add(F.col("d"), F.col("i")).alias("da"),
+        "rev",
+        "w",
+    )
+    anchors = daily.select(F.col("d").alias("da"))
+    return (
+        contrib.join(anchors, "da")
+        .groupBy("da")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            (
+                F.sum(F.col("rev").cast("decimal(38,0)") * F.col("w"))
+                .cast("double")
+                / F.sum("w").cast("double")
+            ).alias("ewma_cents"),
+        )
+        .select(
+            F.date_format("da", "yyyy-MM-dd").alias("d"),
+            "n_terms",
+            "ewma_cents",
+        )
+        .orderBy("d")
+    )
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue drawdown curve: each day's gap below the
+    running-peak revenue, ``(peak - rev) / peak`` — the risk readout
+    behind capacity planning and anomaly triage (how far below the
+    best-ever day are we, day by day). The running peak is the exact
+    two-phase prefix max (operators/relational.with_running_max:
+    range-repartition → per-range maxima → broadcast carry-ins), NEVER a
+    single-reducer global-sort window; the drawdown is a per-row IEEE
+    division of exact cents, so the whole curve hash-checks. Day-domain
+    sized after one fact aggregate."""
+    from .operators.relational import with_running_max
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    peaked = with_running_max(
+        daily, ["d"], "rev_cents", out_col="peak_cents", strict=False
+    )
+    return peaked.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "rev_cents",
+        F.col("peak_cents").cast("long").alias("peak_cents"),
+        (
+            (F.col("peak_cents") - F.col("rev_cents")).cast("double")
+            / F.col("peak_cents").cast("double")
+        ).alias("drawdown"),
+    ).orderBy("d")
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the part co-purchase
+    graph (operators/graph.local_clustering) — the node-level
+    decomposition of q_triangle_count's one global number, and the
+    standard community-structure feature (a part whose co-purchase
+    neighbors also co-purchase each other sits inside a basket motif;
+    lcc=0 marks a pure hub). Same basket-local edge build as
+    q_triangle_count (ONE fact shuffle, megabasket-guarded, no
+    incidence self-join) and the same degree-ordered triangle join
+    (oriented fan-out O(sqrt(m)) at hubs); the refinement surfaces each
+    triangle's corner triple and aggregates a narrow (node) stream.
+    ``lcc = 2·T_v / (deg_v·(deg_v-1))`` is per-row IEEE over exact
+    integers — the full per-node table hash-checks."""
+    from .operators.graph import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= 30)
+    )
+    items = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return local_clustering(edges, "src", "dst").orderBy("node")
+
+
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval (operators/similarity.mips_topk):
+    top-10 items per query ranked by the RAW dot product q·x — the
+    recommender/reranker scoring problem, which cosine machinery gets
+    wrong whenever corpus norms vary (a long vector can win the inner
+    product while losing on angle). The operator reduces MIPS to cosine
+    search via norm augmentation (append sqrt(M²-‖x‖²) to items, 0 to
+    queries — Bachrach et al., RecSys 2014), which at scale drops the
+    problem onto the existing IVF cell equi-join; this catalog entry
+    runs the 8-cell augmented-IVF path at FULL probe, so the result is
+    provably exact (the q_cosine_topk_ivf_exact precedent) and the
+    brute-force oracle hash-matches, while the plan already has the
+    cell-join shape that n_probe < n_cells exploits at 100 TB. Scores
+    are left-fold JVM dots of the original vectors — bit-identical in
+    DuckDB."""
+    from .operators.similarity import mips_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return mips_topk(
+        emb, queries, k=10, n_centroids=8, n_probe=8, n_iters=2
+    ).orderBy("query_id", "rank")
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by neighbor vote: each held-out query vector
+    takes the majority label of its 10 nearest corpus neighbors by
+    cosine (ties → smaller label id) — the label-propagation /
+    weak-supervision primitive over the embedding table. Retrieval is
+    the exact broadcast(queries)×corpus JVM-cosine scan
+    (operators/similarity.cosine_topk — swap in the IVF artifact path at
+    scale unchanged: the vote only consumes (query, neighbor) pairs);
+    the vote itself is a |Q|·k-sized count + one deterministic
+    row_number pick. Integer votes, integer labels — hash-exact."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    corpus = emb.filter(F.col("vec_id") >= 32)
+    nn = cosine_topk(corpus, queries, k=10)
+    votes = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_revenue_share_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 1.5× the mean part revenue — the
+    TPC-H Q11 HAVING-against-a-global-scalar scenario made
+    SCALE-INVARIANT (a fixed share threshold empties as the part count
+    grows; ``rev > 1.5·total/n_parts`` keeps the same ~1% tail at any
+    SF — TPC-H part revenue is tight, max/mean ≈ 1.8). One fact
+    aggregate by part, one 1-row scalar aggregate broadcast back, and
+    the filter is an EXACT decimal cross-multiplication
+    ``2·rev·n_parts > 3·total`` — no float threshold, so engines agree
+    on every boundary row. The share column is a per-row IEEE division,
+    reported for the readout only."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    scal = per_part.agg(
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(scal))
+        .filter(
+            F.lit(2).cast("decimal(38,0)")
+            * F.col("rev_cents")
+            * F.col("n_parts")
+            > F.lit(3).cast("decimal(38,0)") * F.col("total")
+        )
+        .select(
+            "l_partkey",
+            "rev_cents",
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.col("rev_cents").desc(), "l_partkey")
+    )
+
+
+def q_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand premium-lineitem census: how many lineitems price above
+    their own brand's average — the TPC-H Q17 correlated-average
+    scenario as a full-brand readout. Part SCALES with the fact, so the
+    part join carries NO build-side hint (plain equi-join on
+    ``l_partkey``; AQE broadcasts only when genuinely small); the brand
+    aggregate is bounded (25 brands) and IS broadcast back. The
+    above-average test is an exact integer cross-multiplication
+    ``cents·n_b > s_b`` — no float average is ever compared — and the
+    final fractions are per-row IEEE over exact counts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    priced = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand", "cents"
+    )
+    brand = priced.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_b"),
+    )
+    return (
+        priced.join(F.broadcast(brand), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.max("n_b").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("cents").cast("decimal(38,0)") * F.col("n_b")
+                    > F.col("s_b"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above"),
+        )
+        .select(
+            "p_brand",
+            "n_total",
+            "n_above",
+            (
+                F.col("n_above").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("above_frac"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_acf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function over lags 1..14 in ONE pass — the full
+    ACF diagnostic (q_autocorr generalized from two hand-picked lags)
+    without 14 separate self-joins: the daily series explodes across a
+    broadcast 14-row lag dimension into (anchor-day, lag) contributions,
+    ONE date equi-join lands them on their anchors, and ONE aggregate
+    grouped by lag accumulates the exact decimal power sums of every
+    lag simultaneously. Pearson r per lag is the mirrored
+    divide-of-exact-integers tree (the q_linreg scheme). The joined
+    relation is |days|×14 — calendar-bounded, independent of fact
+    scale."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        F.date_add(F.col("d"), F.col("lag")).alias("da"),
+        F.col("rev").alias("x"),
+        "lag",
+    )
+    anchored = shifted.join(
+        daily.select(F.col("d").alias("da"), F.col("rev").alias("y")), "da"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = anchored.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n_pairs") * F.col("sxx")
+                     - F.col("sx") * F.col("sx")).cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n_pairs") * F.col("syy")
+                     - F.col("sy") * F.col("sy")).cast("double")
+                )
+            )
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive token-length band filter: keep documents inside the
+    corpus's own (P5, P95] token-count band — the percentile-adaptive
+    length cut real curation pipelines run where fixed thresholds
+    (q_gopher_rules) mis-fire across domains with different length
+    norms. The percentile is the two-phase global rank (no
+    single-reducer sort): rank inclusion is pure integer arithmetic
+    ``rn·100 > 5·n AND rn·100 <= 95·n`` — no float quantile value is
+    ever compared, so boundary docs agree across engines. The readout
+    is the per-source audit (kept/total/band bounds) a curation run
+    logs before committing the cut."""
+    from .functions import text as TX
+    from .operators.relational import with_global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("tok_n")
+    )
+    ranked = with_global_row_number(
+        docs, ["tok_n", "doc_id"], rn_col="rn", n_col="n"
+    )
+    flagged = ranked.select(
+        "source",
+        "tok_n",
+        (
+            (F.col("rn") * 100 > F.lit(5) * F.col("n"))
+            & (F.col("rn") * 100 <= F.lit(95) * F.col("n"))
+        ).alias("kept"),
+    )
+    bounds = flagged.filter("kept").agg(
+        F.min("tok_n").cast("long").alias("band_lo"),
+        F.max("tok_n").cast("long").alias("band_hi"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+            ).alias("kept_frac"),
+            "band_lo",
+            "band_hi",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13645,4 +14231,909 @@ ORACLES["q_seasonality_strength"] = """
            / (n_g_1 + n_g_2 + n_g_3 + n_g_4 + n_g_5 + n_g_6 + n_g_7)::double))
             as eta2_weekday
     from p
+"""
+
+
+# -- round 8 batch 3: rank/agreement stats, dyadic smoothing, graph
+#    refinement, MIPS, adaptive curation, global-share scenarios ------------
+
+QUERIES["q_grouped_median"] = q_grouped_median
+ORACLES["q_grouped_median"] = """
+    with base as (
+        select o_orderpriority, o_orderkey,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    ),
+    r as (
+        select o_orderpriority, cents,
+               row_number() over (partition by o_orderpriority
+                                  order by cents, o_orderkey) as rn,
+               count(*) over (partition by o_orderpriority) as n
+        from base
+    )
+    select o_orderpriority, max(n)::bigint as n_orders,
+           sum(cents)::double / count(*)::double as median_cents
+    from r
+    where rn = (n + 1) // 2 or rn = n // 2 + 1
+    group by o_orderpriority
+    order by o_orderpriority
+"""
+
+QUERIES["q_cohens_kappa"] = q_cohens_kappa
+ORACLES["q_cohens_kappa"] = """
+    with j as (
+        select c_custkey as ck,
+               floor(c_acctbal * 100 + 0.5)::bigint as ac, rev
+        from customer
+        join (select o_custkey,
+                     sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint
+                         as rev
+              from orders group by 1) o on c_custkey = o_custkey
+    ),
+    r as (
+        select ck,
+               row_number() over (order by ac, ck) as ra,
+               row_number() over (order by rev, ck) as rb,
+               count(*) over () as n
+        from j
+    ),
+    lab as (
+        select ((ra - 1) * 5) // n as qa, ((rb - 1) * 5) // n as qb from r
+    ),
+    cells as (select qa, qb, count(*)::bigint as m from lab group by 1, 2),
+    tot as (
+        select sum(m)::bigint as n_customers,
+               sum(case when qa = qb then m else 0 end)::bigint as diag
+        from cells
+    ),
+    marg as (
+        select rm.qa as k, rm.rk, cm.colk
+        from (select qa, sum(m)::hugeint as rk from cells group by 1) rm
+        join (select qb, sum(m)::hugeint as colk from cells group by 1) cm
+          on rm.qa = cm.qb
+    ),
+    s as (select sum(rk * colk)::hugeint as s from marg)
+    select n_customers, diag,
+           (n_customers::hugeint * diag - s)::varchar::double
+           / (n_customers::hugeint * n_customers - s)::varchar::double
+               as kappa
+    from tot cross join s
+"""
+
+QUERIES["q_chi2_contingency"] = q_chi2_contingency
+ORACLES["q_chi2_contingency"] = """
+    with cells as (
+        select c_mktsegment, r_name, count(*)::bigint as n_obs
+        from customer
+        join nation on c_nationkey = n_nationkey
+        join region on n_regionkey = r_regionkey
+        group by 1, 2
+    ),
+    rm as (
+        select c_mktsegment, sum(n_obs)::hugeint as r_tot
+        from cells group by 1
+    ),
+    cm as (select r_name, sum(n_obs)::hugeint as c_tot from cells group by 1),
+    nt as (select sum(n_obs)::bigint as n_total from cells)
+    select cells.c_mktsegment, cells.r_name, n_obs,
+           (r_tot * c_tot)::varchar::double / n_total::double as expected,
+           ((n_total::hugeint * n_obs - r_tot * c_tot)
+            * (n_total::hugeint * n_obs - r_tot * c_tot))::varchar::double
+           / (n_total::hugeint * r_tot * c_tot)::varchar::double as chi2_term
+    from cells
+    join rm using (c_mktsegment)
+    join cm using (r_name)
+    cross join nt
+    order by c_mktsegment, r_name
+"""
+
+QUERIES["q_ewma_dyadic"] = q_ewma_dyadic
+ORACLES["q_ewma_dyadic"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as rev
+        from orders group by 1
+    ),
+    lags as (select unnest(generate_series(0, 15)) as i),
+    contrib as (
+        select d + i::int as da, rev, (1::bigint << (15 - i)::int) as w
+        from daily cross join lags
+    ),
+    j as (
+        select c.da, c.rev, c.w from contrib c
+        join (select d from daily) a on c.da = a.d
+    )
+    select da::varchar as d, count(*)::bigint as n_terms,
+           sum(rev::hugeint * w)::varchar::double / sum(w)::double
+               as ewma_cents
+    from j group by da order by d
+"""
+
+QUERIES["q_max_drawdown"] = q_max_drawdown
+ORACLES["q_max_drawdown"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint
+                   as rev_cents
+        from orders group by 1
+    ),
+    p as (
+        select d, rev_cents,
+               max(rev_cents) over (
+                   order by d
+                   rows between unbounded preceding and current row
+               )::bigint as peak_cents
+        from daily
+    )
+    select d::varchar as d, rev_cents, peak_cents,
+           (peak_cents - rev_cents)::double / peak_cents::double as drawdown
+    from p order by d
+"""
+
+QUERIES["q_local_clustering"] = q_local_clustering
+ORACLES["q_local_clustering"] = """
+    with op as (select distinct l_orderkey, l_partkey from lineitem),
+    ok as (select l_orderkey from op group by l_orderkey
+           having count(*) <= 30),
+    op2 as (select op.* from op join ok using (l_orderkey)),
+    e as (
+        select a.l_partkey as src, b.l_partkey as dst
+        from op2 a join op2 b
+          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+        group by 1, 2 having count(*) >= 2
+    ),
+    deg as (
+        select node, count(*)::bigint as deg from (
+            select src as node from e union all select dst as node from e
+        ) group by 1
+    ),
+    tri as (
+        select e1.src as x, e1.dst as y, e2.dst as z
+        from e e1
+        join e e2 on e1.dst = e2.src
+        join e e3 on e3.src = e1.src and e3.dst = e2.dst
+    ),
+    tc as (
+        select node, count(*)::bigint as n_tri from (
+            select x as node from tri
+            union all select y from tri
+            union all select z from tri
+        ) group by 1
+    )
+    select deg.node, deg.deg, coalesce(tc.n_tri, 0)::bigint as n_tri,
+           (2 * coalesce(tc.n_tri, 0))::double
+           / (deg.deg * (deg.deg - 1))::double as lcc
+    from deg left join tc using (node)
+    where deg.deg >= 2
+    order by deg.node
+"""
+
+QUERIES["q_mips_topk"] = q_mips_topk
+ORACLES["q_mips_topk"] = f"""
+    with p as (
+        select q.vec_id as query_id, c.vec_id as neighbor_id,
+               {_DK_COSINE.format(a='q.embedding', b='c.embedding')} as ip
+        from embeddings q, embeddings c
+        where q.vec_id < 5 and c.vec_id != q.vec_id
+    )
+    select query_id, neighbor_id, rank, ip from (
+        select *, row_number() over (
+            partition by query_id order by ip desc, neighbor_id
+        ) as rank from p
+    ) where rank <= 10 order by query_id, rank
+"""
+
+QUERIES["q_knn_label_vote"] = q_knn_label_vote
+ORACLES["q_knn_label_vote"] = f"""
+    with nn as (
+        select query_id, neighbor_id from (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   row_number() over (
+                       partition by q.vec_id
+                       order by {_dk_cosine('q.embedding', 'c.embedding')}
+                           desc, c.vec_id
+                   ) as rank
+            from embeddings q, embeddings c
+            where q.vec_id < 32 and c.vec_id >= 32
+        ) where rank <= 10
+    ),
+    v as (
+        select nn.query_id, e.label, count(*)::bigint as votes
+        from nn join embeddings e on nn.neighbor_id = e.vec_id
+        group by 1, 2
+    )
+    select query_id, pred_label, votes from (
+        select query_id, label::bigint as pred_label, votes,
+               row_number() over (
+                   partition by query_id order by votes desc, label
+               ) as pick
+        from v
+    ) where pick = 1 order by query_id
+"""
+
+QUERIES["q_revenue_share_filter"] = q_revenue_share_filter
+ORACLES["q_revenue_share_filter"] = """
+    with per as (
+        select l_partkey,
+               sum(floor(l_extendedprice * 100 + 0.5)::bigint)::bigint
+                   as rev_cents
+        from lineitem group by 1
+    ),
+    s as (
+        select sum(rev_cents)::hugeint as total,
+               count(*)::bigint as n_parts
+        from per
+    )
+    select l_partkey, rev_cents,
+           rev_cents::double / total::varchar::double as share
+    from per cross join s
+    where 2 * rev_cents::hugeint * n_parts > 3 * total
+    order by rev_cents desc, l_partkey
+"""
+
+QUERIES["q_above_brand_avg"] = q_above_brand_avg
+ORACLES["q_above_brand_avg"] = """
+    with priced as (
+        select p_brand, floor(l_extendedprice * 100 + 0.5)::bigint as cents
+        from lineitem join part on l_partkey = p_partkey
+    ),
+    b as (
+        select p_brand, count(*)::bigint as n_b, sum(cents)::hugeint as s_b
+        from priced group by 1
+    ),
+    agg as (
+        select pr.p_brand, max(b.n_b)::bigint as n_total,
+               sum(case when pr.cents::hugeint * b.n_b > b.s_b
+                        then 1 else 0 end)::bigint as n_above
+        from priced pr join b using (p_brand)
+        group by 1
+    )
+    select p_brand, n_total, n_above,
+           n_above::double / n_total::double as above_frac
+    from agg order by p_brand
+"""
+
+QUERIES["q_acf_grid"] = q_acf_grid
+ORACLES["q_acf_grid"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as rev
+        from orders group by 1
+    ),
+    lags as (select unnest(generate_series(1, 14)) as lag),
+    shifted as (
+        select d + lag::int as da, rev as x, lag from daily cross join lags
+    ),
+    j as (
+        select s.lag, s.x, a.rev as y
+        from shifted s join daily a on s.da = a.d
+    ),
+    agg as (
+        select lag, count(*)::bigint as n_pairs,
+               sum(x::hugeint) as sx, sum(y::hugeint) as sy,
+               sum(x::hugeint * x) as sxx, sum(x::hugeint * y) as sxy,
+               sum(y::hugeint * y) as syy
+        from j group by lag
+    )
+    select lag::bigint as lag, n_pairs,
+           (n_pairs * sxy - sx * sy)::varchar::double
+           / (sqrt((n_pairs * sxx - sx * sx)::varchar::double)
+              * sqrt((n_pairs * syy - sy * sy)::varchar::double)) as acf
+    from agg order by lag
+"""
+
+QUERIES["q_length_band_filter"] = q_length_band_filter
+ORACLES["q_length_band_filter"] = f"""
+    with t as (
+        select doc_id, source, len({_DK_TOKENS})::bigint as tok_n
+        from documents
+    ),
+    r as (
+        select source, tok_n,
+               row_number() over (order by tok_n, doc_id) as rn,
+               count(*) over () as n
+        from t
+    ),
+    f as (
+        select source, tok_n,
+               (rn * 100 > 5 * n and rn * 100 <= 95 * n) as kept
+        from r
+    ),
+    b as (
+        select min(tok_n)::bigint as band_lo, max(tok_n)::bigint as band_hi
+        from f where kept
+    ),
+    agg as (
+        select source, count(*)::bigint as n_docs,
+               sum(case when kept then 1 else 0 end)::bigint as n_kept
+        from f group by 1
+    )
+    select source, n_docs, n_kept,
+           n_kept::double / n_docs::double as kept_frac,
+           band_lo, band_hi
+    from agg cross join b
+    order by source
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch 4: weighted selection, cross-series diagnostics, dispersion,
+# temporal splits, activity profiling, corpus law checks
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median line price per return flag (weight =
+    quantity) — the selection statistic behind "the price a typical UNIT
+    shipped at" (not the typical line). No per-group sort reducer: the
+    cumulative weight comes from the two-phase grouped running sum
+    (operators/relational.with_grouped_running_sum — each flag's prefix
+    sum is spread across ALL reducers), the group totals are a
+    broadcastable 3-row aggregate, and the median is the single boundary
+    row where the running weight crosses half the total
+    (``2*(run-w) < total <= 2*run``) — exactly one row per group
+    survives, selected by pure integer arithmetic. Prices integerize to
+    cents; quantities are integral by data contract."""
+    from .operators.relational import with_grouped_running_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    run = with_grouped_running_sum(
+        li,
+        ["l_returnflag"],
+        ["cents", "l_orderkey", "l_linenumber"],
+        "qty",
+        out_col="run_w",
+    )
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum("qty").cast("long").alias("total_w")
+    )
+    cross = run.join(F.broadcast(totals), "l_returnflag").filter(
+        (F.lit(2) * (F.col("run_w") - F.col("qty")) < F.col("total_w"))
+        & (F.lit(2) * F.col("run_w") >= F.col("total_w"))
+    )
+    return cross.select(
+        "l_returnflag",
+        F.col("total_w").alias("total_qty"),
+        F.col("cents").alias("median_price_cents"),
+    ).orderBy("l_returnflag")
+
+
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily view series and the
+    daily purchase series at lags -7..+7 — the "do views predict
+    purchases N days out" diagnostic. Mirrors q_acf_grid's one-pass
+    shape: both daily series reduce in one events scan each
+    (calendar-bounded relations), the 15-row lag dimension broadcasts,
+    ONE date equi-join aligns (x_t, y_{t+lag}) pairs, and one aggregate
+    per lag accumulates exact integer power sums; Pearson r per lag is
+    the mirrored divide-of-exact-integers tree. DuckDB divides through
+    ::varchar (correctly-rounded strtod) per the wide-int hazard rule."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"), F.col("event_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    x = daily.filter(F.col("t") == "view").select("d", F.col("c").alias("x"))
+    y = daily.filter(F.col("t") == "purchase").select(
+        F.col("d").alias("da"), F.col("c").alias("y")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    shifted = x.crossJoin(F.broadcast(lags)).select(
+        F.date_add(F.col("d"), F.col("lag")).alias("da"), "x", "lag"
+    )
+    joined = shifted.join(y, "da")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (
+                F.sqrt(
+                    (
+                        F.col("n_pairs") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n_pairs") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness (Fano factor of the zero-filled daily event
+    count: var/mean over the FULL day domain) banded into
+    under-dispersed / Poisson-like / bursty — the traffic-shape screen
+    behind bot detection and rate-limit budgeting. Zero-filling is
+    algebraic, not materialized: with D global days, S1 = Σc, S2 = Σc²
+    over ACTIVE days only, fano = (D·S2 - S1²)/(D·S1) exactly — no
+    |users|×|days| dense relation. Bands compare the ratio to 1/2 and
+    3/2 by integer cross-multiplication (no division), and the banded
+    ppm-scaled fano min/max are exact floor divisions. One scan, one
+    (user, day) map-side-combined aggregate, one per-user aggregate, a
+    broadcast 1-row day-domain scalar, and a 3-row output."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = daily.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    days = daily.select("d").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    scored = per_user.crossJoin(F.broadcast(days)).select(
+        "user_id",
+        "s1",
+        (
+            F.col("n_days").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).alias("num"),
+        (F.col("n_days").cast("decimal(38,0)") * F.col("s1")).alias("den"),
+    )
+    banded = scored.select(
+        "user_id",
+        "s1",
+        F.expr("num * 1000000 div den").cast("long").alias("fano_ppm"),
+        F.when(F.lit(2) * F.col("num") < F.col("den"), "under")
+        .when(F.lit(2) * F.col("num") < F.lit(3) * F.col("den"), "poisson")
+        .otherwise("bursty")
+        .alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("s1").cast("long").alias("sum_events"),
+            F.min("fano_ppm").alias("min_fano_ppm"),
+            F.max("fano_ppm").alias("max_fano_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/embargo/test split with leakage readout — the
+    time-series counterpart of q_leakage_safe_split's group closure: the
+    cutoff lands at 70% of the observed day span (pure integer date
+    arithmetic on broadcast bounds), a 3-day embargo absorbs
+    label-horizon bleed, and the report counts, per split, events and
+    distinct users plus how many TEST users also appear in TRAIN (the
+    identity-leakage count an embargo does NOT remove — it exists to be
+    read, not hidden). One scan for bounds (2-value aggregate,
+    broadcast), one tagged scan for the per-split rollup, and a
+    distinct-user semi-overlap join keyed on user_id (high cardinality,
+    distributes)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    bounds = ev.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    ).select(
+        "dmin",
+        F.expr(
+            "date_add(dmin, cast((datediff(dmax, dmin) * 7) div 10 as int))"
+        ).alias("cutoff"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("d") < F.col("cutoff"), "train")
+        .when(F.col("d") < F.date_add(F.col("cutoff"), 3), "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    train_u = (
+        tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    )
+    test_u = (
+        tagged.filter(F.col("split") == "test").select("user_id").distinct()
+    )
+    leak = test_u.join(train_u, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaked")
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.when(F.col("split") == "test", F.col("n_leaked"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_leaked_users"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_hour_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity heatmap: events and distinct users per (ISO
+    weekday, hour) cell plus each cell's ppm share of total traffic —
+    the capacity-planning / anomaly-baseline readout. One scan, one
+    168-cell map-side-combined aggregate; the global total comes from
+    re-aggregating the 168-row relation (never a data-sized window), and
+    the share is an exact integer floor division. ISO weekday is pinned
+    cross-engine (Spark ``weekday()+1`` == DuckDB ``isodow``)."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("iso_dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    total = cells.agg(F.sum("n_events").cast("long").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "iso_dow",
+            "hr",
+            "n_events",
+            "n_users",
+            F.expr("n_events * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy("iso_dow", "hr")
+    )
+
+
+def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand repeat-purchase rate: the share of (customer, part) pairs
+    ordered in 2+ DISTINCT months, rolled up per brand — the loyalty
+    readout behind assortment planning. The fact-fact join
+    (lineitem ⟕ orders on orderkey) shuffles both sides on the join key
+    and feeds a map-side-combined (custkey, partkey) aggregate with a
+    distinct-month count; the part dimension broadcasts onto the
+    pair-grain relation for the brand rollup; the rate is an exact ppm
+    floor division. Pair grain is bounded by customers×parts-they-buy —
+    it scales with the fact table, and every step on it distributes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    )
+    pairs = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.countDistinct("m").alias("n_months"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = pairs.join(
+        F.broadcast(part), pairs.l_partkey == part.p_partkey
+    )
+    return (
+        branded.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("n_months") >= 2, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repeat"),
+        )
+        .select(
+            "p_brand",
+            "n_pairs",
+            "n_repeat",
+            F.expr("n_repeat * 1000000 div n_pairs").alias("repeat_ppm"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_weekly_active_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user overlap: for every week with a
+    successor, both actives, the intersection, and the Jaccard — the
+    retention/churn pulse (a collapsing Jaccard = audience turnover
+    even when the topline count holds). The (week, user) incidence
+    dedups in one scan; the intersection is a self equi-join keyed on
+    (user_id, week) — user_id keeps the key high-cardinality so it
+    distributes; week sizes are a tiny per-week aggregate joined twice
+    (current and shifted). Counts stay under 2^53, so the one IEEE
+    division hashes exactly cross-engine."""
+    ev = _events(spark, sf_dir)
+    wa = ev.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"), "user_id"
+    ).distinct()
+    sizes = wa.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nxt = wa.select(F.date_sub("wk", 7).alias("wk"), "user_id")
+    inter = (
+        wa.join(nxt.withColumnRenamed("wk", "wk2"),
+                (F.col("wk") == F.col("wk2"))
+                & (wa.user_id == nxt.user_id))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    s_next = sizes.select(
+        F.date_sub("wk", 7).alias("wk"), F.col("n").alias("n_next")
+    )
+    return (
+        sizes.join(s_next, "wk")
+        .join(inter.withColumnRenamed("n_inter", "n_inter_raw"), "wk", "left")
+        .select(
+            F.col("wk").cast("string").alias("week_start"),
+            F.col("n").alias("n_curr"),
+            "n_next",
+            F.coalesce(F.col("n_inter_raw"), F.lit(0)).alias("n_inter"),
+            (
+                F.coalesce(F.col("n_inter_raw"), F.lit(0)).cast("double")
+                / (
+                    F.col("n") + F.col("n_next")
+                    - F.coalesce(F.col("n_inter_raw"), F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("week_start")
+    )
+
+
+def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law check over the corpus: the top-50 terms with rank,
+    frequency, and the rank·frequency product normalized to the top
+    term (ppm) — under Zipf, ``r·f_r`` is near-constant, so a collapsing
+    rf_ppm curve flags a truncated or templated vocabulary (the
+    corpus-health screen run before tokenizer training). Term counts
+    reduce in one explode + map-side-combined aggregate; the top-50 is
+    a TakeOrderedAndProject (never a global sort); ranking and the
+    rank·freq arithmetic run on the 50-row relation. Deterministic
+    (freq desc, term asc) total order both engines."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = freq.orderBy(F.col("freq").desc(), "term").limit(50)
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    f1 = ranked.filter(F.col("rank") == 1).select(
+        F.col("freq").alias("f1")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(f1))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            (F.col("rank") * F.col("freq")).cast("long").alias("rf"),
+            F.expr("rank * freq * 1000000 div f1").cast("long").alias(
+                "rf_ppm"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["q_weighted_median"] = q_weighted_median
+ORACLES["q_weighted_median"] = """
+    with li as (
+        select l_returnflag, l_orderkey, l_linenumber,
+               l_quantity::bigint as qty,
+               floor(l_extendedprice * 100 + 0.5)::bigint as cents
+        from lineitem
+    ),
+    r as (
+        select *,
+               sum(qty) over (
+                   partition by l_returnflag
+                   order by cents, l_orderkey, l_linenumber
+                   rows between unbounded preceding and current row
+               )::bigint as run_w,
+               sum(qty) over (partition by l_returnflag)::bigint as total_w
+        from li
+    )
+    select l_returnflag, total_w as total_qty,
+           cents as median_price_cents
+    from r
+    where 2 * (run_w - qty) < total_w and 2 * run_w >= total_w
+    order by l_returnflag
+"""
+
+QUERIES["q_cross_corr"] = q_cross_corr
+ORACLES["q_cross_corr"] = """
+    with daily as (
+        select date_trunc('day', ts)::date as d, event_type as t,
+               count(*)::bigint as c
+        from events group by 1, 2
+    ),
+    x as (select d, c as x from daily where t = 'view'),
+    y as (select d as da, c as y from daily where t = 'purchase'),
+    lags as (select unnest(generate_series(-7, 7)) as lag),
+    shifted as (
+        select d + lag::int as da, x, lag from x cross join lags
+    ),
+    j as (select s.lag, s.x, y.y from shifted s join y using (da)),
+    agg as (
+        select lag, count(*)::bigint as n_pairs,
+               sum(x::hugeint) as sx, sum(y::hugeint) as sy,
+               sum(x::hugeint * x) as sxx, sum(x::hugeint * y) as sxy,
+               sum(y::hugeint * y) as syy
+        from j group by lag
+    )
+    select lag::bigint as lag, n_pairs,
+           (n_pairs * sxy - sx * sy)::varchar::double
+           / (sqrt((n_pairs * sxx - sx * sx)::varchar::double)
+              * sqrt((n_pairs * syy - sy * sy)::varchar::double)) as ccf
+    from agg order by lag
+"""
+
+QUERIES["q_burstiness"] = q_burstiness
+ORACLES["q_burstiness"] = """
+    with daily as (
+        select user_id, date_trunc('day', ts)::date as d,
+               count(*)::bigint as c
+        from events group by 1, 2
+    ),
+    pu as (
+        select user_id, sum(c)::bigint as s1, sum(c * c)::bigint as s2
+        from daily group by 1
+    ),
+    dd as (select count(distinct d)::hugeint as n_days from daily),
+    scored as (
+        select user_id, s1,
+               n_days * s2 - s1::hugeint * s1 as num,
+               n_days * s1 as den
+        from pu cross join dd
+    ),
+    banded as (
+        select user_id, s1,
+               ((num * 1000000) // den)::bigint as fano_ppm,
+               case when 2 * num < den then 'under'
+                    when 2 * num < 3 * den then 'poisson'
+                    else 'bursty' end as band
+        from scored
+    )
+    select band, count(*)::bigint as n_users,
+           sum(s1)::bigint as sum_events,
+           min(fano_ppm)::bigint as min_fano_ppm,
+           max(fano_ppm)::bigint as max_fano_ppm
+    from banded group by band order by band
+"""
+
+QUERIES["q_embargo_split"] = q_embargo_split
+ORACLES["q_embargo_split"] = """
+    with ev as (
+        select user_id, date_trunc('day', ts)::date as d from events
+    ),
+    b as (
+        select min(d) as dmin,
+               min(d) + ((max(d) - min(d)) * 7 // 10)::int as cutoff
+        from ev
+    ),
+    tagged as (
+        select user_id,
+               case when d < cutoff then 'train'
+                    when d < cutoff + 3 then 'embargo'
+                    else 'test' end as split
+        from ev cross join b
+    ),
+    per_split as (
+        select split, count(*)::bigint as n_events,
+               count(distinct user_id)::bigint as n_users
+        from tagged group by split
+    ),
+    leak as (
+        select count(*)::bigint as n_leaked from (
+            select distinct user_id from tagged where split = 'test'
+            intersect
+            select distinct user_id from tagged where split = 'train'
+        )
+    )
+    select split, n_events, n_users,
+           case when split = 'test' then n_leaked else 0 end::bigint
+               as n_leaked_users
+    from per_split cross join leak
+    order by split
+"""
+
+QUERIES["q_hour_week_heatmap"] = q_hour_week_heatmap
+ORACLES["q_hour_week_heatmap"] = """
+    with cells as (
+        select isodow(ts)::bigint as iso_dow, hour(ts)::bigint as hr,
+               count(*)::bigint as n_events,
+               count(distinct user_id)::bigint as n_users
+        from events group by 1, 2
+    ),
+    t as (select sum(n_events)::bigint as total from cells)
+    select iso_dow, hr, n_events, n_users,
+           (n_events * 1000000 // total)::bigint as share_ppm
+    from cells cross join t
+    order by iso_dow, hr
+"""
+
+QUERIES["q_repeat_rate"] = q_repeat_rate
+ORACLES["q_repeat_rate"] = """
+    with pairs as (
+        select o.o_custkey, l.l_partkey,
+               count(distinct date_trunc('month', o.o_orderdate))
+                   as n_months
+        from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+        group by 1, 2
+    ),
+    branded as (
+        select p.p_brand,
+               case when n_months >= 2 then 1 else 0 end as rpt
+        from pairs join part p on pairs.l_partkey = p.p_partkey
+    )
+    select p_brand, count(*)::bigint as n_pairs,
+           sum(rpt)::bigint as n_repeat,
+           (sum(rpt)::bigint * 1000000 // count(*))::bigint as repeat_ppm
+    from branded group by 1 order by 1
+"""
+
+QUERIES["q_weekly_active_overlap"] = q_weekly_active_overlap
+ORACLES["q_weekly_active_overlap"] = """
+    with wa as (
+        select distinct date_trunc('week', ts)::date as wk, user_id
+        from events
+    ),
+    sizes as (select wk, count(*)::bigint as n from wa group by wk),
+    inter as (
+        select a.wk, count(*)::bigint as n_inter
+        from wa a join wa b
+          on b.wk = a.wk + 7 and b.user_id = a.user_id
+        group by a.wk
+    )
+    select s.wk::varchar as week_start, s.n as n_curr,
+           sn.n as n_next,
+           coalesce(i.n_inter, 0)::bigint as n_inter,
+           coalesce(i.n_inter, 0)::double
+           / (s.n + sn.n - coalesce(i.n_inter, 0))::double as jaccard
+    from sizes s
+    join sizes sn on sn.wk = s.wk + 7
+    left join inter i on i.wk = s.wk
+    order by week_start
+"""
+
+QUERIES["q_zipf_check"] = q_zipf_check
+ORACLES["q_zipf_check"] = f"""
+    with tf as (
+        select unnest({_DK_TOKENS}) as term from documents
+    ),
+    freq as (select term, count(*)::bigint as freq from tf group by term),
+    ranked as (
+        select term, freq,
+               row_number() over (order by freq desc, term)::bigint as rank
+        from freq
+    ),
+    top as (select * from ranked where rank <= 50),
+    f1 as (select freq as f1 from top where rank = 1)
+    select rank, term, freq,
+           (rank * freq)::bigint as rf,
+           (rank * freq * 1000000 // f1)::bigint as rf_ppm
+    from top cross join f1
+    order by rank
 """

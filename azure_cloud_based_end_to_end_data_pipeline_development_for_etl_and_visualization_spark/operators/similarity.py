@@ -1101,3 +1101,132 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neg_label", "rank", "sim")
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    n_iters: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Max-inner-product top-k (the recommendation/retrieval scoring
+    problem: rank items by q·x, NOT by angle) via the norm-augmentation
+    reduction to cosine search (Bachrach et al., RecSys 2014): append
+    ``sqrt(M² - ‖x‖²)`` to every corpus vector (M = max corpus norm) and
+    ``0`` to every query — all augmented corpus vectors then share norm
+    M, so cosine order against the augmented vectors is IDENTICAL to
+    inner-product order on the originals. That one trick unlocks every
+    cosine ANN structure (IVF cells, LSH planes, PQ codes) for MIPS,
+    where plain cosine machinery is simply WRONG when corpus norms vary
+    (a long vector can dominate the inner product while losing on
+    angle).
+
+    ``n_centroids=None``: exact — broadcast(queries) × corpus, one JVM
+    dot per pair, per-query top-k window. With ``n_centroids``: k-means
+    cells are trained ON THE AUGMENTED vectors and each query probes its
+    ``n_probe`` nearest cells (default ``n_probe = n_centroids``: the
+    result stays provably exact while the cell equi-join already
+    replaces the cross product — the q_cosine_topk_ivf_exact precedent;
+    lower n_probe trades recall for the ~n_probe/n_centroids compare
+    fraction). Scores are always the TRUE inner products q·x computed
+    from the ORIGINAL vectors, so the readout never inherits
+    augmentation arithmetic. The only driver-side values are the 1-row
+    M² scalar and the centroid matrix. Returns
+    ``(query_id, neighbor_id, rank, ip)``; self-matches excluded."""
+    if n_centroids is None and centroids is None:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                V.dot(F.col("q_vec"), F.col("c_vec")).alias("ip"),
+            )
+        )
+    else:
+        m2 = float(
+            corpus.agg(
+                F.max(V.dot(F.col(vec_col), F.col(vec_col))).alias("m2")
+            ).collect()[0]["m2"]
+        )
+
+        def _aug(df: DataFrame, extra) -> DataFrame:
+            return df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.concat(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    F.array(extra),
+                ).alias("__aug"),
+            )
+
+        ac = _aug(
+            corpus,
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(m2) - V.dot(F.col(vec_col), F.col(vec_col)),
+                )
+            ),
+        )
+        cents = (
+            centroids
+            if centroids is not None
+            else kmeans_centroids(ac, id_col, "__aug", n_centroids, n_iters)
+        )
+        n_cent = cents.shape[0]
+        probe = n_probe if n_probe is not None else n_cent
+        c_dots = _centroid_dots("__aug", cents)
+        cb = ac.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            (F.array_position(c_dots, F.array_max(c_dots)) - 1).alias("cell"),
+        )
+        aq = _aug(queries, F.lit(0.0))
+        q_dots = _centroid_dots("__aug", cents)
+        probe_cells = F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        q_dots,
+                        lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            1,
+            probe,
+        )
+        qb = aq.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probe_cells).alias("cell"),
+        )
+        scored = (
+            cb.join(qb, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                V.dot(F.col("q_vec"), F.col("c_vec")).alias("ip"),
+            )
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "ip")
+    )

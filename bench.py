@@ -192,6 +192,28 @@ HEADLINE = [
     "q_embedding_norm_profile",
     "q_rolling_slope",
     "q_seasonality_strength",
+    # round-8 batch-3 additions (appended; earlier entries comparable)
+    "q_grouped_median",
+    "q_cohens_kappa",
+    "q_chi2_contingency",
+    "q_ewma_dyadic",
+    "q_max_drawdown",
+    "q_local_clustering",
+    "q_mips_topk",
+    "q_knn_label_vote",
+    "q_revenue_share_filter",
+    "q_above_brand_avg",
+    "q_acf_grid",
+    "q_length_band_filter",
+    # round-8 batch-4 additions (appended; earlier entries comparable)
+    "q_weighted_median",
+    "q_cross_corr",
+    "q_burstiness",
+    "q_embargo_split",
+    "q_hour_week_heatmap",
+    "q_repeat_rate",
+    "q_weekly_active_overlap",
+    "q_zipf_check",
 ]
 
 

@@ -229,6 +229,19 @@ def test_orderby_limit_is_topk_not_global_sort(spark, sf_dir):
         "q_embedding_norm_profile",
         "q_rolling_slope",
         "q_seasonality_strength",
+        # round-8 batch 3
+        "q_grouped_median",
+        "q_cohens_kappa",
+        "q_chi2_contingency",
+        "q_ewma_dyadic",
+        "q_max_drawdown",
+        "q_local_clustering",
+        "q_mips_topk",
+        "q_knn_label_vote",
+        "q_revenue_share_filter",
+        "q_above_brand_avg",
+        "q_acf_grid",
+        "q_length_band_filter",
     ],
 )
 def test_no_python_in_batch_hot_paths(spark, sf_dir, name):
