@@ -423,7 +423,8 @@ def q_left_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer key lookup (ref gold_dim_branch.ipynb:43210 cell 14)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left").select(
+    # customer scales with the fact — no hint; AQE broadcasts when small
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
         "o_orderkey", "o_custkey", "c_name", "c_nationkey"
     )
 
@@ -452,8 +453,10 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting surface the gold layer exists to serve, SURVEY.md 2.4).
 
     Plan shape at scale: lineitem (the 100 TB side) never shuffles before
-    aggregation — orders joins shuffle-free under AQE when small, and
-    customer/nation/region are broadcast. Partial aggregation runs map-side."""
+    aggregation when the other sides are small — nation/region (25/5 rows,
+    constant) carry explicit broadcast hints; customer and orders SCALE
+    with the fact, so they are unhinted and AQE/static sizing picks
+    broadcast only when genuinely small. Partial aggregation runs map-side."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -462,7 +465,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left")
     )
@@ -498,7 +501,7 @@ def q_star_join_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left")
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left")
     )
@@ -569,7 +572,7 @@ def q_filter_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -1776,7 +1779,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    # limit() makes the query-batch bound structural (cosine_topk
+    # broadcasts the query side; its contract is a driver-bounded batch)
+    queries = emb.filter(F.col("vec_id") < 5).limit(5)
     return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
@@ -2272,7 +2277,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: shingles are hashed to longs (md5-based, so the oracle
     reproduces them) BEFORE the join — the contamination semi-join
     shuffles (doc_id, long) pairs, never shingle strings; the benchmark
-    side is distinct-reduced and typically broadcastable. Integer counts
+    side is distinct-reduced and unhinted (real eval suites are bounded,
+    but this stand-in scales with the corpus — AQE broadcasts it only
+    when its runtime size is genuinely small). Integer counts
     and an integer threshold comparison keep the oracle bit-exact."""
     from .functions import text as TX
 
@@ -2295,7 +2302,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = sh.filter(F.col("doc_id") % 25 != 0)
     tot = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     cont = (
-        probe.join(F.broadcast(bench), "h", "left_semi")
+        probe.join(bench, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
@@ -5847,7 +5854,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import hard_negatives
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    # limit() makes the broadcast query batch structurally bounded
+    queries = emb.filter(F.col("vec_id") < 20).limit(20)
     return hard_negatives(emb, queries, "label", k=3).orderBy(
         "query_id", "rank"
     )
@@ -9265,7 +9273,8 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 32)
+    # limit() makes the broadcast query batch structurally bounded
+    queries = emb.filter(F.col("vec_id") < 32).limit(32)
     corpus = emb.filter(F.col("vec_id") >= 32)
     nn = cosine_topk(corpus, queries, k=10)
     votes = (
@@ -14813,10 +14822,12 @@ def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout behind assortment planning. The fact-fact join
     (lineitem ⟕ orders on orderkey) shuffles both sides on the join key
     and feeds a map-side-combined (custkey, partkey) aggregate with a
-    distinct-month count; the part dimension broadcasts onto the
-    pair-grain relation for the brand rollup; the rate is an exact ppm
-    floor division. Pair grain is bounded by customers×parts-they-buy —
-    it scales with the fact table, and every step on it distributes."""
+    distinct-month count; the brand rollup is a plain equi-join on
+    l_partkey — part scales with the fact (sf×200k rows), so no
+    broadcast hint: AQE picks broadcast only when the side is
+    genuinely small. The rate is an exact ppm floor division. Pair
+    grain is bounded by customers×parts-they-buy — it scales with the
+    fact table, and every step on it distributes."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"),
@@ -14829,9 +14840,7 @@ def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("m").alias("n_months"))
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    branded = pairs.join(
-        F.broadcast(part), pairs.l_partkey == part.p_partkey
-    )
+    branded = pairs.join(part, pairs.l_partkey == part.p_partkey)
     return (
         branded.groupBy("p_brand")
         .agg(

@@ -80,11 +80,13 @@ def apply_changelog(
     merge's duplicate-match probe).
 
     Plan shape: one anti join (touched keys drop out) + one union of the
-    surviving I/U payloads — the changelog is batch-sized and broadcasts;
-    the snapshot never shuffles. At 100 TB this is the read path of a
-    merge-on-read table format, expressed directly."""
+    surviving I/U payloads. The changelog is batch-sized by the ingestion
+    contract, but that bound is a runtime property, not a structural one —
+    so the anti join is unhinted and AQE converts it to broadcast when the
+    changelog's runtime size is genuinely small. At 100 TB this is the
+    read path of a merge-on-read table format, expressed directly."""
     touched = changelog.select(*keys)
-    kept = snapshot.join(F.broadcast(touched), list(keys), "left_anti")
+    kept = snapshot.join(touched, list(keys), "left_anti")
     upserts = changelog.filter(F.col(op_col).isin("I", "U")).select(
         *keys, *payload_cols
     )

@@ -73,8 +73,12 @@ def check_referential(
     # violation — only non-null keys must resolve to a parent. Without this
     # filter the anti join would count every null child row as an orphan.
     non_null_children = child.filter(F.col(child_key).isNotNull())
+    # The distinct parent-key set scales with the parent table (customer,
+    # orders, ... are fact-sized at 100 TB), so no broadcast hint: the
+    # anti join shuffles both sides on the key, and AQE broadcasts only
+    # when the parent side is genuinely small at runtime.
     orphans = non_null_children.join(
-        F.broadcast(parent.select(parent_key).distinct()),
+        parent.select(parent_key).distinct(),
         non_null_children[child_key] == parent[parent_key],
         "left_anti",
     )

@@ -595,7 +595,10 @@ def pareto_frontier_2d(
     frontier = ranked.filter(
         F.col("__pf_carry").isNull() | (F.col("__pf_best") > F.col("__pf_carry"))
     ).select(minimize, F.col("__pf_best").alias(maximize))
-    return df.join(F.broadcast(frontier), [minimize, maximize])
+    # The frontier is usually tiny but its size is data-dependent (a
+    # worst-case skyline is the whole input), so no broadcast hint — AQE
+    # broadcasts it when the runtime size is genuinely small.
+    return df.join(frontier, [minimize, maximize])
 
 
 def high_water_mark(existing: DataFrame | None, key_col: str) -> int:

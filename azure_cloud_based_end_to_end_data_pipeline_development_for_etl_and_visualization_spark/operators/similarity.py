@@ -496,15 +496,30 @@ def quantize_embeddings(
 # -- product quantization (PQ / ADC) ----------------------------------------
 
 
-def _pq_assign_scores(sub_vec, cents: np.ndarray):
-    """argmin |x-c|^2 == argmax x.c - |c|^2/2 as a score array literal."""
-    return F.array(
-        *[
-            V.dot(sub_vec, F.array(*[F.lit(float(x)) for x in c]))
-            - F.lit(float(0.5 * np.dot(c, c)))
+def _pq_scores_sql(sub_vec_sql: str, cents: np.ndarray) -> str:
+    """SQL text of the squared-L2 assignment score array
+    (argmin |x-c|^2 == argmax x.c - |c|^2/2). Generated as ONE string
+    for the same reason as :func:`_lit_dot_sql`: the Column-API version
+    built n_sub x n_centroids x sub_dim literals through py4j — measured
+    as the dominant cost of pq_train at bench scale (~20 s of pure
+    driver-side plan construction for pq16, zero executor work)."""
+    return (
+        "array("
+        + ",".join(
+            f"({_lit_dot_sql(sub_vec_sql, c)} - "
+            f"{repr(float(0.5 * np.dot(c, c)))}D)"
             for c in cents
-        ]
+        )
+        + ")"
     )
+
+
+def _pq_assign_scores(sub_vec_sql: str, cents: np.ndarray):
+    """Score-array Column over a sub-vector given as SQL text (e.g.
+    ``slice(embedding, 1, 4)``). Values are bit-identical to the former
+    Column-API formulation: the literal side's double cast is elided
+    (a no-op on double literals), the fold tree is unchanged."""
+    return F.expr(_pq_scores_sql(sub_vec_sql, cents))
 
 
 def train_sample(
@@ -573,15 +588,15 @@ def pq_train(
     for _ in range(n_iters):
         per_sub = []
         for s_i in range(n_sub):
-            sub_vec = F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim)
-            scores = _pq_assign_scores(sub_vec, books[s_i])
+            sub_sql = f"slice({vec_col}, {s_i * sub_dim + 1}, {sub_dim})"
+            scores = _pq_assign_scores(sub_sql, books[s_i])
             per_sub.append(
                 F.struct(
                     F.lit(s_i).alias("s"),
                     (F.array_position(scores, F.array_max(scores)) - 1).alias(
                         "cell"
                     ),
-                    sub_vec.alias("sv"),
+                    F.expr(sub_sql).alias("sv"),
                 )
             )
         rows = (
@@ -613,8 +628,8 @@ def pq_encode(
     n_sub, _n_c, sub_dim = codebooks.shape
     codes = []
     for s_i in range(n_sub):
-        sub = F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim)
-        scores = _pq_assign_scores(sub, codebooks[s_i])
+        sub_sql = f"slice({vec_col}, {s_i * sub_dim + 1}, {sub_dim})"
+        scores = _pq_assign_scores(sub_sql, codebooks[s_i])
         codes.append(
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         )
@@ -804,8 +819,8 @@ def cosine_topk_ivfpq(
     c_dots = _centroid_dots(vec_col, cents)
     code_exprs = []
     for s_i in range(n_sub):
-        sub = F.slice(F.col(vec_col), s_i * sub_dim + 1, sub_dim)
-        scores = _pq_assign_scores(sub, codebooks[s_i])
+        sub_sql = f"slice({vec_col}, {s_i * sub_dim + 1}, {sub_dim})"
+        scores = _pq_assign_scores(sub_sql, codebooks[s_i])
         code_exprs.append(
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         )

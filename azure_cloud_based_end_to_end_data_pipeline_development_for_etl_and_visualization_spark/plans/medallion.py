@@ -203,7 +203,9 @@ def build_gold(
         for k in spec.business_keys:
             c = F.col(f"s.{k}") == F.col(f"{spec.name}.{k}")
             cond = c if cond is None else (cond & c)
-        fact_src = fact_src.join(F.broadcast(d), cond, "left")
+        # config-driven dims can be anything from a 5-row calendar to a
+        # customer-scaled entity — unhinted, AQE broadcasts the small ones
+        fact_src = fact_src.join(d, cond, "left")
         select_cols.append(F.col(f"{spec.name}.{spec.key_col}").alias(spec.key_col))
     fact = fact_src.select(*select_cols)
 

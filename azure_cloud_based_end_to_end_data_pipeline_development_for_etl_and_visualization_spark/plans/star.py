@@ -50,9 +50,12 @@ def build_dim(
             key_col, *cols
         )
 
+    # The existing dim scales with its source (a customer-shaped dim is
+    # fact-sized at 100 TB) — no broadcast hint; AQE picks broadcast only
+    # when the sink side is genuinely small at runtime.
     sink = existing.select(key_col, *business_keys)
     joined = src.alias("src").join(
-        F.broadcast(sink.alias("snk")),
+        sink.alias("snk"),
         [F.col(f"src.{k}") == F.col(f"snk.{k}") for k in business_keys],
         "left",
     )

@@ -1,0 +1,79 @@
+"""Mechanized broadcast-hint audit over the ENTIRE query catalog.
+
+Round 7 found two forced broadcasts of fact-scaling relations; round 8
+fixed them and introduced a third (q_repeat_rate's part join) in the
+same session. Hand-reviewing hint sites does not converge, so the rule
+is now a catalog-wide plan sweep (tools/hint_audit.py): every broadcast
+hint surviving into the optimized logical plan must sit on a subtree
+whose output cardinality is bounded independent of fact-table size —
+ungrouped aggregates, bounded-domain groupings, limits, nation/region
+scans, driver-created literals, fixed-size sketch artifacts.
+
+A regression (hinting customer/part/orders/lineitem/events/documents/
+embeddings or any unbounded derivation) fails the sweep by name.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
+    catalog,
+)
+from tools.hint_audit import audit_hints
+
+ALL_QUERIES = sorted(catalog.QUERIES)
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_fact_scaling_broadcast_hints(spark, sf_dir, name):
+    violations = audit_hints(catalog.QUERIES[name](spark, sf_dir))
+    assert not violations, "\n".join(violations)
+
+
+def test_audit_catches_deliberate_customer_broadcast(spark, sf_dir):
+    """The canary: a forced broadcast of the (fact-scaling) customer table
+    MUST be flagged — proves the sweep can fail, not just pass."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    violations = audit_hints(bad)
+    assert violations, "deliberately-hinted customer join was not flagged"
+
+
+def test_audit_catches_deliberate_part_broadcast_after_join(spark, sf_dir):
+    """The exact shape of the round-8 regression (q_repeat_rate): a part
+    broadcast onto a pair-grain aggregate must be flagged."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    pairs = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    bad = pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+    violations = audit_hints(bad)
+    assert violations, "deliberately-hinted part join was not flagged"
+
+
+def test_audit_allows_bounded_hints(spark, sf_dir):
+    """Sanity: the legitimate hint classes pass — a 1-row scalar
+    crossJoin, a nation scan, and a bounded-domain aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    total = li.agg(F.sum("l_quantity").alias("t"))
+    ok1 = li.crossJoin(F.broadcast(total))
+    assert audit_hints(ok1) == []
+
+    ok2 = li.join(
+        F.broadcast(nat), li.l_suppkey == nat.n_nationkey
+    )
+    assert audit_hints(ok2) == []
+
+    by_flag = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    ok3 = li.join(F.broadcast(by_flag), "l_returnflag")
+    assert audit_hints(ok3) == []

@@ -1,0 +1,312 @@
+"""Catalog-wide broadcast-hint audit: no forced broadcast of a relation
+that scales with the fact tables.
+
+Round 7 found two forced broadcasts of fact-scaling relations; round 8
+fixed them and introduced a third in the same session (q_repeat_rate's
+part join). Reviewing hint sites by hand does not converge — this module
+mechanizes the rule so the class of regression cannot recur.
+
+The rule: every ``broadcast`` hint that survives into the OPTIMIZED
+logical plan must sit on a subtree whose output cardinality is BOUNDED —
+independent of fact-table size. Structurally bounded subtrees are:
+
+- ungrouped aggregates (1-row scalars: totals, maxima, HWMs);
+- aggregates grouped ONLY on bounded-domain columns (calendar units,
+  lag indices, sketch cells/buckets/bits, k-means cells, enum-like
+  dimension attributes such as nation/brand/segment/returnflag) — the
+  whitelist is :data:`BOUNDED_GROUP_COLS`, every entry justified inline;
+- limits, local relations, small ``Range`` literals;
+- scans of the constant-size tables nation (25 rows) / region (5 rows);
+- compositions of the above (joins/unions/projections over bounded
+  inputs; semi/anti joins bounded by their left side).
+
+Everything else — customer, part, supplier, orders, lineitem, events,
+documents, embeddings, or any ungrouped derivation of them — is
+fact-scaling: a forced broadcast is a driver/executor OOM at 100 TB,
+and the audit reports it as a violation.
+
+Usage (also wired into tests/test_plans.py as a parameterized sweep)::
+
+    python tools/hint_audit.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import re
+
+ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+# Grouping columns whose value domain is bounded by construction — NOT by
+# data volume. Grouping a 100 TB fact on any subset of these yields a
+# relation bounded by the domain product, so broadcasting the aggregate
+# is safe. Each entry names its domain bound.
+BOUNDED_GROUP_COLS = frozenset(
+    {
+        # calendar / clock domains (days cover the dataset's date span —
+        # thousands of values; hours 24; weekdays 7; months span/12)
+        "d", "dt", "day", "ds", "wk", "week", "cohort_week", "m", "month",
+        "mo", "yr", "year", "order_year", "hr", "hour", "iso_dow", "dow",
+        "ta", "tb", "t", "bucket_start", "window_start", "w_start",
+        # lag / offset grids (explicit small literals: ACF/CCF lags,
+        # EWMA dyadic shifts)
+        "lag", "lag_d", "shift", "k",
+        # sketch / index internals (fixed sketch geometry: CMS depth x
+        # width, Bloom bit array of fixed m, HLL registers, LSH bands,
+        # k-means / IVF / PQ cells sized by k, histogram bins)
+        "depth_idx", "bucket", "bit", "band", "cell", "sub_idx", "bin",
+        "register",
+        # per-executor-partition ids (bounded by the cluster's partition
+        # count, never by rows: prefix-sum offset carries) — see also
+        # PID_RE for the generated __xx_pid family
+        "__pid", "pid", "part_id",
+        # enum-like TPC-H / events domains (25 nations, 5 regions, 25
+        # brands, 5 segments, 3 return flags, 2 line statuses, 5 order
+        # priorities, ~6 event types, handful of doc sources/langs/splits)
+        "n_nationkey", "c_nationkey", "s_nationkey", "n_regionkey",
+        "r_regionkey", "n_name", "r_name", "p_brand", "c_mktsegment",
+        "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
+        "event_type", "source", "lang", "split", "label",
+        # small analytic band domains (quintiles/deciles/grades are
+        # fixed-cardinality by definition)
+        "quintile", "decile", "grade", "band_lo", "variant", "q", "qa",
+        "qb",
+        # the catalog's constant pseudo-group for ungrouped running sums
+        # (always lit(0); domain size 1 — see with_grouped_running_sum
+        # call sites such as q_abc_pareto)
+        "__g",
+    }
+)
+
+# Leaf tables whose size is CONSTANT in TPC-H (independent of SF).
+BOUNDED_LEAF_PREFIXES = ("n_", "r_")  # nation / region column prefixes
+
+# SPARK_PARTITION_ID()-derived columns from the distributed prefix-sum /
+# running-max operators (__gr_pid, __rs_pid, __pk_pid, __rm_pid, ...):
+# cardinality == the stage's partition count, bounded by the cluster.
+PID_RE = re.compile(r"^__[a-z]{1,4}_?pid$")
+
+# Persisted fixed-size sketch/index artifacts: a CMS is depth x width
+# cells, a Bloom filter is m bits, codebooks/centroid tables are k rows —
+# all constant by construction, so reading one back is a bounded leaf.
+ARTIFACT_PATH_RE = re.compile(
+    r"(bloom|cms_|_cms|sketch|centroid|codebook|hll)", re.IGNORECASE
+)
+
+RANGE_RE = re.compile(r"Range \((-?\d+), (-?\d+)")
+MAX_BOUNDED_RANGE = 100_000
+
+
+def _children(node) -> list:
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _expr_tokens(s: str) -> set[str]:
+    """Column names referenced by an expression string. A struct-field
+    access ``c#17.depth_idx`` counts as the FIELD name (the semantic
+    column), not the container attribute."""
+    fields = set(re.findall(r"#\d+\.([A-Za-z_][A-Za-z0-9_]*)", s))
+    s = re.sub(r"[A-Za-z_][A-Za-z0-9_]*#\d+\.[A-Za-z_][A-Za-z0-9_]*", "", s)
+    return fields | set(ATTR_RE.findall(s))
+
+
+def _grouping_attr_names(agg_node) -> set[str]:
+    g = agg_node.groupingExpressions()
+    names: set[str] = set()
+    for i in range(g.size()):
+        names |= _expr_tokens(g.apply(i).toString())
+    return names
+
+
+def _resolve_unbounded_refs(refs: set[str], node, max_depth: int = 40) -> set[str]:
+    """Chase attribute names through Project alias chains (the optimizer
+    pre-projects grouping keys as ``_groupingexpression#N``); return the
+    names that remain non-bounded after resolution."""
+    pending = {r for r in refs if not _col_bounded(r)}
+    depth = 0
+    # nodes whose output list can alias-rename columns (withColumn after
+    # groupBy collapses into Aggregate's output; window cols likewise)
+    named_lists = {
+        "Project": "projectList",
+        "Aggregate": "aggregateExpressions",
+        "Window": "windowExpressions",
+    }
+    while pending and depth < max_depth:
+        kids = _children(node)
+        accessor = named_lists.get(node.getClass().getSimpleName())
+        if accessor is not None and kids:
+            amap: dict[str, set[str]] = {}
+            pl = getattr(node, accessor)()
+            for i in range(pl.size()):
+                ne = pl.apply(i)
+                if ne.getClass().getSimpleName() == "Alias":
+                    amap[ne.name()] = _expr_tokens(ne.child().toString())
+            nxt: set[str] = set()
+            for r in pending:
+                nxt |= amap.get(r, {r})
+            pending = {r for r in nxt if not _col_bounded(r)}
+            node = kids[0]
+        elif len(kids) == 1:
+            node = kids[0]
+        else:
+            break
+        depth += 1
+    return pending
+
+
+def _col_bounded(name: str) -> bool:
+    return name in BOUNDED_GROUP_COLS or bool(PID_RE.match(name))
+
+
+def _leaf_is_bounded_table(node) -> bool:
+    out = node.output()
+    names = [out.apply(i).name() for i in range(out.size())]
+    if bool(names) and all(n.startswith(BOUNDED_LEAF_PREFIXES) for n in names):
+        return True
+    # fixed-size sketch/index artifacts, recognized by their storage path
+    try:
+        paths = node.relation().location().rootPaths()
+        for i in range(paths.size()):
+            if ARTIFACT_PATH_RE.search(paths.apply(i).toString()):
+                return True
+    except Exception:
+        pass
+    return False
+
+
+def subtree_is_bounded(node) -> bool:
+    """True iff the subtree's output cardinality is bounded independent of
+    fact-table size (see module docstring for the structural rules)."""
+    name = node.getClass().getSimpleName()
+    kids = _children(node)
+
+    if name == "Aggregate":
+        refs = _grouping_attr_names(node)
+        if not refs:  # ungrouped -> exactly one row
+            return True
+        if all(_col_bounded(r) for r in refs):
+            return True
+        if kids and not _resolve_unbounded_refs(refs, kids[0]):
+            return True
+        return all(subtree_is_bounded(k) for k in kids)
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name in ("LocalRelation", "OneRowRelation"):
+        return True
+    if name == "LogicalRDD":
+        # arises only from spark.createDataFrame over a driver-side Python
+        # list in this codebase (lag grids, dyadic weights, PQ query LUTs)
+        # — already materialized on the driver, hence driver-bounded
+        return True
+    if name == "Range":
+        m = RANGE_RE.search(node.toString().splitlines()[0])
+        if m:
+            return abs(int(m.group(2)) - int(m.group(1))) <= MAX_BOUNDED_RANGE
+        return False
+    if name in ("LogicalRelation", "DataSourceV2Relation", "HiveTableRelation",
+                "UnresolvedCatalogRelation", "View"):
+        return _leaf_is_bounded_table(node)
+    if name == "Join":
+        jt = node.joinType().toString()
+        if jt in ("LeftSemi", "LeftAnti") and kids:
+            return subtree_is_bounded(kids[0])
+        return bool(kids) and all(subtree_is_bounded(k) for k in kids)
+    if name == "Union":
+        return bool(kids) and all(subtree_is_bounded(k) for k in kids)
+    if name == "Deduplicate":
+        # distinct keeps the child schema; bounded iff the child is, or
+        # every output column is domain-bounded
+        out = node.output()
+        names = {out.apply(i).name() for i in range(out.size())}
+        if names and all(_col_bounded(n) for n in names):
+            return True
+        return bool(kids) and subtree_is_bounded(kids[0])
+    # Unary pass-throughs: Project/Filter/Sort/Window/Expand/Generate/
+    # Sample/Repartition/SubqueryAlias/... none of these turn a bounded
+    # input into a fact-scaling one in this codebase (Generate/Expand
+    # multiply by a per-row constant).
+    if len(kids) == 1:
+        return subtree_is_bounded(kids[0])
+    # Unknown leaf or multi-child node: conservatively unbounded.
+    return False
+
+
+def _describe(node, max_lines: int = 6) -> str:
+    lines = node.toString().splitlines()
+    body = "\n    ".join(lines[:max_lines])
+    if len(lines) > max_lines:
+        body += "\n    ..."
+    return body
+
+
+def audit_hints(df) -> list[str]:
+    """Walk the optimized logical plan of ``df``; return one violation
+    string per broadcast hint whose hinted side is not provably bounded."""
+    violations: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Join":
+            kids = _children(node)
+            h = node.hint()
+            for opt, side, child in (
+                (h.leftHint(), "left", kids[0] if kids else None),
+                (h.rightHint(), "right", kids[1] if len(kids) > 1 else None),
+            ):
+                if child is None or not opt.isDefined():
+                    continue
+                strat = opt.get().strategy()
+                if not strat.isDefined():
+                    continue
+                if "broadcast" not in strat.get().toString().lower():
+                    continue
+                if not subtree_is_bounded(child):
+                    violations.append(
+                        f"forced broadcast of fact-scaling {side} side "
+                        f"({child.getClass().getSimpleName()}):\n    "
+                        f"{_describe(child)}"
+                    )
+        for k in _children(node):
+            walk(k)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return violations
+
+
+def main() -> int:
+    import os
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
+
+    import __spark_entry__ as e
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.session import (
+        get_spark,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("hint_audit", master="local[4]", shuffle_partitions=4)
+
+    queries = e.queries()
+    bad = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            vs = audit_hints(fn(spark, sf_dir))
+        except Exception as ex:  # plan build failure is its own violation
+            print(f"ERROR {name}: {ex}")
+            bad += 1
+            continue
+        if vs:
+            bad += 1
+            for v in vs:
+                print(f"VIOLATION {name}: {v}")
+    print(f"\n{'FAIL' if bad else 'OK'}: {bad} queries with violations "
+          f"out of {len(only) or len(queries)} audited")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
