@@ -15146,3 +15146,846 @@ ORACLES["q_zipf_check"] = f"""
     from top cross join f1
     order by rank
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 1: rank statistics + classic reporting shapes
+# ---------------------------------------------------------------------------
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between BUILDING and MACHINERY customers' order
+    values — the two-sample rank test behind "did this cohort shift?"
+    readouts (q_kruskal_wallis's k-sample cousin, and the statistic
+    q_roc_auc normalizes). One pooled two-phase global rank (tie policy:
+    the (cents, o_orderkey) total order, identical in both engines — the
+    q_roc_auc convention), one tiny aggregate, exact integers until the
+    single common-language-effect-size division. The orders ⟕ customer
+    join is unhinted (customer scales with the fact)."""
+    from .operators.relational import with_global_row_number
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    pooled = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_mktsegment", "cents")
+    ranked = with_global_row_number(
+        pooled, ["cents", "o_orderkey"], rn_col="__rk"
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("n_building"),
+        F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0))
+        .cast("long")
+        .alias("n_machinery"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", F.col("__rk"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("r_a"),
+    )
+    # 2U = 2R_a - n_a(n_a+1): exact integer; cles = U / (n_a n_b) stays
+    # cross-multiplied so the only float op is the final division
+    u2 = F.lit(2).cast("decimal(38,0)") * F.col("r_a") - F.col(
+        "n_building"
+    ).cast("decimal(38,0)") * (F.col("n_building") + 1)
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_building")
+        * F.col("n_machinery")
+    )
+    return agg.select(
+        "n_building",
+        "n_machinery",
+        (u2.cast("double") / F.lit(2.0)).alias("u_building"),
+        (u2.cast("double") / den.cast("double")).alias("cles"),
+    )
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median — "is
+    the above/below-median sequence random, or does demand streak?"
+    (the q_changepoint family's nonparametric sibling). Everything
+    lives on the DAY-DOMAIN relation (calendar-bounded, never
+    fact-sized — the q_ks_test discipline): the median via rank + n
+    over the domain, signs + lag over the day order, and z^2 fully
+    cross-multiplied to exact integers — z^2 = (runs*n - n - 2*n1*n2)^2
+    * (n-1) / (2*n1*n2*(2*n1*n2 - n)) with ONE IEEE division at the
+    end. Days equal to the doubled-median are excluded (the standard
+    treatment), which the doubled comparison keeps integer-exact for
+    odd AND even day counts."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("c"))
+    )
+    w = Window.orderBy("c", "d")
+    ranked = daily.select(
+        "d",
+        "c",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    med2 = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    ).agg(
+        (
+            F.sum("c") * F.lit(2) / F.count(F.lit(1))
+        ).cast("long").alias("med2")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med2))
+        .filter(F.col("c") * 2 != F.col("med2"))
+        .select(
+            "d", F.when(F.col("c") * 2 > F.col("med2"), 1).otherwise(-1).alias("s")
+        )
+    )
+    wd = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    ).agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n_above"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_above") + F.col("n_below")
+    p2 = (F.lit(2).cast("decimal(38,0)") * F.col("n_above") * F.col("n_below"))
+    num = (
+        (F.col("n_runs").cast("decimal(38,0)") * n - n - p2)
+        * (F.col("n_runs").cast("decimal(38,0)") * n - n - p2)
+        * (n - 1)
+    )
+    den = p2 * (p2 - n)
+    return runs.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        (num.cast("double") / den.cast("double")).alias("z2"),
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes — the outlier-proof answer to "is revenue drifting
+    up?" (one blowout day moves OLS, not this). The pair space is the
+    DAY DOMAIN squared (calendar-bounded at any SF — the
+    q_kendall_tau_daily discipline), slopes are the identical
+    (long-long)::double / (long)::double in both engines, and the
+    median is rank-selected by the two-phase global row number under
+    the (slope, d1, d2) total order — no single-reducer sort, no
+    percentile()."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("c"))
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        "d1",
+        "d2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope"),
+    )
+    ranked = with_global_row_number(
+        pairs, ["slope", "d1", "d2"], rn_col="rn", n_col="n"
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    return mid.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias(
+            "median_slope_cents_per_day"
+        ),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue in
+    a quarter — per-supplier exact micro-cent revenue (price and
+    discount integerize exactly at 2 decimals, so rev_u = cents *
+    (100 - disc_pct) is an integer), a 1-row global max broadcast back
+    (hint-audit class: ungrouped aggregate), and an unhinted supplier
+    join (supplier scales with the fact). Ties all surface — the
+    argmax-join idiom, not LIMIT 1."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            (
+                F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                * (
+                    F.lit(100)
+                    - F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+                    .cast("long")
+                )
+            ).alias("rev_u"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_u").cast("decimal(38,0)").alias("total_rev_u"))
+    )
+    mx = rev.agg(F.max("total_rev_u").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_u == F.col("__mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_u").cast("double").alias("total_rev_u"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly PROMO revenue share in exact ppm —
+    conditional aggregation over the lineitem ⟕ part join (unhinted:
+    part scales with the fact; AQE broadcasts only when small). Revenue
+    integerizes to micro-cent units, sums ride decimal(38,0) (long
+    overflows at 100 TB), and the share is an integer floor division —
+    no float touches the readout."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        (
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            * (
+                F.lit(100)
+                - F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            )
+        ).alias("rev_u"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("__promo"),
+            F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("__total"),
+        )
+        .select(
+            "month",
+            "n_lines",
+            F.expr("cast((__promo * 1000000) div __total as bigint)").alias(
+                "promo_ppm"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders counted by priority where AT LEAST ONE
+    line shipped more than 60 days after the order date — the
+    EXISTS-correlated-subquery idiom as a left-semi equi-join with a
+    residual timestamp predicate (the key equality drives the shuffle;
+    the inequality evaluates on matched pairs only). Both sides scale
+    with the fact; no hints, AQE decides."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q_mann_whitney"] = q_mann_whitney
+ORACLES["q_mann_whitney"] = """
+    with pooled as (
+        select o.o_orderkey, c.c_mktsegment,
+               floor(o.o_totalprice * 100 + 0.5)::bigint as cents
+        from orders o
+        join customer c on o.o_custkey = c.c_custkey
+        where c.c_mktsegment in ('BUILDING', 'MACHINERY')
+    ),
+    r as (
+        select c_mktsegment,
+               row_number() over (order by cents, o_orderkey) as rk
+        from pooled
+    ),
+    a as (
+        select sum(case when c_mktsegment = 'BUILDING' then 1 else 0 end)::bigint
+                   as n_building,
+               sum(case when c_mktsegment = 'MACHINERY' then 1 else 0 end)::bigint
+                   as n_machinery,
+               sum(case when c_mktsegment = 'BUILDING' then rk::hugeint
+                        else 0 end) as r_a
+        from r
+    )
+    select n_building, n_machinery,
+           (2 * r_a - n_building::hugeint * (n_building + 1))::varchar::double
+               / 2.0 as u_building,
+           (2 * r_a - n_building::hugeint * (n_building + 1))::varchar::double
+               / (2 * n_building::hugeint * n_machinery)::varchar::double
+               as cles
+    from a
+"""
+
+QUERIES["q_runs_test"] = q_runs_test
+ORACLES["q_runs_test"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as c
+        from orders group by 1
+    ),
+    r as (
+        select d, c, row_number() over (order by c, d) as rn,
+               count(*) over () as n
+        from daily
+    ),
+    med as (
+        select (sum(c) * 2 / count(*))::bigint as med2
+        from r where rn = (n + 1) // 2 or rn = n // 2 + 1
+    ),
+    signed as (
+        select d, case when c * 2 > med2 then 1 else -1 end as s
+        from daily cross join med
+        where c * 2 != med2
+    ),
+    runs as (
+        select sum(case when s = 1 then 1 else 0 end)::bigint as n_above,
+               sum(case when s = -1 then 1 else 0 end)::bigint as n_below,
+               sum(case when prev is null or prev != s then 1 else 0
+                   end)::bigint as n_runs
+        from (select s, lag(s) over (order by d) as prev from signed)
+    )
+    select n_above, n_below, n_runs,
+           ((n_runs::hugeint * (n_above + n_below) - (n_above + n_below)
+             - 2 * n_above::hugeint * n_below)
+            * (n_runs::hugeint * (n_above + n_below) - (n_above + n_below)
+               - 2 * n_above::hugeint * n_below)
+            * (n_above + n_below - 1))::varchar::double
+           / ((2 * n_above::hugeint * n_below)
+              * (2 * n_above::hugeint * n_below
+                 - (n_above + n_below)))::varchar::double as z2
+    from runs
+"""
+
+QUERIES["q_theil_sen"] = q_theil_sen
+ORACLES["q_theil_sen"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as c
+        from orders group by 1
+    ),
+    pairs as (
+        select a.d as d1, b.d as d2,
+               (b.c - a.c)::double / date_diff('day', a.d, b.d)::double
+                   as slope
+        from daily a join daily b on a.d < b.d
+    ),
+    r as (
+        select slope, row_number() over (order by slope, d1, d2) as rn,
+               count(*) over () as n
+        from pairs
+    )
+    select max(n)::bigint as n_pairs,
+           sum(slope) / count(*)::double as median_slope_cents_per_day
+    from r where rn = (n + 1) // 2 or rn = n // 2 + 1
+"""
+
+QUERIES["q_top_supplier"] = q_top_supplier
+ORACLES["q_top_supplier"] = """
+    with rev as (
+        select l_suppkey,
+               sum(floor(l_extendedprice * 100 + 0.5)::bigint
+                   * (100 - floor(l_discount * 100 + 0.5)::bigint))
+                   as total_rev_u
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1996-04-01'
+        group by l_suppkey
+    ),
+    mx as (select max(total_rev_u) as m from rev)
+    select s.s_suppkey, s.s_name, r.total_rev_u::varchar::double as total_rev_u
+    from rev r
+    join mx on r.total_rev_u = mx.m
+    join supplier s on r.l_suppkey = s.s_suppkey
+    order by s.s_suppkey
+"""
+
+QUERIES["q_promo_share_monthly"] = q_promo_share_monthly
+ORACLES["q_promo_share_monthly"] = """
+    with base as (
+        select strftime(l_shipdate::date, '%Y-%m') as month,
+               p.p_type,
+               floor(l_extendedprice * 100 + 0.5)::bigint
+                   * (100 - floor(l_discount * 100 + 0.5)::bigint) as rev_u
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+    )
+    select month, count(*)::bigint as n_lines,
+           ((sum(case when p_type = 'PROMO' then rev_u::hugeint else 0 end)
+             * 1000000)
+            // sum(rev_u::hugeint))::bigint as promo_ppm
+    from base group by month order by month
+"""
+
+QUERIES["q_late_ship_priority"] = q_late_ship_priority
+ORACLES["q_late_ship_priority"] = """
+    select o_orderpriority, count(*)::bigint as n_late_orders
+    from orders o
+    where exists (
+        select 1 from lineitem l
+        where l.l_orderkey = o.o_orderkey
+          and l.l_shipdate > o.o_orderdate + interval 60 day
+    )
+    group by o_orderpriority
+    order by o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 2: temporal engagement + graph readouts
+# ---------------------------------------------------------------------------
+
+
+def q_dwell_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell-time distribution in power-of-two second bands
+    (bit-length bucketing — the q_key_skew_profile no-libm trick) — the
+    engagement-cadence histogram behind session-timeout and bot-gap
+    tuning. Gaps come from ONE user-partitioned lead (per-user windows
+    distribute across reducers; user_id is high-cardinality); seconds
+    floor to integers BEFORE differencing so the band arithmetic never
+    touches a float; output is ~20 band rows at any scale with exact
+    ppm shares."""
+    from .functions.timeutil import epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(epoch_seconds(F.col("ts"))).cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = base.select(
+        (F.lead("es").over(w) - F.col("es")).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    banded = (
+        gaps.select(F.length(F.bin(F.col("gap_s"))).cast("long").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+    total = banded.agg(F.sum("n_gaps").cast("long").alias("__t"))
+    return (
+        banded.crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_gaps",
+            F.expr("n_gaps * 1000000 div __t").alias("share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-quality pulse (a
+    falling ratio = the same weekly audience shows up fewer days). The
+    trailing-7-day WAU avoids a per-day range join: each (day, user)
+    incidence row FANS OUT to the 7 target days it counts toward (a
+    bounded x7 map-side multiplier), then one distinct-count per target
+    day — shuffles stay keyed on (day, user), nothing re-scans. Exact
+    integer ppm."""
+    ev = _events(spark, sf_dir)
+    inc = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    dau = inc.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    fan = inc.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add("d", F.col("i")).alias("d"), "user_id")
+    wau = fan.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_cold_start_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each month's active customers placing their FIRST-ever
+    order — the acquisition-vs-retention mix every growth report opens
+    with. Firsts are a per-customer min (map-side combined, one fact
+    shuffle on custkey); actives are a distinct (month, customer)
+    count; both land on the month domain where the exact ppm divides.
+    'yyyy-MM' strings order correctly, so min(month) IS the first
+    month."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    )
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("m").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    )
+    actives = (
+        orders.distinct()
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        actives.join(firsts, "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            "n_active",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.expr(
+                "coalesce(n_first, 0) * 1000000 div n_active"
+            ).alias("cold_start_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_user_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type concentration (Herfindahl in exact ppm) —
+    the no-libm diversity score (entropy needs log; HHI is pure integer
+    arithmetic: sum(c^2) * 1e6 div total^2) that segments single-note
+    users from diverse ones. One (user, type) aggregate, one per-user
+    rollup — both map-side combined on high-cardinality keys. Top 500
+    by user_id keeps the readout bounded; the per-user relation itself
+    scales and never collects."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("__s2"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "__s2 * 1000000 div (n_events * n_events)"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("user_id")
+        .limit(500)
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — do popular
+    parts pair with popular parts? (Newman 2002's r, the mixing
+    readout that predicts whether hub removal fragments the graph.)
+    Edges come from basket-local array expansion (ONE fact shuffle, the
+    q_basket_rules discipline — never an incidence self-join); degrees
+    are one aggregate over the symmetric incidence; r uses both edge
+    orientations so Sx == Sy and reduces to exact decimal(38,0) power
+    sums with ONE IEEE division (the q_corr_matrix integerization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= 30)
+    )
+    items = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    path = _tmp_path("assort_edges")
+    edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    sym = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    da = deg.select(F.col("a"), F.col("dg").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("dg").alias("db"))
+    both = edges.join(da, "a").join(db, "b")
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("da") + F.col("db")).cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (
+                F.col("da").cast("decimal(38,0)") * F.col("da")
+                + F.col("db").cast("decimal(38,0)") * F.col("db")
+            )
+        ).alias("sxx"),
+        F.sum(
+            F.lit(2).cast("decimal(38,0)") * F.col("da") * F.col("db")
+        ).alias("sxy"),
+    )
+    n = F.lit(2).cast("decimal(38,0)") * F.col("n_edges")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "n_edges",
+        (num.cast("double") / den.cast("double")).alias("assortativity"),
+    )
+
+
+def q_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the top 20 part pairs
+    sharing the most co-purchase partners WITHOUT being co-purchased
+    themselves — the "customers who bought these also bought" candidate
+    generator. Wedges enumerate per center (two keyed equi-joins on the
+    symmetric edge list — cost is sum over centers of C(deg, 2), the
+    triangle-counting budget); direct edges drop via one anti join; the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= 30)
+    )
+    items = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    path = _tmp_path("cn_edges")
+    edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    sym = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    e1 = sym.select(F.col("a").alias("x"), F.col("b").alias("u"))
+    e2 = sym.select(F.col("a").alias("x"), F.col("b").alias("v"))
+    wedges = (
+        e1.join(e2, "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    candidates = wedges.join(edges, ["a", "b"], "left_anti")
+    return candidates.orderBy(
+        F.col("cn").desc(), F.col("a"), F.col("b")
+    ).limit(20)
+
+
+QUERIES["q_dwell_time_bands"] = q_dwell_time_bands
+ORACLES["q_dwell_time_bands"] = """
+    with base as (
+        select user_id, event_id, floor(epoch(ts))::bigint as es
+        from events
+    ),
+    gaps as (
+        select lead(es) over (partition by user_id order by es, event_id)
+               - es as gap_s
+        from base
+    ),
+    banded as (
+        select length(bin(gap_s))::bigint as band, count(*)::bigint as n_gaps
+        from gaps where gap_s is not null group by 1
+    )
+    select band, n_gaps,
+           (n_gaps * 1000000 // (sum(n_gaps) over ()))::bigint as share_ppm
+    from banded order by band
+"""
+
+QUERIES["q_dau_wau_stickiness"] = q_dau_wau_stickiness
+ORACLES["q_dau_wau_stickiness"] = """
+    with inc as (
+        select distinct ts::date as d, user_id from events
+    ),
+    dau as (
+        select d, count(distinct user_id)::bigint as dau from inc group by d
+    ),
+    fan as (
+        select (d + to_days(i::int))::date as d, user_id
+        from inc cross join range(7) r(i)
+    ),
+    wau as (
+        select d, count(distinct user_id)::bigint as wau from fan group by d
+    )
+    select dau.d::varchar as day, dau.dau, wau.wau,
+           (dau.dau * 1000000 // wau.wau)::bigint as stickiness_ppm
+    from dau join wau on dau.d = wau.d
+    order by day
+"""
+
+QUERIES["q_cold_start_rate"] = q_cold_start_rate
+ORACLES["q_cold_start_rate"] = """
+    with o as (
+        select o_custkey, strftime(o_orderdate::date, '%Y-%m') as m
+        from orders
+    ),
+    firsts as (
+        select m, count(*)::bigint as n_first
+        from (select o_custkey, min(m) as m from o group by o_custkey)
+        group by m
+    ),
+    actives as (
+        select m, count(*)::bigint as n_active
+        from (select distinct o_custkey, m from o) group by m
+    )
+    select a.m as month, a.n_active,
+           coalesce(f.n_first, 0)::bigint as n_first,
+           (coalesce(f.n_first, 0) * 1000000 // a.n_active)::bigint
+               as cold_start_ppm
+    from actives a left join firsts f on a.m = f.m
+    order by month
+"""
+
+QUERIES["q_user_hhi"] = q_user_hhi
+ORACLES["q_user_hhi"] = """
+    with per_type as (
+        select user_id, event_type, count(*)::bigint as c
+        from events group by 1, 2
+    ),
+    per_user as (
+        select user_id, sum(c)::bigint as n_events,
+               sum(c * c)::bigint as s2
+        from per_type group by user_id
+    )
+    select user_id, n_events,
+           (s2 * 1000000 // (n_events * n_events))::bigint as hhi_ppm
+    from per_user order by user_id limit 500
+"""
+
+QUERIES["q_assortativity"] = q_assortativity
+ORACLES["q_assortativity"] = """
+    with baskets as (
+        select l_orderkey, list_sort(list_distinct(list(l_partkey))) as items
+        from lineitem group by l_orderkey
+        having count(distinct l_partkey) <= 30
+    ),
+    inc as (
+        select l_orderkey, unnest(items) as p from baskets
+    ),
+    edges as (
+        select distinct a.p as a, b.p as b
+        from inc a join inc b
+          on a.l_orderkey = b.l_orderkey and a.p < b.p
+    ),
+    sym as (
+        select a, b from edges union all select b, a from edges
+    ),
+    deg as (select a, count(*)::bigint as dg from sym group by a),
+    eb as (
+        select e.a, e.b, da.dg as da, db.dg as db
+        from edges e join deg da on e.a = da.a join deg db on e.b = db.a
+    ),
+    agg as (
+        select count(*)::bigint as n_edges,
+               sum((da + db)::hugeint) as sx,
+               sum(da::hugeint * da + db::hugeint * db) as sxx,
+               sum(2 * da::hugeint * db) as sxy
+        from eb
+    )
+    select n_edges,
+           (2 * n_edges::hugeint * sxy - sx * sx)::varchar::double
+           / (2 * n_edges::hugeint * sxx - sx * sx)::varchar::double
+               as assortativity
+    from agg
+"""
+
+QUERIES["q_common_neighbors_topk"] = q_common_neighbors_topk
+ORACLES["q_common_neighbors_topk"] = """
+    with baskets as (
+        select l_orderkey, list_sort(list_distinct(list(l_partkey))) as items
+        from lineitem group by l_orderkey
+        having count(distinct l_partkey) <= 30
+    ),
+    inc as (
+        select l_orderkey, unnest(items) as p from baskets
+    ),
+    edges as (
+        select distinct a.p as a, b.p as b
+        from inc a join inc b
+          on a.l_orderkey = b.l_orderkey and a.p < b.p
+    ),
+    sym as (
+        select a, b from edges union all select b, a from edges
+    ),
+    wedges as (
+        select e1.b as a, e2.b as b, count(*)::bigint as cn
+        from sym e1 join sym e2 on e1.a = e2.a and e1.b < e2.b
+        group by 1, 2
+    )
+    select w.a, w.b, w.cn
+    from wedges w
+    anti join edges e on w.a = e.a and w.b = e.b
+    order by cn desc, a, b
+    limit 20
+"""
