@@ -9526,6 +9526,10 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: greens behind the window. Composition pinned by
 #: tests/test_entry_contract.test_driver_window_composition.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # NOTE (round 9): the literal order below is the HISTORICAL r8
+    # registration order, no longer the driver window — the round-9
+    # window is composed by the reorder at the END of this module
+    # (search: ROUND-9 WINDOW). Comments below kept for provenance.
     # == ROUND-8 WINDOW (slots 1-50) ====================================
     # -- 1-11: the round-7 rotation head (r7 VERDICT item 1): upgraded /
     #    added past the r7 window, all judge-verified at both SFs in r7;
@@ -15989,3 +15993,545 @@ ORACLES["q_common_neighbors_topk"] = """
     order by cn desc, a, b
     limit 20
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 3: curation readouts + the Q10 reporting shape
+# ---------------------------------------------------------------------------
+
+
+def q_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by RETURNED revenue in a
+    quarter — the lost-revenue triage list. Date + returnflag filters
+    push to both scans; the customer join is unhinted (customer scales
+    with the fact) while nation (25 rows, constant) broadcasts; revenue
+    stays exact micro-cent integers until the readout; the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            * (
+                F.lit(100)
+                - F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            )
+        ).alias("rev_u"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("__rev"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("__rev").cast("double").alias("returned_rev_u"),
+        )
+        .orderBy(F.col("returned_rev_u").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-dup clusters: for every LSH →
+    connected-components cluster with 2+ members, keep the
+    richest-content doc (max token count, ties to the smallest doc_id)
+    — the canonicalization step between "find dups" (q_dedup_clusters)
+    and "emit the deduped corpus". The argmax is ONE grouped
+    max(struct(tok_n, -doc_id)) on the high-cardinality cluster key —
+    no per-cluster window sort; the closure itself rides the
+    q_dedup_clusters recursive-CTE oracle."""
+    from .functions.text import token_count
+    from .operators.components import dedup_clusters
+    from .operators.dedup import minhash_near_duplicates
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        clusters = dedup_clusters(pairs, docs, "doc_id")
+        tokc = docs.select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("tok_n")
+        )
+        per = (
+            clusters.join(tokc, "doc_id")
+            .groupBy("cluster_rep")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.max(
+                    F.struct(
+                        F.col("tok_n").alias("t"),
+                        (-F.col("doc_id")).alias("nd"),
+                    )
+                ).alias("__best"),
+            )
+        )
+        out = (
+            per.filter(F.col("n_members") >= 2)
+            .select(
+                "cluster_rep",
+                "n_members",
+                (-F.col("__best.nd")).cast("long").alias("survivor_id"),
+                F.col("__best.t").alias("survivor_tokens"),
+            )
+            .orderBy("cluster_rep")
+        )
+        out.count()  # force the iterative stage under the capped width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield as a function of the Jaccard threshold — the tuning
+    curve a curation run reads before picking its cut (too low throws
+    away distinct docs, too high keeps near-dups). ONE pass computes
+    integer intersection/union sizes for the blocked candidate pairs
+    (the q_ngram_jaccard candidate discipline: narrow (block, id) join,
+    shingle arrays attach to survivors only); each pair then fans out
+    x5 to the thresholds it clears — integer cross-multiplication
+    (100*i >= t*u), no float compare. Zero-pair thresholds still emit
+    a row (left join from the literal threshold relation)."""
+    from .operators.dedup import hashed_shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    narrow = docs.select("source", "doc_id")
+    cand = (
+        narrow.select(F.col("source"), F.col("doc_id").alias("a"))
+        .join(
+            narrow.select(F.col("source"), F.col("doc_id").alias("b")),
+            "source",
+        )
+        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= 100))
+        .select("a", "b")
+    )
+    sets_df = hashed_shingle_sets(docs, "doc_id", "text", 3)
+    sa = sets_df.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pv = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("u"),
+        )
+    )
+    fan = pv.select(
+        F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias(
+            "threshold_pct"
+        ),
+        "a",
+        "b",
+        "i",
+        "u",
+    ).filter(F.col("i") * 100 >= F.col("threshold_pct") * F.col("u"))
+    counts = fan.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("b").cast("long").alias("n_docs_dropped"),
+    )
+    tdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias(
+            "threshold_pct"
+        )
+    )
+    return (
+        tdf.join(counts, "threshold_pct", "left")
+        .select(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0))
+            .cast("long")
+            .alias("n_docs_dropped"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage of the top-N vocabulary (N in
+    10/100/1k/10k) — the curve that sizes a tokenizer's vocab (where it
+    flattens, extra entries buy nothing). Term frequencies aggregate
+    once (vocab-bounded); ranks come from the two-phase global row
+    number under (-freq, term) — no single-reducer sort; each top row
+    fans out to the thresholds it falls under (x4 on <= 10k rows) and
+    the coverage is an exact integer ppm against the one-row total."""
+    from .functions.text import tokens
+    from .operators.relational import with_global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    totals = freq.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    ranked = with_global_row_number(
+        freq.select("term", "freq", (-F.col("freq")).alias("__negf")),
+        ["__negf", "term"],
+        rn_col="rn",
+    ).filter(F.col("rn") <= 10000)
+    fan = ranked.select(
+        F.explode(
+            F.array(*[F.lit(n) for n in (10, 100, 1000, 10000)])
+        ).alias("n_top"),
+        "rn",
+        "freq",
+    ).filter(F.col("rn") <= F.col("n_top"))
+    cov = fan.groupBy("n_top").agg(
+        F.sum("freq").cast("long").alias("covered_tokens")
+    )
+    return (
+        cov.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_top").cast("long").alias("n_top"),
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            F.expr("covered_tokens * 1000000 div total_tokens").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("n_top")
+    )
+
+
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination rate PER SOURCE — q_decontaminate's
+    per-document verdicts rolled up to the provenance grain, the view
+    that tells a curation run WHICH feed leaks eval data. Same shingle
+    pipeline (hashed longs before the join, distinct-reduced unhinted
+    benchmark side), one extra source join + a 20-row aggregate; the
+    flag and the rate stay exact integers."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(TX.shingles_of(F.col("__toks"), 3))
+            ).alias("s"),
+        )
+        .select("doc_id", TX.hash32(F.col("s")).alias("h"))
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 25 == 0).select("h").distinct()
+    probe = sh.filter(F.col("doc_id") % 25 != 0)
+    tot = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    cont = (
+        probe.join(bench, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cont"))
+    )
+    per_doc = tot.join(cont, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.coalesce(F.col("n_cont"), F.lit(0)) * 2 >= F.col("n_sh"), 1
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("flagged").cast("long").alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            F.expr("n_contaminated * 1000000 div n_docs").alias(
+                "contaminated_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most repeated word 8-grams across the corpus with their
+    document frequency — the boilerplate detector (headers, footers,
+    cookie banners repeat verbatim across docs; a high occurrence count
+    with high doc frequency is removable template text). Tokens
+    materialize in their own projection (the shingles_of performance
+    contract); counts are one combine-able aggregate over the exploded
+    8-grams; the readout is TakeOrderedAndProject under the
+    (occurrences desc, gram) total order."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(TX.shingles_of(F.col("__toks"), 8)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
+QUERIES["q_returned_items_topk"] = q_returned_items_topk
+ORACLES["q_returned_items_topk"] = """
+    with per_cust as (
+        select o.o_custkey,
+               sum((floor(l.l_extendedprice * 100 + 0.5)::bigint
+                    * (100 - floor(l.l_discount * 100 + 0.5)::bigint))::hugeint)
+                   as rev
+        from lineitem l
+        join orders o on l.l_orderkey = o.o_orderkey
+        where l.l_returnflag = 'R'
+          and o.o_orderdate >= timestamp '1995-10-01'
+          and o.o_orderdate < timestamp '1996-01-01'
+        group by o.o_custkey
+    )
+    select c.c_custkey, c.c_name, n.n_name,
+           p.rev::varchar::double as returned_rev_u
+    from per_cust p
+    join customer c on p.o_custkey = c.c_custkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    order by returned_rev_u desc, c.c_custkey
+    limit 20
+"""
+
+QUERIES["q_dedup_survivorship"] = q_dedup_survivorship
+ORACLES["q_dedup_survivorship"] = f"""
+    with recursive
+    {_DK_LSH_PAIR_CTES},
+    {_DK_COMPONENT_CTES},
+    tokc as (
+        select doc_id, len({_DK_TOKENS})::bigint as tok_n from documents
+    ),
+    m as (
+        select l.cluster_rep, l.doc_id, t.tok_n
+        from lab l join tokc t on l.doc_id = t.doc_id
+    ),
+    r as (
+        select cluster_rep, doc_id, tok_n,
+               row_number() over (partition by cluster_rep
+                                  order by tok_n desc, doc_id) as rk,
+               count(*) over (partition by cluster_rep) as nm
+        from m
+    )
+    select cluster_rep, nm::bigint as n_members,
+           doc_id as survivor_id, tok_n as survivor_tokens
+    from r where rk = 1 and nm >= 2
+    order by cluster_rep
+"""
+
+QUERIES["q_dedup_yield_curve"] = q_dedup_yield_curve
+ORACLES["q_dedup_yield_curve"] = f"""
+    with t as (
+        select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+        from (select doc_id, source, {_DK_TOKENS} as w from documents)
+    ),
+    pv as (
+        select a.doc_id as a, b.doc_id as b,
+               len(list_distinct(list_intersect(a.sh, b.sh)))::bigint as i,
+               len(list_distinct(a.sh || b.sh))::bigint as u
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id
+         and b.doc_id - a.doc_id <= 100
+    ),
+    th as (select unnest([50, 60, 70, 80, 90])::bigint as threshold_pct),
+    counts as (
+        select threshold_pct, count(*)::bigint as n_pairs,
+               count(distinct b)::bigint as n_docs_dropped
+        from pv cross join th
+        where i * 100 >= threshold_pct * u
+        group by threshold_pct
+    )
+    select th.threshold_pct,
+           coalesce(c.n_pairs, 0)::bigint as n_pairs,
+           coalesce(c.n_docs_dropped, 0)::bigint as n_docs_dropped
+    from th left join counts c on th.threshold_pct = c.threshold_pct
+    order by th.threshold_pct
+"""
+
+QUERIES["q_vocab_coverage_curve"] = q_vocab_coverage_curve
+ORACLES["q_vocab_coverage_curve"] = f"""
+    with tf as (
+        select unnest({_DK_TOKENS}) as term from documents
+    ),
+    freq as (select term, count(*)::bigint as freq from tf group by term),
+    totals as (
+        select sum(freq)::bigint as total_tokens,
+               count(*)::bigint as vocab_size
+        from freq
+    ),
+    ranked as (
+        select freq, row_number() over (order by freq desc, term) as rn
+        from freq
+    ),
+    cov as (
+        select n_top, sum(freq)::bigint as covered_tokens
+        from ranked
+        cross join (select unnest([10, 100, 1000, 10000])::bigint as n_top)
+        where rn <= n_top
+        group by n_top
+    )
+    select n_top, covered_tokens, total_tokens, vocab_size,
+           (covered_tokens * 1000000 // total_tokens)::bigint as coverage_ppm
+    from cov cross join totals
+    order by n_top
+"""
+
+QUERIES["q_contamination_by_source"] = q_contamination_by_source
+ORACLES["q_contamination_by_source"] = f"""
+    with sh as (
+        select distinct doc_id,
+               ('0x' || substr(md5(s), 1, 8))::bigint as h
+        from (
+            select doc_id, unnest(list_distinct({_DK_SHINGLES})) as s
+            from (select doc_id, {_DK_TOKENS} as w from documents)
+        )
+    ),
+    bench as (select distinct h from sh where doc_id % 25 = 0),
+    probe as (select * from sh where doc_id % 25 != 0),
+    tot as (select doc_id, count(*)::bigint as n_sh from probe group by doc_id),
+    cont as (
+        select doc_id, count(*)::bigint as n_cont
+        from probe semi join bench using (h)
+        group by doc_id
+    ),
+    per_doc as (
+        select t.doc_id,
+               case when coalesce(c.n_cont, 0) * 2 >= t.n_sh then 1 else 0
+               end as flagged
+        from tot t left join cont c on t.doc_id = c.doc_id
+    )
+    select d.source, count(*)::bigint as n_docs,
+           sum(p.flagged)::bigint as n_contaminated,
+           (sum(p.flagged) * 1000000 // count(*))::bigint as contaminated_ppm
+    from per_doc p join documents d on p.doc_id = d.doc_id
+    group by d.source
+    order by d.source
+"""
+
+_DK_SHINGLES8 = (
+    "list_transform(generate_series(1, greatest(len(w)-7, 0)),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]"
+    " || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])"
+)
+
+QUERIES["q_boilerplate_ngrams"] = q_boilerplate_ngrams
+ORACLES["q_boilerplate_ngrams"] = f"""
+    with grams as (
+        select doc_id, unnest({_DK_SHINGLES8}) as gram
+        from (select doc_id, {_DK_TOKENS} as w from documents)
+    )
+    select gram, count(*)::bigint as occurrences,
+           count(distinct doc_id)::bigint as n_docs
+    from grams
+    group by gram
+    order by occurrences desc, gram
+    limit 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 WINDOW: the driver's correctness gate reads the FIRST 50 entries
+# of QUERIES, so registry order is load-bearing. Composition (pinned by
+# tests/test_entry_contract.test_driver_window_composition, candidates
+# computed by tools/attestation.py — never hand-curated again):
+#   slots 1-20: the round-8 batch-3/4 queries with no driver row yet
+#     (judge-attested at both SFs in r8; driver-green here completes
+#     cumulative attestation of the whole r8 catalog);
+#   slots 21-38: the round-9 additions (all oracle-twinned, verified at
+#     sf0.001 + sf0.01 this session);
+#   slots 39-50: re-attestation of every query whose PLAN changed under
+#     the round-9 hint-audit fixes (oracle hashes are layout-independent,
+#     so these re-verify the de-hinted plans end-to-end).
+# ---------------------------------------------------------------------------
+
+_R9_WINDOW = [
+    # -- 1-20: r8 batch-3/4 attestation head (tools/attestation.py) ----
+    "q_grouped_median",
+    "q_cohens_kappa",
+    "q_chi2_contingency",
+    "q_ewma_dyadic",
+    "q_max_drawdown",
+    "q_local_clustering",
+    "q_mips_topk",
+    "q_knn_label_vote",
+    "q_revenue_share_filter",
+    "q_above_brand_avg",
+    "q_acf_grid",
+    "q_length_band_filter",
+    "q_weighted_median",
+    "q_cross_corr",
+    "q_burstiness",
+    "q_embargo_split",
+    "q_hour_week_heatmap",
+    "q_repeat_rate",
+    "q_weekly_active_overlap",
+    "q_zipf_check",
+    # -- 21-38: round-9 additions --------------------------------------
+    "q_mann_whitney",
+    "q_runs_test",
+    "q_theil_sen",
+    "q_top_supplier",
+    "q_promo_share_monthly",
+    "q_late_ship_priority",
+    "q_dwell_time_bands",
+    "q_dau_wau_stickiness",
+    "q_cold_start_rate",
+    "q_user_hhi",
+    "q_assortativity",
+    "q_common_neighbors_topk",
+    "q_returned_items_topk",
+    "q_dedup_survivorship",
+    "q_dedup_yield_curve",
+    "q_vocab_coverage_curve",
+    "q_contamination_by_source",
+    "q_boilerplate_ngrams",
+    # -- 39-50: round-9 plan-change re-attestations (hint-audit fixes) --
+    "q_star_join",
+    "q_star_join_preagg",
+    "q_left_join_lookup",
+    "q_filter_join_topk",
+    "q_decontaminate",
+    "q_cosine_topk",
+    "q_hard_negatives",
+    "q_data_quality",
+    "q_scd1_merge",
+    "q_cdc_apply",
+    "q_skyline",
+    "q_abc_pareto",
+]
+
+_rest = [n for n in QUERIES if n not in set(_R9_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R9_WINDOW, *_rest]}

@@ -214,6 +214,25 @@ HEADLINE = [
     "q_repeat_rate",
     "q_weekly_active_overlap",
     "q_zipf_check",
+    # round-9 additions (appended; earlier entries stay comparable)
+    "q_mann_whitney",
+    "q_runs_test",
+    "q_theil_sen",
+    "q_top_supplier",
+    "q_promo_share_monthly",
+    "q_late_ship_priority",
+    "q_dwell_time_bands",
+    "q_dau_wau_stickiness",
+    "q_cold_start_rate",
+    "q_user_hhi",
+    "q_assortativity",
+    "q_common_neighbors_topk",
+    "q_returned_items_topk",
+    "q_dedup_survivorship",
+    "q_dedup_yield_curve",
+    "q_vocab_coverage_curve",
+    "q_contamination_by_source",
+    "q_boilerplate_ngrams",
 ]
 
 
