@@ -15802,10 +15802,15 @@ def q_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by common-neighbor count: the top 20 part pairs
     sharing the most co-purchase partners WITHOUT being co-purchased
     themselves — the "customers who bought these also bought" candidate
-    generator. Wedges enumerate per center (two keyed equi-joins on the
-    symmetric edge list — cost is sum over centers of C(deg, 2), the
-    triangle-counting budget); direct edges drop via one anti join; the
-    top-k is TakeOrderedAndProject, never a global sort."""
+    generator. The graph keeps only SUPPORT >= 2 edges (pairs
+    co-purchased in 2+ orders): a single co-occurrence in a basket is
+    noise, and the denoised graph is also what bounds the wedge budget
+    — at sf0.1 the raw pair relation holds 1.2M one-off pairs vs 3.6k
+    repeat edges (measured; 148M wedges collapse to ~1.4k). Wedges
+    enumerate per center (two keyed equi-joins on the symmetric edge
+    list — sum over centers of C(deg, 2)); direct edges drop via one
+    anti join; the top-k is TakeOrderedAndProject, never a global
+    sort."""
     li = _t(spark, sf_dir, "lineitem")
     baskets = (
         li.groupBy("l_orderkey")
@@ -15824,8 +15829,10 @@ def q_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         baskets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("a", "b")
     )
     path = _tmp_path("cn_edges")
     edges.write.mode("overwrite").parquet(path)
@@ -15975,9 +15982,11 @@ ORACLES["q_common_neighbors_topk"] = """
         select l_orderkey, unnest(items) as p from baskets
     ),
     edges as (
-        select distinct a.p as a, b.p as b
+        select a.p as a, b.p as b
         from inc a join inc b
           on a.l_orderkey = b.l_orderkey and a.p < b.p
+        group by 1, 2
+        having count(*) >= 2
     ),
     sym as (
         select a, b from edges union all select b, a from edges

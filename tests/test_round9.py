@@ -199,11 +199,14 @@ def test_common_neighbors_excludes_direct_edges(spark, sf_dir):
     baskets: dict = {}
     for r in li:
         baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
-    edges = set()
+    support: dict = {}
     for items in baskets.values():
         if len(items) <= 30:
             s = sorted(items)
-            edges |= {(a, b) for i, a in enumerate(s) for b in s[i + 1:]}
+            for i, a in enumerate(s):
+                for b in s[i + 1:]:
+                    support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {p for p, c in support.items() if c >= 2}
     for r in rows:
         assert (r["a"], r["b"]) not in edges
 
