@@ -16544,3 +16544,497 @@ _R9_WINDOW = [
 
 _rest = [n for n in QUERIES if n not in set(_R9_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*_R9_WINDOW, *_rest]}
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 4: paired tests, grouped inequality, market structure
+# ---------------------------------------------------------------------------
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on per-part revenue, 1996 vs 1997 —
+    the PAIRED nonparametric test (the panel-data sibling of
+    q_mann_whitney's independent two-sample U): did the same parts earn
+    more in 1997? Differences are exact micro-cent integers; zero
+    differences drop (the standard treatment); |d| ranks come from the
+    two-phase global rank under the (|d|, partkey) total order; and
+    z^2 = 3*(4W+ - n(n+1))^2 / (2n(n+1)(2n+1)) is fully
+    cross-multiplied — exact integers until ONE IEEE division."""
+    from .operators.relational import with_global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    rev_u = (
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        * (
+            F.lit(100)
+            - F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        )
+    )
+    per = (
+        li.select(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            rev_u.alias("rev_u"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, F.col("rev_u")).otherwise(0))
+            .cast("long")
+            .alias("r96"),
+            F.sum(F.when(F.col("yr") == 1997, F.col("rev_u")).otherwise(0))
+            .cast("long")
+            .alias("r97"),
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n96"),
+            F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("n97"),
+        )
+        .filter((F.col("n96") > 0) & (F.col("n97") > 0))
+        .select(
+            "l_partkey", (F.col("r97") - F.col("r96")).alias("d")
+        )
+        .filter(F.col("d") != 0)
+    )
+    ranked = with_global_row_number(
+        per.select("l_partkey", "d", F.abs("d").alias("ad")),
+        ["ad", "l_partkey"],
+        rn_col="rk",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("rk")).otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("__wp"),
+    )
+    n = F.col("n_pairs").cast("decimal(38,0)")
+    dev = F.lit(4).cast("decimal(38,0)") * F.col("__wp") - n * (n + 1)
+    num = F.lit(3).cast("decimal(38,0)") * dev * dev
+    den = F.lit(2).cast("decimal(38,0)") * n * (n + 1) * (2 * n + 1)
+    return agg.select(
+        "n_pairs",
+        F.col("__wp").cast("double").alias("w_plus"),
+        (num.cast("double") / den.cast("double")).alias("z2"),
+    )
+
+
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of customer revenue — q_gini generalized to the
+    GROUPED rank discipline: each nation's ascending-revenue sort is
+    range-split across ALL reducers (operators/relational.
+    with_grouped_row_number — a Window.partitionBy(nation) form would
+    hand one reducer one nation's entire customer base at 100 TB). The
+    orders ⟕ customer join is unhinted (both scale); rank-weighted sums
+    merge as decimal(38,0); one IEEE division per nation row."""
+    from .operators.relational import with_grouped_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    ranked = with_grouped_row_number(
+        per, ["c_nationkey"], ["rev", "o_custkey"], rn_col="i", n_col="n"
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev")).alias("__six"),
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        agg.join(F.broadcast(nat), agg.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            (
+                (
+                    F.lit(2) * F.col("__six")
+                    - (F.col("n_customers") + 1) * F.col("__sx")
+                ).cast("double")
+                / (F.col("n_customers") * F.col("__sx")).cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration (Herfindahl, exact ppm) per nation
+    — the antitrust-style readout of how contestable each nation's
+    supply base is. Per-supplier revenue aggregates once (map-side
+    combined); the supplier join is unhinted (supplier scales); HHI
+    cross-multiplies to integers with a TWO-STEP floor division
+    (s2 div (sx*sx div 1e6)) so every intermediate fits decimal(38,0) /
+    hugeint even at 100 TB revenue magnitudes — both engines mirror the
+    identical two-step, so the floor semantics hash-check."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_u = (
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        * (
+            F.lit(100)
+            - F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        )
+    )
+    per_supp = (
+        li.select("l_suppkey", rev_u.alias("rev_u"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("rev"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nat = (
+        per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev").alias("__sx"),
+            F.sum(F.col("rev") * F.col("rev")).alias("__s2"),
+        )
+    )
+    return (
+        per_nat.join(F.broadcast(nat), per_nat.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.expr(
+                "cast(__s2 div (__sx * __sx div 1000000) as bigint)"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by relative line-value dispersion — the pricing-
+    consistency screen (a part whose line values swing wildly is being
+    discounted erratically or sold in wildly varying quantities). The
+    relative variance cross-multiplies to ONE exact integer ppm per
+    part: rv_ppm = (n*sxx - sx^2) * 1e6 div sx^2 over decimal(38,0)
+    power sums (map-side combined; one fact shuffle on partkey); the
+    readout is TakeOrderedAndProject under (rv_ppm desc, partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        li.select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("__sx"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("__sxx"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
+    rv = per.select(
+        "l_partkey",
+        "n_lines",
+        F.expr(
+            "cast(((n_lines * __sxx - __sx * __sx) * 1000000)"
+            " div (__sx * __sx) as bigint)"
+        ).alias("rv_ppm"),
+    )
+    return rv.orderBy(F.col("rv_ppm").desc(), F.col("l_partkey")).limit(20)
+
+
+def q_split_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA for the hash split: per (source, split), the observed doc
+    count against the expected thousandths share (train 900 / val 50 /
+    test 50 of each source), with the absolute deviation in exact ppm
+    of expected — the check that a content-independent hash split did
+    not accidentally skew any source. Pure integer arithmetic on a
+    sources x 3 relation."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 1000
+    tagged = docs.select(
+        "source",
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    obs = tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_n")
+    )
+    share = (
+        F.when(F.col("split") == "train", 900)
+        .when(F.col("split") == "val", 50)
+        .otherwise(50)
+        .cast("long")
+    )
+    j = obs.join(totals, "source").withColumn("share_th", share)
+    return j.select(
+        "source",
+        "split",
+        "n_docs",
+        (F.col("src_n") * F.col("share_th")).alias("expected_x1000"),
+        F.expr(
+            "abs(n_docs * 1000 - src_n * share_th) * 1000000"
+            " div (src_n * share_th)"
+        ).alias("deviation_ppm"),
+    ).orderBy("source", "split")
+
+
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA(7)/MA(28) crossover days of daily revenue — the trend-shift
+    detector (fast average crossing the slow one). Everything lives on
+    the DAY-DOMAIN relation: calendar-range window sums (RANGE frames
+    on the day number, so date gaps are handled exactly), and the
+    crossing test is fully cross-multiplied — a7 > a28 iff
+    s7*c28 > s28*c7 with integer sums and window-row counts, so partial
+    windows at the series head are exact too, no float ever compared.
+    A crossover = the sign of (s7*c28 - s28*c7) changing day-over-day."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("c"))
+        .withColumn(
+            "dn", F.datediff("d", F.lit("1995-01-01").cast("date")).cast("long")
+        )
+    )
+    w7 = Window.orderBy("dn").rangeBetween(-6, 0)
+    w28 = Window.orderBy("dn").rangeBetween(-27, 0)
+    ma = daily.select(
+        "d",
+        F.sum("c").over(w7).cast("decimal(38,0)").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("decimal(38,0)").alias("c7"),
+        F.sum("c").over(w28).cast("decimal(38,0)").alias("s28"),
+        F.count(F.lit(1)).over(w28).cast("decimal(38,0)").alias("c28"),
+    )
+    signed = ma.select(
+        "d",
+        F.when(
+            F.col("s7") * F.col("c28") > F.col("s28") * F.col("c7"), 1
+        )
+        .when(F.col("s7") * F.col("c28") < F.col("s28") * F.col("c7"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sgn"),
+    )
+    wd = Window.orderBy("d")
+    return (
+        signed.select(
+            "d",
+            "sgn",
+            F.lag("sgn").over(wd).alias("prev"),
+        )
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("sgn") != 0)
+            & (F.col("prev") != 0)
+            & (F.col("sgn") != F.col("prev"))
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.when(F.col("sgn") > 0, F.lit("golden"))
+            .otherwise(F.lit("death"))
+            .alias("cross"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["q_wilcoxon_signed_rank"] = q_wilcoxon_signed_rank
+ORACLES["q_wilcoxon_signed_rank"] = """
+    with per as (
+        select l_partkey,
+               sum(case when year(l_shipdate) = 1996 then
+                   floor(l_extendedprice * 100 + 0.5)::bigint
+                   * (100 - floor(l_discount * 100 + 0.5)::bigint)
+                   else 0 end)::bigint as r96,
+               sum(case when year(l_shipdate) = 1997 then
+                   floor(l_extendedprice * 100 + 0.5)::bigint
+                   * (100 - floor(l_discount * 100 + 0.5)::bigint)
+                   else 0 end)::bigint as r97,
+               sum(case when year(l_shipdate) = 1996 then 1 else 0
+                   end) as n96,
+               sum(case when year(l_shipdate) = 1997 then 1 else 0
+                   end) as n97
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+        group by l_partkey
+    ),
+    diffs as (
+        select l_partkey, r97 - r96 as d
+        from per where n96 > 0 and n97 > 0 and r97 != r96
+    ),
+    ranked as (
+        select d, row_number() over (order by abs(d), l_partkey) as rk
+        from diffs
+    ),
+    agg as (
+        select count(*)::bigint as n_pairs,
+               sum(case when d > 0 then rk::hugeint else 0 end) as wp
+        from ranked
+    )
+    select n_pairs, wp::varchar::double as w_plus,
+           (3 * (4 * wp - n_pairs::hugeint * (n_pairs + 1))
+              * (4 * wp - n_pairs::hugeint * (n_pairs + 1)))::varchar::double
+           / (2 * n_pairs::hugeint * (n_pairs + 1)
+              * (2 * n_pairs + 1))::varchar::double as z2
+    from agg
+"""
+
+QUERIES["q_gini_by_nation"] = q_gini_by_nation
+ORACLES["q_gini_by_nation"] = """
+    with per as (
+        select c.c_nationkey, o.o_custkey,
+               sum(floor(o.o_totalprice * 100 + 0.5)::bigint)::bigint as rev
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by 1, 2
+    ),
+    ranked as (
+        select c_nationkey, rev,
+               row_number() over (partition by c_nationkey
+                                  order by rev, o_custkey) as i,
+               count(*) over (partition by c_nationkey) as n
+        from per
+    ),
+    agg as (
+        select c_nationkey, max(n)::bigint as n_customers,
+               sum(rev) as sx, sum(i::hugeint * rev) as six
+        from ranked group by c_nationkey
+    )
+    select nn.n_name, a.n_customers,
+           (2 * a.six - (a.n_customers + 1) * a.sx)::varchar::double
+           / (a.n_customers * a.sx)::varchar::double as gini
+    from agg a join nation nn on a.c_nationkey = nn.n_nationkey
+    order by nn.n_name
+"""
+
+QUERIES["q_supplier_hhi_by_nation"] = q_supplier_hhi_by_nation
+ORACLES["q_supplier_hhi_by_nation"] = """
+    with per_supp as (
+        select l_suppkey,
+               sum((floor(l_extendedprice * 100 + 0.5)::bigint
+                    * (100 - floor(l_discount * 100 + 0.5)::bigint))::hugeint)
+                   as rev
+        from lineitem group by l_suppkey
+    ),
+    per_nat as (
+        select s.s_nationkey, count(*)::bigint as n_suppliers,
+               sum(p.rev) as sx, sum(p.rev * p.rev) as s2
+        from per_supp p join supplier s on p.l_suppkey = s.s_suppkey
+        group by s.s_nationkey
+    )
+    select n.n_name, p.n_suppliers,
+           (p.s2 // (p.sx * p.sx // 1000000))::bigint as hhi_ppm
+    from per_nat p join nation n on p.s_nationkey = n.n_nationkey
+    order by n.n_name
+"""
+
+QUERIES["q_price_dispersion_topk"] = q_price_dispersion_topk
+ORACLES["q_price_dispersion_topk"] = """
+    with per as (
+        select l_partkey, count(*)::bigint as n_lines,
+               sum(floor(l_extendedprice * 100 + 0.5)::bigint::hugeint) as sx,
+               sum(floor(l_extendedprice * 100 + 0.5)::bigint::hugeint
+                   * floor(l_extendedprice * 100 + 0.5)::bigint) as sxx
+        from lineitem group by l_partkey
+        having count(*) >= 2
+    )
+    select l_partkey, n_lines,
+           (((n_lines * sxx - sx * sx) * 1000000) // (sx * sx))::bigint
+               as rv_ppm
+    from per
+    order by rv_ppm desc, l_partkey
+    limit 20
+"""
+
+QUERIES["q_split_balance_check"] = q_split_balance_check
+ORACLES["q_split_balance_check"] = """
+    with tagged as (
+        select source,
+               case when b < 900 then 'train'
+                    when b < 950 then 'val' else 'test' end as split
+        from (
+            select source,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+                       % 1000 as b
+            from documents
+        )
+    ),
+    obs as (
+        select source, split, count(*)::bigint as n_docs
+        from tagged group by 1, 2
+    ),
+    totals as (select source, count(*)::bigint as src_n from tagged group by 1)
+    select o.source, o.split, o.n_docs,
+           (t.src_n * case o.split when 'train' then 900
+                      when 'val' then 50 else 50 end)::bigint
+               as expected_x1000,
+           (abs(o.n_docs * 1000 - t.src_n * case o.split when 'train' then 900
+                                            when 'val' then 50 else 50 end)
+            * 1000000
+            // (t.src_n * case o.split when 'train' then 900
+                          when 'val' then 50 else 50 end))::bigint
+               as deviation_ppm
+    from obs o join totals t on o.source = t.source
+    order by o.source, o.split
+"""
+
+QUERIES["q_ma_crossover"] = q_ma_crossover
+ORACLES["q_ma_crossover"] = """
+    with daily as (
+        select o_orderdate::date as d,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint as c,
+               date_diff('day', date '1995-01-01', o_orderdate::date)::bigint
+                   as dn
+        from orders group by 1, 3
+    ),
+    ma as (
+        select d,
+               sum(c) over (order by dn range between 6 preceding
+                            and current row)::hugeint as s7,
+               count(*) over (order by dn range between 6 preceding
+                              and current row)::hugeint as c7,
+               sum(c) over (order by dn range between 27 preceding
+                            and current row)::hugeint as s28,
+               count(*) over (order by dn range between 27 preceding
+                              and current row)::hugeint as c28
+        from daily
+    ),
+    signed as (
+        select d, case when s7 * c28 > s28 * c7 then 1
+                       when s7 * c28 < s28 * c7 then -1
+                       else 0 end::bigint as sgn
+        from ma
+    ),
+    flips as (
+        select d, sgn, lag(sgn) over (order by d) as prev from signed
+    )
+    select d::varchar as day,
+           case when sgn > 0 then 'golden' else 'death' end as cross
+    from flips
+    where prev is not null and sgn != 0 and prev != 0 and sgn != prev
+    order by day
+"""

@@ -233,6 +233,13 @@ HEADLINE = [
     "q_vocab_coverage_curve",
     "q_contamination_by_source",
     "q_boilerplate_ngrams",
+    # round-9 batch-4 additions (appended; earlier entries comparable)
+    "q_wilcoxon_signed_rank",
+    "q_gini_by_nation",
+    "q_supplier_hhi_by_nation",
+    "q_price_dispersion_topk",
+    "q_split_balance_check",
+    "q_ma_crossover",
 ]
 
 

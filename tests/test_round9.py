@@ -295,3 +295,90 @@ def test_boilerplate_ngrams_are_8_grams(spark, sf_dir):
     for r in out:
         assert len(r["gram"].split(" ")) == 8
         assert r["n_docs"] <= r["occurrences"]
+
+
+# -- batch 4 -----------------------------------------------------------------
+
+
+def test_wilcoxon_matches_python(spark, sf_dir):
+    import math
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", F.year("l_shipdate").alias("yr"),
+                "l_extendedprice", "l_discount")
+        .collect()
+    )
+    per: dict = {}
+    for r in rows:
+        rev = math.floor(r["l_extendedprice"] * 100 + 0.5) * (
+            100 - math.floor(r["l_discount"] * 100 + 0.5)
+        )
+        a = per.setdefault(r["l_partkey"], [0, 0, 0, 0])
+        if r["yr"] == 1996:
+            a[0] += rev
+            a[2] += 1
+        else:
+            a[1] += rev
+            a[3] += 1
+    diffs = sorted(
+        (abs(v[1] - v[0]), k, v[1] - v[0])
+        for k, v in per.items()
+        if v[2] > 0 and v[3] > 0 and v[1] != v[0]
+    )
+    wp = sum(i + 1 for i, t in enumerate(diffs) if t[2] > 0)
+    got = catalog.q_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert got["n_pairs"] == len(diffs)
+    assert got["w_plus"] == wp
+
+
+def test_gini_by_nation_matches_global_shape(spark, sf_dir):
+    out = catalog.q_gini_by_nation(spark, sf_dir).collect()
+    assert len(out) == 25
+    for r in out:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_customers"] >= 1
+
+
+def test_supplier_hhi_bounds(spark, sf_dir):
+    out = catalog.q_supplier_hhi_by_nation(spark, sf_dir).collect()
+    for r in out:
+        # >= 1e6/n (perfect equality) modulo the two-step floor; <= 1e6
+        assert r["hhi_ppm"] <= 1_000_000
+        assert r["hhi_ppm"] >= 1_000_000 // r["n_suppliers"] - 1
+
+
+def test_price_dispersion_is_topk_plan(spark, sf_dir):
+    df = catalog.q_price_dispersion_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_of(df)
+    rows = df.collect()
+    ppm = [r["rv_ppm"] for r in rows]
+    assert ppm == sorted(ppm, reverse=True)
+    assert all(p >= 0 for p in ppm)
+
+
+def test_split_balance_conserves_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = catalog.q_split_balance_check(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    src_counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    shares = {"train": 900, "val": 50, "test": 50}
+    for r in out:  # a small source may have no docs in some split —
+        #            only observed (source, split) rows surface
+        assert r["expected_x1000"] == src_counts[r["source"]] * shares[r["split"]]
+        assert r["deviation_ppm"] >= 0
+
+
+def test_ma_crossover_alternates(spark, sf_dir):
+    out = catalog.q_ma_crossover(spark, sf_dir).collect()
+    assert out  # seven years of dailies cross at least once
+    kinds = [r["cross"] for r in out]
+    for a, b in zip(kinds, kinds[1:]):
+        assert a != b  # consecutive crossings must alternate direction
