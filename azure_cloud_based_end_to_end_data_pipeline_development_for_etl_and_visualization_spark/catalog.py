@@ -15404,15 +15404,26 @@ def q_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     joined = li.join(part, li.l_partkey == part.p_partkey)
+    # two-level fastagg discipline: LONG partials per (month, input
+    # partition) stay in codegen (a per-partition-month partial is
+    # bounded ~1e16 << 2^63 at 128 MB partitions), the decimal(38,0)
+    # merge runs over months x partitions rows only — identical exact
+    # integers, ~2x faster than per-row decimal accumulation at sf0.1
+    stage1 = joined.groupBy(
+        "month", F.spark_partition_id().alias("__p")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(0)
+        ).cast("long").alias("__pl"),
+        F.sum("rev_u").cast("long").alias("__tl"),
+    )
     return (
-        joined.groupBy("month")
+        stage1.groupBy("month")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(
-                F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(0)
-                .cast("decimal(38,0)")
-            ).alias("__promo"),
-            F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("__total"),
+            F.sum("__n").cast("long").alias("n_lines"),
+            F.sum(F.col("__pl").cast("decimal(38,0)")).alias("__promo"),
+            F.sum(F.col("__tl").cast("decimal(38,0)")).alias("__total"),
         )
         .select(
             "month",
