@@ -382,3 +382,14 @@ def test_ma_crossover_alternates(spark, sf_dir):
     kinds = [r["cross"] for r in out]
     for a, b in zip(kinds, kinds[1:]):
         assert a != b  # consecutive crossings must alternate direction
+
+
+def test_promo_share_uses_two_level_long_partials(spark, sf_dir):
+    """The monthly sums must ride the fastagg discipline: LONG partials
+    per (month, input partition) in codegen, decimal merge over the
+    tiny stage-2 relation — never per-row decimal accumulation."""
+    plan = plan_of(catalog.q_promo_share_monthly(spark, sf_dir))
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    # stage-1 partials are longs; the only decimal sums take stage-1
+    # long outputs as input (cast(__pl/__tl as decimal))
+    assert "sum(cast(__pl" in plan or "sum(cast(__pl#" in plan.replace(" ", "")
