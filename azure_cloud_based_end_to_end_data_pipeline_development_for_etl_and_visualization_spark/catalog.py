@@ -17049,3 +17049,258 @@ ORACLES["q_ma_crossover"] = """
     where prev is not null and sgn != 0 and prev != 0 and sgn != prev
     order by day
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 5: causal readout, classifier eval, dedup economics
+# ---------------------------------------------------------------------------
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: BUILDING-segment customers (treated)
+    vs the rest (control), mean order value 1996 (pre) vs 1997 (post) —
+    the workhorse causal readout for "did the thing we did to THAT
+    cohort move THEIR number beyond the market trend?". ONE fact scan
+    of conditional integer sums (map-side combined); each cell mean is
+    one IEEE division of exact integers; DiD is arithmetic over the
+    four identically-computed doubles — both engines run the same op
+    tree, so the readout hash-checks. The customer join is unhinted."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+
+    def cell(treated: bool, yr: int, name: str) -> list:
+        cond = (F.col("treated") == treated) & (F.col("yr") == yr)
+        return [
+            F.sum(F.when(cond, F.col("cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"__s_{name}"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                f"n_{name}"
+            ),
+        ]
+
+    agg = j.agg(
+        *cell(True, 1996, "t_pre"),
+        *cell(True, 1997, "t_post"),
+        *cell(False, 1996, "c_pre"),
+        *cell(False, 1997, "c_post"),
+    )
+    means = {
+        n: (F.col(f"__s_{n}").cast("double") / F.col(f"n_{n}").cast("double"))
+        for n in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        means["t_pre"].alias("mean_t_pre"),
+        means["t_post"].alias("mean_t_post"),
+        means["c_pre"].alias("mean_c_pre"),
+        means["c_post"].alias("mean_c_post"),
+        (
+            (means["t_post"] - means["t_pre"])
+            - (means["c_post"] - means["c_pre"])
+        ).alias("did_cents"),
+    )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID heuristic against
+    the labeled lang column — the eval every classifier-shaped curation
+    filter needs before it gates data (here: how often non-English docs
+    sneak past an English detector). One map-only detect pass, one
+    (true, predicted) aggregate, within-true shares in exact ppm."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang", TX.lang_id(F.col("text")).alias("lang_detected")
+    )
+    cells = tagged.groupBy("lang", "lang_detected").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("__lt")
+    )
+    return (
+        cells.join(totals, "lang")
+        .select(
+            "lang",
+            "lang_detected",
+            "n_docs",
+            F.expr("n_docs * 1000000 div __lt").alias("share_ppm"),
+        )
+        .orderBy("lang", "lang_detected")
+    )
+
+
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token savings from near-dup survivorship, per source — the
+    economics readout of a dedup run (tokens are training cost; this is
+    what the threshold choice buys). Dropped tokens = cluster members
+    that are NOT the survivor (q_dedup_survivorship's argmax); rolled
+    up with each source's total token mass into an exact ppm saving.
+    Rides the recursive-CTE closure oracle."""
+    from .functions.text import token_count
+    from .operators.components import dedup_clusters
+    from .operators.dedup import minhash_near_duplicates
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        clusters = dedup_clusters(pairs, docs, "doc_id")
+        tokd = docs.select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("long").alias("tok_n"),
+        )
+        m = clusters.join(tokd, "doc_id")
+        best = m.groupBy("cluster_rep").agg(
+            F.max(
+                F.struct(
+                    F.col("tok_n").alias("t"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("__best")
+        ).select(
+            "cluster_rep", (-F.col("__best.nd")).cast("long").alias("survivor_id")
+        )
+        flagged = m.join(best, "cluster_rep").select(
+            "source",
+            "tok_n",
+            (F.col("doc_id") != F.col("survivor_id")).alias("dropped"),
+        )
+        out = (
+            flagged.groupBy("source")
+            .agg(
+                F.sum("tok_n").cast("long").alias("total_tokens"),
+                F.sum(F.when(F.col("dropped"), F.col("tok_n")).otherwise(0))
+                .cast("long")
+                .alias("dropped_tokens"),
+            )
+            .select(
+                "source",
+                "total_tokens",
+                "dropped_tokens",
+                F.expr(
+                    "dropped_tokens * 1000000 div total_tokens"
+                ).alias("savings_ppm"),
+            )
+            .orderBy("source")
+        )
+        out.count()  # force the iterative stage under the capped width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+QUERIES["q_diff_in_diff"] = q_diff_in_diff
+ORACLES["q_diff_in_diff"] = """
+    with j as (
+        select case when c.c_mktsegment = 'BUILDING' then 1 else 0
+               end as treated,
+               year(o.o_orderdate) as yr,
+               floor(o.o_totalprice * 100 + 0.5)::bigint as cents
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        where o.o_orderdate >= timestamp '1996-01-01'
+          and o.o_orderdate < timestamp '1998-01-01'
+    ),
+    agg as (
+        select
+          sum(case when treated = 1 and yr = 1996 then cents::hugeint else 0
+              end) as s_t_pre,
+          sum(case when treated = 1 and yr = 1996 then 1 else 0
+              end)::bigint as n_t_pre,
+          sum(case when treated = 1 and yr = 1997 then cents::hugeint else 0
+              end) as s_t_post,
+          sum(case when treated = 1 and yr = 1997 then 1 else 0
+              end)::bigint as n_t_post,
+          sum(case when treated = 0 and yr = 1996 then cents::hugeint else 0
+              end) as s_c_pre,
+          sum(case when treated = 0 and yr = 1996 then 1 else 0
+              end)::bigint as n_c_pre,
+          sum(case when treated = 0 and yr = 1997 then cents::hugeint else 0
+              end) as s_c_post,
+          sum(case when treated = 0 and yr = 1997 then 1 else 0
+              end)::bigint as n_c_post
+        from j
+    )
+    select n_t_pre, n_t_post, n_c_pre, n_c_post,
+           s_t_pre::varchar::double / n_t_pre::double as mean_t_pre,
+           s_t_post::varchar::double / n_t_post::double as mean_t_post,
+           s_c_pre::varchar::double / n_c_pre::double as mean_c_pre,
+           s_c_post::varchar::double / n_c_post::double as mean_c_post,
+           (s_t_post::varchar::double / n_t_post::double
+            - s_t_pre::varchar::double / n_t_pre::double)
+           - (s_c_post::varchar::double / n_c_post::double
+              - s_c_pre::varchar::double / n_c_pre::double) as did_cents
+    from agg
+"""
+
+QUERIES["q_langid_confusion"] = q_langid_confusion
+ORACLES["q_langid_confusion"] = f"""
+    with tagged as (
+        select lang,
+               case when len(list_intersect(list_distinct({_DK_TOKENS}),
+                                            {_DK_STOPLIST})) >= 1
+                    then 'en' else 'unk' end as lang_detected
+        from documents
+    ),
+    cells as (
+        select lang, lang_detected, count(*)::bigint as n_docs
+        from tagged group by 1, 2
+    )
+    select c.lang, c.lang_detected, c.n_docs,
+           (c.n_docs * 1000000 // t.lt)::bigint as share_ppm
+    from cells c
+    join (select lang, sum(n_docs)::bigint as lt from cells group by lang) t
+      on c.lang = t.lang
+    order by c.lang, c.lang_detected
+"""
+
+QUERIES["q_dedup_token_savings"] = q_dedup_token_savings
+ORACLES["q_dedup_token_savings"] = f"""
+    with recursive
+    {_DK_LSH_PAIR_CTES},
+    {_DK_COMPONENT_CTES},
+    tokd as (
+        select doc_id, source, len({_DK_TOKENS})::bigint as tok_n
+        from documents
+    ),
+    m as (
+        select l.cluster_rep, l.doc_id, t.source, t.tok_n
+        from lab l join tokd t on l.doc_id = t.doc_id
+    ),
+    surv as (
+        select cluster_rep, doc_id as survivor_id
+        from (
+            select cluster_rep, doc_id,
+                   row_number() over (partition by cluster_rep
+                                      order by tok_n desc, doc_id) as rk
+            from m
+        ) where rk = 1
+    )
+    select m.source, sum(m.tok_n)::bigint as total_tokens,
+           sum(case when m.doc_id != s.survivor_id then m.tok_n else 0
+               end)::bigint as dropped_tokens,
+           (sum(case when m.doc_id != s.survivor_id then m.tok_n else 0 end)
+            * 1000000 // sum(m.tok_n))::bigint as savings_ppm
+    from m join surv s on m.cluster_rep = s.cluster_rep
+    group by m.source
+    order by m.source
+"""

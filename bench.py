@@ -240,6 +240,9 @@ HEADLINE = [
     "q_price_dispersion_topk",
     "q_split_balance_check",
     "q_ma_crossover",
+    "q_diff_in_diff",
+    "q_langid_confusion",
+    "q_dedup_token_savings",
 ]
 
 

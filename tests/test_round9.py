@@ -393,3 +393,48 @@ def test_promo_share_uses_two_level_long_partials(spark, sf_dir):
     # stage-1 partials are longs; the only decimal sums take stage-1
     # long outputs as input (cast(__pl/__tl as decimal))
     assert "sum(cast(__pl" in plan or "sum(cast(__pl#" in plan.replace(" ", "")
+
+
+# -- batch 5 -----------------------------------------------------------------
+
+
+def test_diff_in_diff_identity(spark, sf_dir):
+    """DiD must equal the four cell means combined — and the cells must
+    partition the filtered fact exactly."""
+    got = catalog.q_diff_in_diff(spark, sf_dir).collect()[0]
+    did = (got["mean_t_post"] - got["mean_t_pre"]) - (
+        got["mean_c_post"] - got["mean_c_pre"]
+    )
+    assert got["did_cents"] == did
+    n_total = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .count()
+    )
+    assert (
+        got["n_t_pre"] + got["n_t_post"] + got["n_c_pre"] + got["n_c_post"]
+        == n_total
+    )
+
+
+def test_langid_confusion_partitions_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = catalog.q_langid_confusion(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    per_lang: dict = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], 0)
+        per_lang[r["lang"]] += r["share_ppm"]
+    for lang, tot in per_lang.items():  # floor-div slack per cell
+        assert 1_000_000 - 2 <= tot <= 1_000_000
+
+
+def test_dedup_token_savings_consistent_with_survivorship(spark, sf_dir):
+    savings = catalog.q_dedup_token_savings(spark, sf_dir).collect()
+    assert sum(r["dropped_tokens"] for r in savings) > 0
+    for r in savings:
+        assert 0 <= r["dropped_tokens"] <= r["total_tokens"]
+        assert 0 <= r["savings_ppm"] <= 1_000_000
