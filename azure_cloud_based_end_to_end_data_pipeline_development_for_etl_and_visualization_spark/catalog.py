@@ -16684,11 +16684,13 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier market concentration (Herfindahl, exact ppm) per nation
     — the antitrust-style readout of how contestable each nation's
     supply base is. Per-supplier revenue aggregates once (map-side
-    combined); the supplier join is unhinted (supplier scales); HHI
-    cross-multiplies to integers with a TWO-STEP floor division
-    (s2 div (sx*sx div 1e6)) so every intermediate fits decimal(38,0) /
-    hugeint even at 100 TB revenue magnitudes — both engines mirror the
-    identical two-step, so the floor semantics hash-check."""
+    combined); the supplier join is unhinted (supplier scales). Shares
+    compute over per-supplier revenue FLOORED TO WHOLE DOLLARS (one
+    mirrored floor division after the exact micro-cent sum): that keeps
+    s2*1e6 inside decimal(38,0)/hugeint at 100 TB magnitudes AND keeps
+    every integral-divide quotient long-sized — Spark's ``div`` returns
+    a LONG quotient, and an inner div with a ~1e22 quotient silently
+    overflows (caught by the sf0.1 sweep, round 9)."""
     li = _t(spark, sf_dir, "lineitem")
     rev_u = (
         F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
@@ -16702,7 +16704,14 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = (
         li.select("l_suppkey", rev_u.alias("rev_u"))
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("rev"))
+        .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("__rev_u"))
+        .select(
+            "l_suppkey",
+            # micro-cents (1e-4 dollar units) -> whole dollars; the
+            # quotient fits a long at any scale (1e13 dollars/supplier
+            # is 9 orders below 2^63)
+            F.expr("cast(__rev_u div 1000000 as bigint)").alias("rev_d"),
+        )
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -16711,8 +16720,10 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-            F.sum("rev").alias("__sx"),
-            F.sum(F.col("rev") * F.col("rev")).alias("__s2"),
+            F.sum(F.col("rev_d").cast("decimal(38,0)")).alias("__sx"),
+            F.sum(
+                F.col("rev_d").cast("decimal(38,0)") * F.col("rev_d")
+            ).alias("__s2"),
         )
     )
     return (
@@ -16721,7 +16732,7 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "n_suppliers",
             F.expr(
-                "cast(__s2 div (__sx * __sx div 1000000) as bigint)"
+                "cast((__s2 * 1000000) div (__sx * __sx) as bigint)"
             ).alias("hhi_ppm"),
         )
         .orderBy("n_name")
@@ -16946,19 +16957,20 @@ QUERIES["q_supplier_hhi_by_nation"] = q_supplier_hhi_by_nation
 ORACLES["q_supplier_hhi_by_nation"] = """
     with per_supp as (
         select l_suppkey,
-               sum((floor(l_extendedprice * 100 + 0.5)::bigint
+               (sum((floor(l_extendedprice * 100 + 0.5)::bigint
                     * (100 - floor(l_discount * 100 + 0.5)::bigint))::hugeint)
-                   as rev
+                // 1000000)::bigint as rev_d
         from lineitem group by l_suppkey
     ),
     per_nat as (
         select s.s_nationkey, count(*)::bigint as n_suppliers,
-               sum(p.rev) as sx, sum(p.rev * p.rev) as s2
+               sum(p.rev_d::hugeint) as sx,
+               sum(p.rev_d::hugeint * p.rev_d) as s2
         from per_supp p join supplier s on p.l_suppkey = s.s_suppkey
         group by s.s_nationkey
     )
     select n.n_name, p.n_suppliers,
-           (p.s2 // (p.sx * p.sx // 1000000))::bigint as hhi_ppm
+           ((p.s2 * 1000000) // (p.sx * p.sx))::bigint as hhi_ppm
     from per_nat p join nation n on p.s_nationkey = n.n_nationkey
     order by n.n_name
 """
