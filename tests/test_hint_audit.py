@@ -26,10 +26,29 @@ from tools.hint_audit import audit_hints
 ALL_QUERIES = sorted(catalog.QUERIES)
 
 
+# Queries whose plans legitimately contain Python: the multimodal decode
+# boundary (Arrow MapInPandas by design) and the pandas_udf scoring stub.
+PYTHON_EXEMPT = {
+    "q_multimodal_digest", "q_multimodal_features", "q_multimodal_resize",
+    "q_multimodal_frames", "q_multimodal_chunks", "q_multimodal_dedup",
+    "q_text_model_score",
+}
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
-def test_no_fact_scaling_broadcast_hints(spark, sf_dir, name):
-    violations = audit_hints(catalog.QUERIES[name](spark, sf_dir))
+def test_scale_contract_sweep(spark, sf_dir, name):
+    """One plan build, two catalog-wide contracts: (1) every broadcast
+    hint sits on a structurally bounded subtree (tools/hint_audit), and
+    (2) no row-at-a-time or Arrow Python evaluation in any batch hot
+    path outside the documented multimodal/pandas-udf boundary."""
+    df = catalog.QUERIES[name](spark, sf_dir)
+    violations = audit_hints(df)
     assert not violations, "\n".join(violations)
+    if name not in PYTHON_EXEMPT:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
 
 
 def test_audit_catches_deliberate_customer_broadcast(spark, sf_dir):
