@@ -17316,3 +17316,281 @@ ORACLES["q_dedup_token_savings"] = f"""
     group by m.source
     order by m.source
 """
+
+
+# ---------------------------------------------------------------------------
+# round-9 batch 6: drift, latency SLAs, purchase-cycle readouts
+# ---------------------------------------------------------------------------
+
+
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the 1996 and 1997 order-value
+    distributions ($100 bins) — the drift score that needs NO logs and
+    no expected-count floor (q_drift_chi2's robust cousin; TV is what
+    distribution-shift monitors alert on). One scan to per-bin counts
+    for both periods, then TV = sum|p_i − q_i| / 2 fully
+    cross-multiplied: sum over bins of |c96*n97 − c97*n96| as exact
+    decimal, divided once by 2*n96*n97 in ppm — integer until the ppm
+    floor division, whose quotient is <= 1e6 by construction."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    binned = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        (
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            / F.lit(10000)
+        ).cast("long").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("c96"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+        .cast("long")
+        .alias("c97"),
+    )
+    agg = per_bin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("c96").cast("long").alias("n96"),
+        F.sum("c97").cast("long").alias("n97"),
+    )
+    tv = per_bin.crossJoin(F.broadcast(agg)).agg(
+        F.sum(
+            F.abs(
+                F.col("c96").cast("decimal(38,0)") * F.col("n97")
+                - F.col("c97").cast("decimal(38,0)") * F.col("n96")
+            )
+        ).alias("__num"),
+        F.max("n_bins").cast("long").alias("n_bins"),
+        F.max("n96").cast("long").alias("n96"),
+        F.max("n97").cast("long").alias("n97"),
+    )
+    return tv.select(
+        "n96",
+        "n97",
+        "n_bins",
+        F.expr(
+            "cast((__num * 1000000)"
+            " div (2 * cast(n96 as decimal(38,0)) * n97) as bigint)"
+        ).alias("tv_ppm"),
+    )
+
+
+def q_ship_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in WEEKLY bands per order priority — the
+    operational SLA histogram (is URGENT actually shipping faster?).
+    One orders ⟕ lineitem equi-join (both fact-sized, unhinted),
+    integer datediff floor-divided into bands, and a
+    priorities x bands aggregate with exact within-priority ppm
+    shares. The band domain is calendar-span/7 (the synthetic ship
+    dates aren't causally tied to their order dates, so bands cover the
+    full +/- range) — calendar-bounded at any SF, never fact-sized."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "datediff(l_shipdate, o_orderdate) div 7"
+        ).cast("long").alias("band_weeks"),
+    )
+    cells = j.groupBy("o_orderpriority", "band_weeks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    totals = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_lines").cast("long").alias("__pt")
+    )
+    return (
+        cells.join(totals, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "band_weeks",
+            "n_lines",
+            F.expr("n_lines * 1000000 div __pt").alias("share_ppm"),
+        )
+        .orderBy("o_orderpriority", "band_weeks")
+    )
+
+
+def q_reorder_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median days between a customer's consecutive orders — the
+    purchase-cycle constant behind replenishment marketing and churn
+    cutoffs. Per-customer gaps come from ONE lag window partitioned on
+    the high-cardinality custkey (distributes); the global median is
+    rank-selected by the two-phase global row number under the
+    (gap, custkey, orderkey) total order — no percentile(), no
+    single-reducer sort."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            "d", F.lag("d").over(w)
+        ).cast("long").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    ranked = with_global_row_number(
+        gaps, ["gap_days", "o_custkey", "o_orderkey"], rn_col="rn", n_col="n"
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    return mid.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        (
+            F.sum("gap_days").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("median_gap_days"),
+    )
+
+
+def q_first_vs_repeat_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean order value: first-ever order vs repeat orders — the
+    acquisition-quality readout (do customers spend more once they
+    trust the shop?). The first-order flag is rn == 1 of a per-customer
+    window under the (date, orderkey) total order (high-cardinality
+    partition key — distributes); the means are one conditional exact
+    integer aggregate with two IEEE divisions and their identically-
+    computed difference."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    flagged = orders.select(
+        "cents", (F.row_number().over(w) == 1).alias("is_first")
+    )
+    agg = flagged.agg(
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+        F.sum(F.when(F.col("is_first"), F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("__sf"),
+        F.sum(F.when(~F.col("is_first"), F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("__sr"),
+    )
+    mean_f = F.col("__sf").cast("double") / F.col("n_first").cast("double")
+    mean_r = F.col("__sr").cast("double") / F.col("n_repeat").cast("double")
+    return agg.select(
+        "n_first",
+        "n_repeat",
+        mean_f.alias("mean_first_cents"),
+        mean_r.alias("mean_repeat_cents"),
+        (mean_r - mean_f).alias("repeat_uplift_cents"),
+    )
+
+
+QUERIES["q_tv_drift"] = q_tv_drift
+ORACLES["q_tv_drift"] = """
+    with binned as (
+        select year(o_orderdate) as yr,
+               floor(o_totalprice * 100 + 0.5)::bigint // 10000 as bin
+        from orders
+        where o_orderdate >= timestamp '1996-01-01'
+          and o_orderdate < timestamp '1998-01-01'
+    ),
+    per_bin as (
+        select bin,
+               sum(case when yr = 1996 then 1 else 0 end)::bigint as c96,
+               sum(case when yr = 1997 then 1 else 0 end)::bigint as c97
+        from binned group by bin
+    ),
+    agg as (
+        select count(*)::bigint as n_bins, sum(c96)::bigint as n96,
+               sum(c97)::bigint as n97
+        from per_bin
+    )
+    select a.n96, a.n97, a.n_bins,
+           ((select sum(abs(c96::hugeint * a.n97 - c97::hugeint * a.n96))
+             from per_bin) * 1000000
+            // (2 * a.n96::hugeint * a.n97))::bigint as tv_ppm
+    from agg a
+"""
+
+QUERIES["q_ship_latency_bands"] = q_ship_latency_bands
+ORACLES["q_ship_latency_bands"] = """
+    with j as (
+        select o.o_orderpriority,
+               (date_diff('day', o.o_orderdate::date, l.l_shipdate::date)
+                // 7)::bigint as band_weeks
+        from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+    ),
+    cells as (
+        select o_orderpriority, band_weeks, count(*)::bigint as n_lines
+        from j group by 1, 2
+    )
+    select c.o_orderpriority, c.band_weeks, c.n_lines,
+           (c.n_lines * 1000000 // t.pt)::bigint as share_ppm
+    from cells c
+    join (select o_orderpriority, sum(n_lines)::bigint as pt
+          from cells group by 1) t
+      on c.o_orderpriority = t.o_orderpriority
+    order by c.o_orderpriority, c.band_weeks
+"""
+
+QUERIES["q_reorder_interval_median"] = q_reorder_interval_median
+ORACLES["q_reorder_interval_median"] = """
+    with gaps as (
+        select o_custkey, o_orderkey,
+               date_diff('day',
+                         lag(o_orderdate::date) over (
+                             partition by o_custkey
+                             order by o_orderdate::date, o_orderkey),
+                         o_orderdate::date)::bigint as gap_days
+        from orders
+    ),
+    r as (
+        select gap_days,
+               row_number() over (order by gap_days, o_custkey, o_orderkey)
+                   as rn,
+               count(*) over () as n
+        from gaps where gap_days is not null
+    )
+    select max(n)::bigint as n_gaps,
+           sum(gap_days)::double / count(*)::double as median_gap_days
+    from r where rn = (n + 1) // 2 or rn = n // 2 + 1
+"""
+
+QUERIES["q_first_vs_repeat_value"] = q_first_vs_repeat_value
+ORACLES["q_first_vs_repeat_value"] = """
+    with flagged as (
+        select floor(o_totalprice * 100 + 0.5)::bigint as cents,
+               row_number() over (partition by o_custkey
+                                  order by o_orderdate::date, o_orderkey)
+                   = 1 as is_first
+        from orders
+    ),
+    agg as (
+        select sum(case when is_first then 1 else 0 end)::bigint as n_first,
+               sum(case when is_first then 0 else 1 end)::bigint as n_repeat,
+               sum(case when is_first then cents::hugeint else 0
+                   end) as sf,
+               sum(case when is_first then 0 else cents::hugeint
+                   end) as sr
+        from flagged
+    )
+    select n_first, n_repeat,
+           sf::varchar::double / n_first::double as mean_first_cents,
+           sr::varchar::double / n_repeat::double as mean_repeat_cents,
+           sr::varchar::double / n_repeat::double
+           - sf::varchar::double / n_first::double as repeat_uplift_cents
+    from agg
+"""

@@ -243,6 +243,10 @@ HEADLINE = [
     "q_diff_in_diff",
     "q_langid_confusion",
     "q_dedup_token_savings",
+    "q_tv_drift",
+    "q_ship_latency_bands",
+    "q_reorder_interval_median",
+    "q_first_vs_repeat_value",
 ]
 
 

@@ -438,3 +438,55 @@ def test_dedup_token_savings_consistent_with_survivorship(spark, sf_dir):
     for r in savings:
         assert 0 <= r["dropped_tokens"] <= r["total_tokens"]
         assert 0 <= r["savings_ppm"] <= 1_000_000
+
+
+# -- batch 6 -----------------------------------------------------------------
+
+
+def test_tv_drift_bounds(spark, sf_dir):
+    got = catalog.q_tv_drift(spark, sf_dir).collect()[0]
+    assert 0 <= got["tv_ppm"] <= 1_000_000  # TV distance is in [0, 1]
+    assert got["n96"] > 0 and got["n97"] > 0
+
+
+def test_ship_latency_shares_sum_per_priority(spark, sf_dir):
+    out = catalog.q_ship_latency_bands(spark, sf_dir).collect()
+    per: dict = {}
+    for r in out:
+        per.setdefault(r["o_orderpriority"], [0, 0])
+        per[r["o_orderpriority"]][0] += r["share_ppm"]
+        per[r["o_orderpriority"]][1] += 1
+    for prio, (tot, ncells) in per.items():
+        assert 1_000_000 - ncells <= tot <= 1_000_000  # floor-div slack
+
+
+def test_reorder_interval_matches_python(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d"))
+        .collect()
+    )
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["o_custkey"], []).append((r["d"], r["o_orderkey"]))
+    gaps = []
+    for k, lst in per.items():
+        lst.sort()
+        for (d1, k1), (d2, k2) in zip(lst, lst[1:]):
+            gaps.append(((d2 - d1).days, k, k2))
+    gaps.sort()
+    n = len(gaps)
+    lo, hi = gaps[(n + 1) // 2 - 1][0], gaps[n // 2][0]
+    got = catalog.q_reorder_interval_median(spark, sf_dir).collect()[0]
+    assert got["n_gaps"] == n
+    assert got["median_gap_days"] == (lo + hi) / 2
+
+
+def test_first_vs_repeat_partitions_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = catalog.q_first_vs_repeat_value(spark, sf_dir).collect()[0]
+    assert got["n_first"] + got["n_repeat"] == orders.count()
+    assert got["n_first"] == orders.select("o_custkey").distinct().count()
+    assert got["repeat_uplift_cents"] == (
+        got["mean_repeat_cents"] - got["mean_first_cents"]
+    )
