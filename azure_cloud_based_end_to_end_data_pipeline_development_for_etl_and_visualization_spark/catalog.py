@@ -16124,24 +16124,17 @@ def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve a curation run reads before picking its cut (too low throws
     away distinct docs, too high keeps near-dups). ONE pass computes
     integer intersection/union sizes for the blocked candidate pairs
-    (the q_ngram_jaccard candidate discipline: narrow (block, id) join,
+    (the q_ngram_jaccard candidate discipline: banded_id_pairs' linear
+    (block, id-bucket) equi-join — never the block column alone, which
+    is per-block quadratic and ~5-reducer-key skewed at 100 TB;
     shingle arrays attach to survivors only); each pair then fans out
     x5 to the thresholds it clears — integer cross-multiplication
     (100*i >= t*u), no float compare. Zero-pair thresholds still emit
     a row (left join from the literal threshold relation)."""
-    from .operators.dedup import hashed_shingle_sets
+    from .operators.dedup import banded_id_pairs, hashed_shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    narrow = docs.select("source", "doc_id")
-    cand = (
-        narrow.select(F.col("source"), F.col("doc_id").alias("a"))
-        .join(
-            narrow.select(F.col("source"), F.col("doc_id").alias("b")),
-            "source",
-        )
-        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= 100))
-        .select("a", "b")
-    )
+    cand = banded_id_pairs(docs, "doc_id", "source", 100)
     sets_df = hashed_shingle_sets(docs, "doc_id", "text", 3)
     sa = sets_df.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     sb = sets_df.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))

@@ -375,6 +375,54 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+def banded_id_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    window: int,
+) -> DataFrame:
+    """Candidate ``(a, b)`` pairs within a blocking column and a bounded id
+    distance ``0 < b - a <= window``, enumerated LINEARLY.
+
+    Joining on the block column alone and filtering the id band as a
+    residual predicate is quadratic WORK per block (the SMJ buffers
+    enumerate every in-block pair before the band filter drops them) and
+    maximal SKEW (the whole table lands on n_blocks reducer keys) — fine
+    at sf0.1, a non-starter at 100 TB. This is the range-join
+    bucketization rewrite (``..operators.range_join``) on the id axis:
+
+    - ``b`` rows get ONE bucket key ``b div window``;
+    - ``a`` rows explode to TWO candidate buckets ``a div window`` and
+      ``a div window + 1`` — since ``0 < b - a <= window``, b's bucket is
+      always one of the two;
+    - the join is an equi-join on ``(block, bucket)`` — high-cardinality
+      keys, per-key work bounded by 2*window rows — with the exact band
+      predicate applied inside the same hash join.
+
+    Each qualifying pair meets exactly once (in b's unique bucket), so no
+    post-join dedup is needed and the output is byte-identical to the
+    block-only formulation. Requires non-negative integral ids (``div``
+    truncates toward zero)."""
+    w = int(window)
+    if w <= 0:
+        raise ValueError(f"window must be positive (got {window})")
+    narrow = df.select(F.col(block_col).alias("blk"), F.col(id_col))
+    bkt = F.expr(f"{id_col} div {w}").cast("long")
+    b_side = narrow.select(
+        "blk", F.col(id_col).alias("b"), bkt.alias("__bkt")
+    )
+    a_side = narrow.select(
+        "blk",
+        F.col(id_col).alias("a"),
+        F.explode(F.array(bkt, bkt + F.lit(1))).alias("__bkt"),
+    )
+    return (
+        a_side.join(b_side, ["blk", "__bkt"])
+        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= w))
+        .select("a", "b")
+    )
+
+
 def ngram_jaccard_windowed(
     df: DataFrame,
     id_col: str,
@@ -388,17 +436,12 @@ def ngram_jaccard_windowed(
     (the driver oracle covers this one; the LSH pipeline above is the
     at-scale path for unblocked corpora).
 
-    Plan shape: the block self-join runs over NARROW (block, id) rows —
-    the full pair space never carries shingle arrays; arrays attach to the
+    Plan shape: candidates come from :func:`banded_id_pairs` — a linear
+    ``(block, id-bucket)`` equi-join over NARROW (block, id) rows; the
+    full pair space never carries shingle arrays; arrays attach to the
     surviving pairs only (two id-equi-joins). Measured 8x faster than
     joining array-carrying rows directly at sf0.1."""
-    narrow = df.select(F.col(block_col).alias("blk"), F.col(id_col))
-    pairs = (
-        narrow.select(F.col("blk"), F.col(id_col).alias("a"))
-        .join(narrow.select(F.col("blk"), F.col(id_col).alias("b")), "blk")
-        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= window))
-        .select("a", "b")
-    )
+    pairs = banded_id_pairs(df, id_col, block_col, window)
     return jaccard_pairs(df, pairs, id_col, text_col, shingle_n=shingle_n)
 
 

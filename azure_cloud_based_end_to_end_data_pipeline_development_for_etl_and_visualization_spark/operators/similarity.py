@@ -1005,11 +1005,12 @@ def sparse_cosine_pairs(
     ops, bit-identical cross-engine (na2 < 2^53 so the double product
     rounds identically).
 
-    Pair space: blocked narrow (block, id-window) pairs like
-    ngram_jaccard_windowed — ids only; weights attach per shared term
-    AFTER the pair filter. For unblocked corpora, compose with the
-    prefix filter (dedup.prefix_filter_pairs) or LSH candidates instead
-    of the block — the scoring stages are pair-source-agnostic.
+    Pair space: blocked narrow (block, id-window) pairs via
+    dedup.banded_id_pairs — a linear (block, id-bucket) equi-join over
+    ids only; weights attach per shared term AFTER the pair filter. For
+    unblocked corpora, compose with the prefix filter
+    (dedup.prefix_filter_pairs) or LSH candidates instead of the block
+    — the scoring stages are pair-source-agnostic.
     Returns each doc's ``topk`` most similar neighbors:
     ``(a, b, dot, cosine)`` with (cosine desc, b) determinism."""
     from ..functions import text as TX
@@ -1031,13 +1032,9 @@ def sparse_cosine_pairs(
     norms = weights.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
-    narrow = df.select(F.col(block_col).alias("blk"), F.col(id_col))
-    pairs = (
-        narrow.select("blk", F.col(id_col).alias("a"))
-        .join(narrow.select("blk", F.col(id_col).alias("b")), "blk")
-        .filter((F.col("a") < F.col("b")) & (F.col("b") - F.col("a") <= window))
-        .select("a", "b")
-    )
+    from ..operators.dedup import banded_id_pairs
+
+    pairs = banded_id_pairs(df, id_col, block_col, window)
     wa = weights.select(F.col(id_col).alias("a"), "term", F.col("w").alias("wa"))
     wb = weights.select(F.col(id_col).alias("b"), "term", F.col("w").alias("wb"))
     dots = (
