@@ -101,15 +101,18 @@ def star_join(
     fact_src: DataFrame,
     dims: Sequence[tuple[DataFrame, Column | Sequence[str]]],
     select_cols: Sequence[str | Column],
-    broadcast_dims: bool = True,
+    broadcast_dims: bool = False,
 ) -> DataFrame:
     """Multi-way left-join chain building a fact from source + dims
     (ref gold_fact_sales.ipynb:55996-56000 cell 8: silver left-joined to
     4 dims on business keys, projecting measures + surrogate keys).
 
-    Dims are broadcast by default: at any scale a star schema's dims are
-    small relative to the fact, so the fact never shuffles — the single
-    most important plan property for a 100 TB fact build."""
+    Dims are UNHINTED by default: AQE (or static sizing) broadcasts the
+    genuinely small ones at runtime, and a customer-shaped dim — which is
+    fact-sized at 100 TB — never gets force-broadcast into a driver OOM.
+    ``broadcast_dims=True`` is the explicit opt-in for dims the caller
+    KNOWS are bounded (calendars, enum dims): the fact side then never
+    shuffles regardless of stale/absent statistics."""
     out = fact_src
     for dim_df, cond in dims:
         d = F.broadcast(dim_df) if broadcast_dims else dim_df

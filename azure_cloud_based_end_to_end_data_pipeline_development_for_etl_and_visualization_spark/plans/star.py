@@ -75,18 +75,22 @@ def build_fact(
     source: DataFrame,
     dims: Sequence[tuple[DataFrame, Column | Sequence[str], str]],
     measures: Sequence[str | Column],
+    broadcast_dims: bool = False,
 ) -> DataFrame:
     """Fact build: chained left joins to dims on business keys, projecting
     measures + surrogate keys (ref gold_fact_sales.ipynb:55996-56000 cell 8).
 
     ``dims`` entries are ``(dim_df, join_condition, surrogate_key_col)``.
-    Dims are broadcast — the fact side never shuffles, which is the plan
-    you want when the fact is 100 TB and each dim is megabytes.
-    """
+    Unhinted by default — the same reasoning as :func:`build_dim`'s sink
+    join: a config-driven dim can be anything from a 5-row calendar to a
+    customer-scaled entity, and a forced broadcast of the latter OOMs the
+    driver at 100 TB. AQE broadcasts the genuinely small dims at runtime;
+    pass ``broadcast_dims=True`` only for dims known bounded a priori
+    (the fact side then never shuffles even with absent statistics)."""
     key_cols = [k for _, _, k in dims]
     return R.star_join(
         source,
         [(d, cond) for d, cond, _ in dims],
         [*measures, *key_cols],
-        broadcast_dims=True,
+        broadcast_dims=broadcast_dims,
     )
