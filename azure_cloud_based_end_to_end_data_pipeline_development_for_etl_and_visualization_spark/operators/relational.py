@@ -163,19 +163,28 @@ def with_surrogate_key(
     key_col: str,
     start_at: int = 1,
 ) -> DataFrame:
-    """Dense deterministic surrogate keys: ``row_number`` over an explicit
-    ordering, offset by the high-water mark.
+    """Dense deterministic surrogate keys: global row numbers under the
+    ``order_by`` total order, offset by the high-water mark.
 
     The reference's ``max_value + monotonically_increasing_id()``
     (gold_dim_branch.ipynb:60233 cell 27) only produced dense 1..N keys
     because its data fit one partition; on a real cluster it leaves
-    2^33-sized gaps per partition. ``row_number`` is correct on any layout.
+    2^33-sized gaps per partition.
 
-    Scale note: an un-partitioned window is a single-reducer sort — fine
-    for dim tables (dims are small by definition), wrong for facts. For
-    billion-row key assignment use :func:`with_surrogate_key_fact`."""
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(key_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("long"))
+    Numbering rides :func:`with_global_row_number` (two-phase range
+    rank) rather than ``row_number`` over an un-partitioned window: the
+    values are identical and reproducible across layouts, but the sort
+    is per-key-range instead of single-reducer — so a customer-scaled
+    dimension's initial load no longer funnels the whole relation
+    through one task (caught by tools/hint_audit.audit_windows). For
+    key assignment where no deterministic ordering is needed at all,
+    :func:`with_surrogate_key_fact` skips the range shuffle too."""
+    out = with_global_row_number(df, list(order_by), rn_col=key_col)
+    if start_at != 1:
+        out = out.withColumn(
+            key_col, (F.col(key_col) + F.lit(start_at - 1)).cast("long")
+        )
+    return out
 
 
 def with_surrogate_key_fact(

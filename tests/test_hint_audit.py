@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
     catalog,
 )
-from tools.hint_audit import audit_hints
+from tools.hint_audit import audit_hints, audit_windows
 
 ALL_QUERIES = sorted(catalog.QUERIES)
 
@@ -37,12 +37,14 @@ PYTHON_EXEMPT = {
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_scale_contract_sweep(spark, sf_dir, name):
-    """One plan build, two catalog-wide contracts: (1) every broadcast
+    """One plan build, three catalog-wide contracts: (1) every broadcast
     hint sits on a structurally bounded subtree (tools/hint_audit), and
     (2) no row-at-a-time or Arrow Python evaluation in any batch hot
-    path outside the documented multimodal/pandas-udf boundary."""
+    path outside the documented multimodal/pandas-udf boundary, and
+    (3) no unpartitioned Window over a fact-scaling input (a
+    single-reducer sort at 100 TB) — r9 VERDICT item 3."""
     df = catalog.QUERIES[name](spark, sf_dir)
-    violations = audit_hints(df)
+    violations = audit_hints(df) + audit_windows(df)
     assert not violations, "\n".join(violations)
     if name not in PYTHON_EXEMPT:
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -142,6 +144,60 @@ def test_audit_flags_fact_scaled_dim_optin_broadcast(spark, sf_dir):
         broadcast_dims=True,
     )
     assert audit_hints(fact), "misused opt-in broadcast was not flagged"
+
+
+def test_window_audit_catches_global_sort_over_fact(spark, sf_dir):
+    """The canary for the unpartitioned-window sweep: a global
+    row_number over lineitem (single-reducer sort of the fact) MUST be
+    flagged — proves the sweep can fail, not just pass."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber"))
+    )
+    violations = audit_windows(bad)
+    assert violations, "deliberate global fact sort was not flagged"
+
+
+def test_window_audit_allows_bounded_inputs(spark, sf_dir):
+    """Sanity: the legitimate unpartitioned-window classes pass — a
+    day-domain aggregate (cumulative daily sum) and a limited top-k."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    daily = (
+        li.select(F.to_date("l_shipdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ok1 = daily.withColumn(
+        "cum", F.sum("n").over(Window.orderBy("d").rowsBetween(
+            Window.unboundedPreceding, 0))
+    )
+    assert audit_windows(ok1) == []
+
+    topk = li.orderBy(F.desc("l_extendedprice")).limit(100)
+    ok2 = topk.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("l_extendedprice")))
+    )
+    assert audit_windows(ok2) == []
+
+
+def test_surrogate_key_has_no_global_sort(spark, sf_dir):
+    """with_surrogate_key now rides the two-phase range rank: same dense
+    deterministic keys, no unpartitioned window over the relation."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.relational import (
+        with_surrogate_key,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keyed = with_surrogate_key(cust, ["c_custkey"], "k", start_at=10)
+    assert audit_windows(keyed) == []
+    rows = keyed.select("k", "c_custkey").orderBy("c_custkey").collect()
+    assert [r.k for r in rows] == list(range(10, 10 + len(rows)))
+    by_key = sorted(rows, key=lambda r: r.k)
+    assert [r.c_custkey for r in by_key] == sorted(r.c_custkey for r in rows)
 
 
 def test_audit_allows_bounded_hints(spark, sf_dir):

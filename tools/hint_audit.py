@@ -47,6 +47,11 @@ BOUNDED_GROUP_COLS = frozenset(
         "d", "dt", "day", "ds", "wk", "week", "cohort_week", "m", "month",
         "mo", "yr", "year", "order_year", "hr", "hour", "iso_dow", "dow",
         "ta", "tb", "t", "bucket_start", "window_start", "w_start",
+        # calendar-day derivations: a user's first-activity DAY
+        # (q_cumulative_distinct_daily) and day-granular durations
+        # (q_survival_table's datediff) are bounded by the date span,
+        # same as the raw day columns above
+        "first_day", "dur",
         # lag / offset grids (explicit small literals: ACF/CCF lags,
         # EWMA dyadic shifts)
         "lag", "lag_d", "shift", "k",
@@ -272,6 +277,39 @@ def audit_hints(df) -> list[str]:
     return violations
 
 
+def audit_windows(df) -> list[str]:
+    """Walk the optimized logical plan of ``df``; return one violation
+    string per Window operator with an EMPTY partition spec whose input is
+    not structurally bounded.
+
+    An unpartitioned window (``Window.orderBy(...)`` with no
+    ``partitionBy``) moves its entire input to ONE reducer — correct but a
+    single-machine sort at 100 TB. The ~20 intentional sites in this
+    codebase are all over bounded relations (day/bin/decile domains,
+    vocab top-k limits, partition-count-sized offset/carry tables from the
+    two-phase rank operators), which :func:`subtree_is_bounded` proves
+    structurally; anything else is a scale regression and gets flagged.
+    This mechanizes what was previously a hand-audit (r9 VERDICT item 3),
+    mirroring the broadcast-hint sweep."""
+    violations: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            kids = _children(node)
+            if node.partitionSpec().isEmpty() and kids:
+                if not subtree_is_bounded(kids[0]):
+                    violations.append(
+                        "unpartitioned Window over fact-scaling input "
+                        f"({kids[0].getClass().getSimpleName()}):\n    "
+                        f"{_describe(node)}"
+                    )
+        for k in _children(node):
+            walk(k)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return violations
+
+
 def main() -> int:
     import os
     import sys
@@ -294,7 +332,8 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            vs = audit_hints(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            vs = audit_hints(df) + audit_windows(df)
         except Exception as ex:  # plan build failure is its own violation
             print(f"ERROR {name}: {ex}")
             bad += 1
