@@ -17587,3 +17587,348 @@ ORACLES["q_first_vs_repeat_value"] = """
            - sf::varchar::double / n_first::double as repeat_uplift_cents
     from agg
 """
+
+
+# ---------------------------------------------------------------------------
+# round-10 batch 1: paired-binary test, Hellinger drift, order-shape
+# distribution, order backlog, supplier rank shift
+# ---------------------------------------------------------------------------
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes — did the same parts'
+    return behavior change between 1996 and 1997? The PAIRED sibling of
+    q_chi2_contingency (panel of parts observed in both years; only the
+    DISCORDANT cells carry signal). One lineitem scan to per-part
+    (shipped?, returned?) flags per year via conditional max; pairs are
+    parts shipped in BOTH years; chi2 = (b-c)^2/(b+c) — exact integers
+    until one IEEE division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    per = (
+        li.select(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_returnflag") == "R").cast("int").alias("r"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("p96"),
+            F.max(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("p97"),
+            F.max(
+                F.when((F.col("yr") == 1996) & (F.col("r") == 1), 1).otherwise(0)
+            ).alias("r96"),
+            F.max(
+                F.when((F.col("yr") == 1997) & (F.col("r") == 1), 1).otherwise(0)
+            ).alias("r97"),
+        )
+        .filter((F.col("p96") == 1) & (F.col("p97") == 1))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("r96") * (1 - F.col("r97"))).cast("long").alias("b_96_only"),
+        F.sum((1 - F.col("r96")) * F.col("r97")).cast("long").alias("c_97_only"),
+    )
+    d = F.col("b_96_only") - F.col("c_97_only")
+    return agg.select(
+        "n_pairs",
+        "b_96_only",
+        "c_97_only",
+        (
+            (d * d).cast("double")
+            / (F.col("b_96_only") + F.col("c_97_only")).cast("double")
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category Hellinger affinity terms between the 1996 and 1997
+    order-priority mixes — the drift readout whose only float ops are
+    IEEE-exact square roots (no logs, unlike PSI/JS; the geometric
+    counterpart of q_tv_drift's L1). One orders scan to the 5x2
+    contingency; each output row carries exact integer counts plus
+    sqrt(c96*c97)/sqrt(n96*n97) — the Bhattacharyya term whose sum (and
+    hence H = sqrt(1-BC)) a caller folds downstream; emitting per-row
+    terms keeps the cross-engine float path a fixed two-sqrt-one-divide
+    sequence per row, never an order-dependent float SUM."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    per = (
+        orders.select(
+            "o_orderpriority", F.year("o_orderdate").alias("yr")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+            .cast("long")
+            .alias("c96"),
+            F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+            .cast("long")
+            .alias("c97"),
+        )
+    )
+    totals = per.agg(
+        F.sum("c96").cast("long").alias("n96"),
+        F.sum("c97").cast("long").alias("n97"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "o_orderpriority",
+            "c96",
+            "c97",
+            (
+                F.sqrt((F.col("c96") * F.col("c97")).cast("double"))
+                / F.sqrt((F.col("n96") * F.col("n97")).cast("double"))
+            ).alias("bc_term"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_order_linecount_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of line-item count per order (the order-shape
+    histogram a capacity planner reads: TPC-H orders carry 1-7 lines).
+    Two map-side-combined aggregates — per-order counts (fact-keyed,
+    distributes), then the 7-row distribution — with exact ppm shares
+    against a broadcast 1-row total."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    dist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    total = dist.agg(F.sum("n_orders").cast("long").alias("__t"))
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.expr("n_orders * 1000000 div __t").alias("share_ppm"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+def q_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — orders placed but not yet fully
+    shipped, the WIP curve an operations dashboard tracks. An order
+    opens on o_orderdate and closes on max(l_shipdate); both event
+    streams union into one day-domain aggregate, and the backlog is a
+    cumulative sum over the DAY domain (calendar-bounded window, never
+    the fact — the audit-whitelisted class)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d")
+    )
+    op = orders.join(close, orders.o_orderkey == close.l_orderkey)
+    ev = op.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lit(1).alias("o"),
+        F.lit(0).alias("c"),
+    ).unionAll(op.select(F.col("close_d").alias("d"), F.lit(0), F.lit(1)))
+    daily = ev.groupBy("d").agg(
+        F.sum("o").cast("long").alias("opened"),
+        F.sum("c").cast("long").alias("closed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w)
+        .cast("long")
+        .alias("backlog"),
+    ).orderBy("day")
+
+
+def q_supplier_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue-rank movers among suppliers, 1996 -> 1997 — the
+    league-table churn readout (who rose, who fell). Per-(supplier,
+    year) revenue is one exact micro-cent aggregate; within-year ranks
+    come from the two-phase GLOBAL row number under the
+    (yr, -rev, suppkey) total order, localized per year by subtracting
+    the year's broadcast min-rn (a 2-row bounded aggregate) — no
+    per-year single-reducer sort, no percent_rank. Ties cannot straddle
+    years because yr leads the order."""
+    from .operators.relational import with_global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    rev_u = (
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        * (
+            F.lit(100)
+            - F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        )
+    )
+    per = (
+        li.select(
+            "l_suppkey", F.year("l_shipdate").alias("yr"), rev_u.alias("rev_u")
+        )
+        .groupBy("l_suppkey", "yr")
+        .agg(F.sum("rev_u").cast("long").alias("rev"))
+        .withColumn("neg_rev", -F.col("rev"))
+    )
+    ranked = with_global_row_number(
+        per, ["yr", "neg_rev", "l_suppkey"], rn_col="rn"
+    )
+    min_rn = ranked.groupBy("yr").agg(F.min("rn").alias("__mn"))
+    ranked = ranked.join(F.broadcast(min_rn), "yr").select(
+        "l_suppkey",
+        "yr",
+        (F.col("rn") - F.col("__mn") + 1).cast("long").alias("rank_in_yr"),
+    )
+    pivoted = ranked.groupBy("l_suppkey").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("rank_in_yr"))).alias("r96"),
+        F.max(F.when(F.col("yr") == 1997, F.col("rank_in_yr"))).alias("r97"),
+    ).filter(F.col("r96").isNotNull() & F.col("r97").isNotNull())
+    return (
+        pivoted.select(
+            "l_suppkey",
+            "r96",
+            "r97",
+            (F.col("r96") - F.col("r97")).cast("long").alias("rank_gain"),
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+QUERIES["q_mcnemar_test"] = q_mcnemar_test
+ORACLES["q_mcnemar_test"] = """
+    with per as (
+        select l_partkey,
+               max(case when year(l_shipdate) = 1996 then 1 else 0
+                   end) as p96,
+               max(case when year(l_shipdate) = 1997 then 1 else 0
+                   end) as p97,
+               max(case when year(l_shipdate) = 1996
+                         and l_returnflag = 'R' then 1 else 0
+                   end) as r96,
+               max(case when year(l_shipdate) = 1997
+                         and l_returnflag = 'R' then 1 else 0
+                   end) as r97
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+        group by l_partkey
+    ),
+    agg as (
+        select count(*)::bigint as n_pairs,
+               sum(r96 * (1 - r97))::bigint as b_96_only,
+               sum((1 - r96) * r97)::bigint as c_97_only
+        from per where p96 = 1 and p97 = 1
+    )
+    select n_pairs, b_96_only, c_97_only,
+           ((b_96_only - c_97_only) * (b_96_only - c_97_only))::double
+           / (b_96_only + c_97_only)::double as mcnemar_chi2
+    from agg
+"""
+
+QUERIES["q_hellinger_drift"] = q_hellinger_drift
+ORACLES["q_hellinger_drift"] = """
+    with per as (
+        select o_orderpriority,
+               sum(case when year(o_orderdate) = 1996 then 1 else 0
+                   end)::bigint as c96,
+               sum(case when year(o_orderdate) = 1997 then 1 else 0
+                   end)::bigint as c97
+        from orders
+        where o_orderdate >= timestamp '1996-01-01'
+          and o_orderdate < timestamp '1998-01-01'
+        group by o_orderpriority
+    ),
+    t as (
+        select sum(c96)::bigint as n96, sum(c97)::bigint as n97 from per
+    )
+    select p.o_orderpriority, p.c96, p.c97,
+           sqrt((p.c96 * p.c97)::double) / sqrt((t.n96 * t.n97)::double)
+               as bc_term
+    from per p cross join t
+    order by p.o_orderpriority
+"""
+
+QUERIES["q_order_linecount_dist"] = q_order_linecount_dist
+ORACLES["q_order_linecount_dist"] = """
+    with per_order as (
+        select l_orderkey, count(*)::bigint as n_lines
+        from lineitem group by l_orderkey
+    ),
+    dist as (
+        select n_lines, count(*)::bigint as n_orders
+        from per_order group by n_lines
+    )
+    select n_lines, n_orders,
+           (n_orders * 1000000 // (select sum(n_orders)::bigint from dist))
+               ::bigint as share_ppm
+    from dist order by n_lines
+"""
+
+QUERIES["q_backlog_daily"] = q_backlog_daily
+ORACLES["q_backlog_daily"] = """
+    with close as (
+        select l_orderkey, max(l_shipdate::date) as close_d
+        from lineitem group by l_orderkey
+    ),
+    op as (
+        select o.o_orderdate::date as open_d, c.close_d
+        from orders o join close c on o.o_orderkey = c.l_orderkey
+    ),
+    ev as (
+        select open_d as d, 1 as o, 0 as c from op
+        union all
+        select close_d as d, 0 as o, 1 as c from op
+    ),
+    daily as (
+        select d, sum(o)::bigint as opened, sum(c)::bigint as closed
+        from ev group by d
+    )
+    select strftime(d, '%Y-%m-%d') as day, opened, closed,
+           (sum(opened - closed) over (order by d
+                rows between unbounded preceding and current row))::bigint
+               as backlog
+    from daily order by day
+"""
+
+QUERIES["q_supplier_rank_shift"] = q_supplier_rank_shift
+ORACLES["q_supplier_rank_shift"] = """
+    with per as (
+        select l_suppkey, year(l_shipdate) as yr,
+               sum(floor(l_extendedprice * 100 + 0.5)::bigint
+                   * (100 - floor(l_discount * 100 + 0.5)::bigint)
+               )::bigint as rev
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+        group by l_suppkey, yr
+    ),
+    ranked as (
+        select l_suppkey, yr,
+               row_number() over (partition by yr
+                                  order by rev desc, l_suppkey)::bigint
+                   as rank_in_yr
+        from per
+    ),
+    pivoted as (
+        select l_suppkey,
+               max(case when yr = 1996 then rank_in_yr end) as r96,
+               max(case when yr = 1997 then rank_in_yr end) as r97
+        from ranked group by l_suppkey
+    )
+    select l_suppkey, r96, r97, (r96 - r97)::bigint as rank_gain
+    from pivoted
+    where r96 is not null and r97 is not null
+    order by abs(r96 - r97) desc, l_suppkey
+    limit 20
+"""

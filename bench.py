@@ -368,23 +368,44 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
     tag = os.path.join("/tmp", f"bench_ann_{os.getpid()}")
 
     out: dict = {"train": {}, "index": {}}
-    t0 = _t.time()
-    cents = kmeans_centroids(emb, n_centroids=16, n_iters=2)
-    out["train"]["ivf_centroids_sec"] = round(_t.time() - t0, 3)
+
+    # Train timings get the SAME warmup + median-of-repeats + spread
+    # treatment as the query rungs (r9 VERDICT item 7: a 13.4 s vs 1.4 s
+    # judge/driver split on ivf_centroids_sec was first-JVM-call ordering
+    # — codegen, Arrow, parquet footer caches — not training cost).
+    # Training is pure (returns driver-side matrices), so repeats are safe.
+    def _timed_train(fn):
+        fn()  # unmeasured warmup
+        runs, val = [], None
+        for _ in range(repeats):
+            t1 = _t.time()
+            val = fn()
+            runs.append(_t.time() - t1)
+        return val, round(_st.median(runs), 3), round(max(runs) - min(runs), 3)
+
+    cents, sec, spread = _timed_train(
+        lambda: kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    )
+    out["train"]["ivf_centroids_sec"] = sec
+    out["train"]["ivf_centroids_spread"] = spread
     # codebooks train on a deterministic 25% xxhash64 sample (the IVF
     # seeding trick promoted to a train_sample operator) — the 100 TB
     # shape, and the r7 VERDICT's fix for pq16 training dominating the
     # ann section; recall tracked below must stay >= 0.8
-    t0 = _t.time()
-    books8 = pq_train(
-        emb, n_sub=8, dim=64, n_centroids=16, n_iters=2, sample_frac=0.25
+    books8, sec, spread = _timed_train(
+        lambda: pq_train(
+            emb, n_sub=8, dim=64, n_centroids=16, n_iters=2, sample_frac=0.25
+        )
     )
-    out["train"]["pq8_books_sec"] = round(_t.time() - t0, 3)
-    t0 = _t.time()
-    books16 = pq_train(
-        emb, n_sub=16, dim=64, n_centroids=16, n_iters=2, sample_frac=0.25
+    out["train"]["pq8_books_sec"] = sec
+    out["train"]["pq8_books_spread"] = spread
+    books16, sec, spread = _timed_train(
+        lambda: pq_train(
+            emb, n_sub=16, dim=64, n_centroids=16, n_iters=2, sample_frac=0.25
+        )
     )
-    out["train"]["pq16_books_sec"] = round(_t.time() - t0, 3)
+    out["train"]["pq16_books_sec"] = sec
+    out["train"]["pq16_books_spread"] = spread
     out["train"]["pq_train_sample_frac"] = 0.25
 
     t0 = _t.time()
