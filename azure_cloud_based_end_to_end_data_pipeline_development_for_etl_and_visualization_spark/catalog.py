@@ -17932,3 +17932,370 @@ ORACLES["q_supplier_rank_shift"] = """
     order by abs(r96 - r97) desc, l_suppkey
     limit 20
 """
+
+
+# ---------------------------------------------------------------------------
+# round-10 batch 2: corpus lexical stats, stopword bands, dup-distance
+# profile, seasonal index, weekend uplift, IQR fences
+# ---------------------------------------------------------------------------
+
+
+def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level type/token ratio per source — the lexical-diversity
+    number a data curator compares across scrape sources (boilerplate
+    farms repeat; organic text doesn't). One explode -> per-source
+    count + countDistinct (both map-side-combined); TTR as exact ppm
+    against the per-source token total."""
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.countDistinct("term").cast("long").alias("distinct_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_tokens",
+            F.expr("distinct_tokens * 1000000 div total_tokens").alias(
+                "ttr_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_stopword_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document counts by stopword-density band per source — the C4-style
+    quality histogram (too few stopwords = code/tables/gibberish, the
+    Gopher repetition signal's cheap cousin). The band is an exact
+    integer cross-multiplication (10*n_stop div n_tok, 0..10 domain) —
+    no float ratio compare — computed in one JVM expression pass;
+    the aggregate domain is sources x 11 bands."""
+    from .functions.text import EN_STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = tokens(F.col("text"))
+    per = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("long").alias("n_stop"),
+    )
+    return (
+        per.select(
+            "source",
+            F.expr("(10 * n_stop) div n_tok").alias("band"),
+        )
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "band")
+    )
+
+
+def q_candidate_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-decile histogram of the banded candidate pairs — the
+    LSH/blocking tuning readout: how much of the candidate budget is
+    spent on near-zero-similarity pairs (verify cost wasted) vs real
+    near-dups. Candidates ride banded_id_pairs (the linear
+    (block, id-bucket) equi-join); intersect/union sizes are exact
+    integers on hashed shingle sets; the decile band is an integer
+    cross-multiplication ((10*i) div u), and each band carries its id
+    distance mass (sum of b-a) — locality per similarity grade in the
+    same pass."""
+    from .operators.dedup import banded_id_pairs, hashed_shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = banded_id_pairs(docs, "doc_id", "source", 100)
+    sets_df = hashed_shingle_sets(docs, "doc_id", "text", 3)
+    sa = sets_df.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pv = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("u"),
+        )
+    )
+    return (
+        pv.select(
+            F.expr("(10 * i) div u").alias("jband"),
+            (F.col("b") - F.col("a")).alias("dist"),
+        )
+        .groupBy("jband")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+        .orderBy("jband")
+    )
+
+
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index of order revenue per year — month revenue
+    against the year's monthly average, as exact ppm (1e6 = an average
+    month; December retail spikes read directly). One orders scan to
+    (yr, mo) cent sums; the index numerator promotes to decimal BEFORE
+    the div so the quotient itself stays long-sized (<= 12e6 by
+    construction — the HHI overflow discipline)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    yr_tot = per.groupBy("yr").agg(
+        F.sum("rev_cents").cast("decimal(38,0)").alias("__yt")
+    )
+    return (
+        per.join(F.broadcast(yr_tot), "yr")
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            "mo",
+            "rev_cents",
+            F.expr(
+                "cast(cast(rev_cents as decimal(38,0)) * 12000000"
+                " div __yt as bigint)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend vs weekday mean order value — the day-of-week mix
+    readout behind staffing and promo scheduling. One conditional exact
+    integer aggregate (cent sums as decimal, counts as long); the two
+    means and their difference are the only IEEE ops, identically
+    composed on both engines."""
+    orders = _t(spark, sf_dir, "orders").select(
+        # weekday(): 0=Monday .. 6=Sunday, so >= 5 is the weekend;
+        # DuckDB mirrors it as isodow >= 6
+        (F.weekday(F.to_date("o_orderdate")) >= 5).alias("is_we"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    agg = orders.agg(
+        F.sum(F.when(F.col("is_we"), 1).otherwise(0)).cast("long").alias("n_we"),
+        F.sum(F.when(~F.col("is_we"), 1).otherwise(0)).cast("long").alias("n_wd"),
+        F.sum(F.when(F.col("is_we"), F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("__swe"),
+        F.sum(F.when(~F.col("is_we"), F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("__swd"),
+    )
+    mean_we = F.col("__swe").cast("double") / F.col("n_we").cast("double")
+    mean_wd = F.col("__swd").cast("double") / F.col("n_wd").cast("double")
+    return agg.select(
+        "n_we",
+        "n_wd",
+        mean_we.alias("mean_weekend_cents"),
+        mean_wd.alias("mean_weekday_cents"),
+        (mean_we - mean_wd).alias("weekend_uplift_cents"),
+    )
+
+
+def q_quantity_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences on quantity per return flag — the
+    robust outlier screen (q_outlier_zscore's distribution-free
+    sibling). Quartiles are RANK-SELECTED (R-1, no interpolation:
+    elements at ceil(n/4) and ceil(3n/4)) via the two-phase grouped row
+    number — every group's sort spreads across all reducers, no
+    percentile() and no float interpolation to disagree cross-engine.
+    Fence checks are integer cross-multiplications (2x vs 2q -/+ 3*iqr),
+    so the whole query is exact."""
+    from .operators.relational import with_grouped_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_grouped_row_number(
+        li,
+        ["l_returnflag"],
+        ["qty", "l_orderkey", "l_linenumber"],
+        rn_col="rn",
+        n_col="n",
+    )
+    quarts = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 3) div 4"))
+            | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("qty"))
+            ).alias("q1"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("qty"))
+            ).alias("q3"),
+        )
+    )
+    flagged = li.join(F.broadcast(quarts), "l_returnflag")
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.max("q1").cast("long").alias("q1"),
+            F.max("q3").cast("long").alias("q3"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("qty")
+                    < F.lit(2) * F.col("q1") - 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("qty")
+                    > F.lit(2) * F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_high"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["q_type_token_ratio"] = q_type_token_ratio
+ORACLES["q_type_token_ratio"] = f"""
+    with tok as (
+        select source, unnest({_DK_TOKENS}) as term from documents
+    ),
+    agg as (
+        select source, count(*)::bigint as total_tokens,
+               count(distinct term)::bigint as distinct_tokens
+        from tok group by source
+    )
+    select source, total_tokens, distinct_tokens,
+           (distinct_tokens * 1000000 // total_tokens)::bigint as ttr_ppm
+    from agg order by source
+"""
+
+QUERIES["q_stopword_band_mix"] = q_stopword_band_mix
+ORACLES["q_stopword_band_mix"] = f"""
+    with per as (
+        select source,
+               len({_DK_TOKENS})::bigint as n_tok,
+               len(list_filter({_DK_TOKENS},
+                   t -> list_contains({_DK_STOPLIST}, t)))::bigint as n_stop
+        from documents
+    )
+    select source, ((10 * n_stop) // n_tok)::bigint as band,
+           count(*)::bigint as n_docs
+    from per group by source, band
+    order by source, band
+"""
+
+QUERIES["q_candidate_jaccard_hist"] = q_candidate_jaccard_hist
+ORACLES["q_candidate_jaccard_hist"] = f"""
+    with t as (
+        select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+        from (select doc_id, source, {_DK_TOKENS} as w from documents)
+    ),
+    pv as (
+        select a.doc_id as a, b.doc_id as b,
+               len(list_distinct(list_intersect(a.sh, b.sh)))::bigint as i,
+               len(list_distinct(a.sh || b.sh))::bigint as u
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id
+         and b.doc_id - a.doc_id <= 100
+    )
+    select ((10 * i) // u)::bigint as jband,
+           count(*)::bigint as n_pairs,
+           sum(b - a)::bigint as sum_dist
+    from pv
+    group by jband order by jband
+"""
+
+QUERIES["q_seasonal_index"] = q_seasonal_index
+ORACLES["q_seasonal_index"] = """
+    with per as (
+        select year(o_orderdate)::bigint as yr,
+               month(o_orderdate)::bigint as mo,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint
+                   as rev_cents
+        from orders group by yr, mo
+    ),
+    yt as (select yr, sum(rev_cents)::hugeint as yt from per group by yr)
+    select p.yr, p.mo, p.rev_cents,
+           (p.rev_cents::hugeint * 12000000 // y.yt)::bigint as index_ppm
+    from per p join yt y on p.yr = y.yr
+    order by p.yr, p.mo
+"""
+
+QUERIES["q_weekend_uplift"] = q_weekend_uplift
+ORACLES["q_weekend_uplift"] = """
+    with flagged as (
+        select isodow(o_orderdate::date) >= 6 as is_we,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents
+        from orders
+    ),
+    agg as (
+        select sum(case when is_we then 1 else 0 end)::bigint as n_we,
+               sum(case when is_we then 0 else 1 end)::bigint as n_wd,
+               sum(case when is_we then cents::hugeint else 0 end) as swe,
+               sum(case when is_we then 0 else cents::hugeint end) as swd
+        from flagged
+    )
+    select n_we, n_wd,
+           swe::varchar::double / n_we::double as mean_weekend_cents,
+           swd::varchar::double / n_wd::double as mean_weekday_cents,
+           swe::varchar::double / n_we::double
+           - swd::varchar::double / n_wd::double as weekend_uplift_cents
+    from agg
+"""
+
+QUERIES["q_quantity_iqr_fences"] = q_quantity_iqr_fences
+ORACLES["q_quantity_iqr_fences"] = """
+    with li as (
+        select l_returnflag, l_quantity::bigint as qty, l_orderkey,
+               l_linenumber
+        from lineitem
+    ),
+    ranked as (
+        select l_returnflag, qty,
+               row_number() over (partition by l_returnflag
+                                  order by qty, l_orderkey, l_linenumber)
+                   as rn,
+               count(*) over (partition by l_returnflag) as n
+        from li
+    ),
+    quarts as (
+        select l_returnflag,
+               max(case when rn = (n + 3) // 4 then qty end)::bigint as q1,
+               max(case when rn = (3 * n + 3) // 4 then qty end)::bigint
+                   as q3
+        from ranked
+        where rn = (n + 3) // 4 or rn = (3 * n + 3) // 4
+        group by l_returnflag
+    )
+    select li.l_returnflag, max(q.q1)::bigint as q1, max(q.q3)::bigint as q3,
+           sum(case when 2 * li.qty < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                    then 1 else 0 end)::bigint as n_low,
+           sum(case when 2 * li.qty > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                    then 1 else 0 end)::bigint as n_high
+    from li join quarts q on li.l_returnflag = q.l_returnflag
+    group by li.l_returnflag
+    order by li.l_returnflag
+"""
