@@ -18299,3 +18299,369 @@ ORACLES["q_quantity_iqr_fences"] = """
     group by li.l_returnflag
     order by li.l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# round-10 batch 3: Brown-Forsythe variance test, market concentration,
+# decile bounds, brand return rates, event-intensity distribution
+# ---------------------------------------------------------------------------
+
+
+def q_levene_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test — do the return-flag
+    groups have equal quantity SPREAD? The variance-homogeneity check
+    that guards q_anova_f's assumption. Group medians are rank-selected
+    doubles-free (m2 = 2*median stays integer via the two middle
+    elements); Z = |2q - m2| is exact; the F statistic's sums of squares
+    use per-group ``Sj^2 div nj`` with decimal promotion so every
+    quotient is long-sized at ANY scale (the HHI discipline; both
+    engines truncate identically), and the final F is a fixed
+    two-division-one-multiply IEEE sequence."""
+    from .operators.relational import with_grouped_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_grouped_row_number(
+        li,
+        ["l_returnflag"],
+        ["qty", "l_orderkey", "l_linenumber"],
+        rn_col="rn",
+        n_col="n",
+    )
+    med2 = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("qty"))
+                    .otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("qty"))
+                    .otherwise(0)
+                )
+            ).cast("long").alias("m2"),
+        )
+    )
+    z = li.join(F.broadcast(med2), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.lit(2) * F.col("qty") - F.col("m2")).alias("z"),
+    )
+    per = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("z").cast("long").alias("sj"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qj"),
+    )
+    agg = per.agg(
+        F.sum("nj").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("sj").cast("long").alias("__s"),
+        F.sum("qj").cast("long").alias("__q"),
+        F.sum(
+            F.expr("cast(cast(sj as decimal(38,0)) * sj div nj as bigint)")
+        ).cast("long").alias("__sq_over_n"),
+    )
+    ssb = F.col("__sq_over_n") - F.expr(
+        "cast(cast(__s as decimal(38,0)) * __s div n_total as bigint)"
+    )
+    ssw = F.col("__q") - F.col("__sq_over_n")
+    return agg.select(
+        "n_total",
+        "k_groups",
+        ssb.cast("long").alias("ssb_t"),
+        ssw.cast("long").alias("ssw_t"),
+        (
+            (
+                (F.col("n_total") - F.col("k_groups")).cast("double")
+                / (F.col("k_groups") - 1).cast("double")
+            )
+            * (ssb.cast("double") / ssw.cast("double"))
+        ).alias("bf_f"),
+    )
+
+
+def q_top2_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 supplier revenue share per nation — the concentration
+    readout procurement reads next to q_supplier_hhi_by_nation (CR2 vs
+    HHI). Supplier revenue is one exact cent aggregate; within-nation
+    ranks ride the two-phase GROUPED row number (every nation's sort
+    spreads across reducers); the share numerator promotes to decimal
+    before div so the ppm quotient stays long-sized at any scale."""
+    from .operators.relational import with_grouped_row_number
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_c = F.expr(
+        "cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)"
+        " * (100 - cast(floor(l_discount * 100.0 + 0.5) as bigint)) div 100"
+    )
+    per_sup = (
+        li.select("l_suppkey", rev_c.alias("rev_c"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c").cast("long").alias("rev"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("n_name", "l_suppkey", "rev")
+    )
+    # rank desc by revenue: order on the negated column (ascending API)
+    ranked = with_grouped_row_number(
+        per_sup.withColumn("neg_rev", -F.col("rev")),
+        ["n_name"],
+        ["neg_rev", "l_suppkey"],
+        rn_col="rn",
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.sum(F.when(F.col("rn") <= 2, F.col("rev")).otherwise(0))
+        .cast("long")
+        .alias("top2_rev_cents"),
+        F.sum("rev").cast("long").alias("nation_rev_cents"),
+    )
+    return agg.select(
+        "n_name",
+        "top2_rev_cents",
+        "nation_rev_cents",
+        F.expr(
+            "cast(cast(top2_rev_cents as decimal(38,0)) * 1000000"
+            " div nation_rev_cents as bigint)"
+        ).alias("top2_share_ppm"),
+    ).orderBy("n_name")
+
+
+def q_order_value_decile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile boundary values of order value — the profile table a cost
+    model or stratified sampler reads. Bounds are RANK-SELECTED at
+    positions (d*n) div 10 via the two-phase global row number — exact,
+    interpolation-free, and no single-reducer sort; the position-to-
+    decile mapping is a 9-branch integer CASE evaluated only on the 9
+    selected rows."""
+    from .operators.relational import with_global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = with_global_row_number(
+        orders, ["cents", "o_orderkey"], rn_col="rn", n_col="n"
+    )
+    pos_pred = " or ".join(f"rn = ({d} * n) div 10" for d in range(1, 10))
+    dec_case = "case " + " ".join(
+        f"when rn = ({d} * n) div 10 then {d}" for d in range(9, 0, -1)
+    ) + " end"
+    return (
+        ranked.filter(F.expr(pos_pred))
+        .select(
+            F.expr(dec_case).cast("long").alias("decile"),
+            F.col("cents").alias("bound_cents"),
+        )
+        .groupBy("decile")
+        .agg(F.max("bound_cents").alias("bound_cents"))
+        .orderBy("decile")
+    )
+
+
+def q_return_rate_by_brand_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand per 1996 month — the quality-control grid
+    (which brand spiked returns, and when). One fact-fact equi-join
+    (lineitem x part, unhinted — both scale), then a brands x 12
+    bounded aggregate with exact ppm rates."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.select(
+        "l_partkey",
+        F.month("l_shipdate").cast("long").alias("mo"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    ).join(part, F.col("l_partkey") == part.p_partkey)
+    return (
+        j.groupBy("p_brand", "mo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+        )
+        .select(
+            "p_brand",
+            "mo",
+            "n_lines",
+            "n_returned",
+            F.expr("n_returned * 1000000 div n_lines").alias("ret_ppm"),
+        )
+        .orderBy("p_brand", "mo")
+    )
+
+
+def q_events_per_user_day_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of events per active user-day — the engagement-
+    intensity histogram behind DAU quality (1-event drive-bys vs power
+    users). Two map-side-combined aggregates: per-(user, day) counts
+    (fact-keyed, distributes), then the small count-domain histogram
+    with exact ppm shares."""
+    ev = _events(spark, sf_dir)
+    per = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    dist = per.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days")
+    )
+    total = dist.agg(F.sum("n_user_days").cast("long").alias("__t"))
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "n_events",
+            "n_user_days",
+            F.expr("n_user_days * 1000000 div __t").alias("share_ppm"),
+        )
+        .orderBy("n_events")
+    )
+
+
+QUERIES["q_levene_quantity"] = q_levene_quantity
+ORACLES["q_levene_quantity"] = """
+    with li as (
+        select l_returnflag, l_quantity::bigint as qty, l_orderkey,
+               l_linenumber
+        from lineitem
+    ),
+    ranked as (
+        select l_returnflag, qty,
+               row_number() over (partition by l_returnflag
+                                  order by qty, l_orderkey, l_linenumber)
+                   as rn,
+               count(*) over (partition by l_returnflag) as n
+        from li
+    ),
+    med2 as (
+        select l_returnflag,
+               (sum(case when rn = (n + 1) // 2 then qty else 0 end)
+                + sum(case when rn = n // 2 + 1 then qty else 0 end)
+               )::bigint as m2
+        from ranked
+        where rn = (n + 1) // 2 or rn = n // 2 + 1
+        group by l_returnflag
+    ),
+    z as (
+        select li.l_returnflag, abs(2 * li.qty - m.m2) as z
+        from li join med2 m on li.l_returnflag = m.l_returnflag
+    ),
+    per as (
+        select l_returnflag, count(*)::bigint as nj, sum(z)::bigint as sj,
+               sum(z * z)::bigint as qj
+        from z group by l_returnflag
+    ),
+    agg as (
+        select sum(nj)::bigint as n_total, count(*)::bigint as k_groups,
+               sum(sj)::bigint as s, sum(qj)::bigint as q,
+               sum(((sj::hugeint * sj) // nj)::bigint)::bigint as sq_over_n
+        from per
+    )
+    select n_total, k_groups,
+           (sq_over_n - ((s::hugeint * s) // n_total)::bigint)::bigint
+               as ssb_t,
+           (q - sq_over_n)::bigint as ssw_t,
+           ((n_total - k_groups)::double / (k_groups - 1)::double)
+           * ((sq_over_n - ((s::hugeint * s) // n_total)::bigint)::double
+              / (q - sq_over_n)::double) as bf_f
+    from agg
+"""
+
+QUERIES["q_top2_share_by_nation"] = q_top2_share_by_nation
+ORACLES["q_top2_share_by_nation"] = """
+    with per_sup as (
+        select n.n_name, l.l_suppkey,
+               sum(floor(l_extendedprice * 100.0 + 0.5)::bigint
+                   * (100 - floor(l_discount * 100.0 + 0.5)::bigint)
+                   // 100)::bigint as rev
+        from lineitem l
+        join supplier s on l.l_suppkey = s.s_suppkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        group by n.n_name, l.l_suppkey
+    ),
+    ranked as (
+        select n_name, rev,
+               row_number() over (partition by n_name
+                                  order by rev desc, l_suppkey) as rn
+        from per_sup
+    ),
+    agg as (
+        select n_name,
+               sum(case when rn <= 2 then rev else 0 end)::bigint
+                   as top2_rev_cents,
+               sum(rev)::bigint as nation_rev_cents
+        from ranked group by n_name
+    )
+    select n_name, top2_rev_cents, nation_rev_cents,
+           (top2_rev_cents::hugeint * 1000000 // nation_rev_cents)::bigint
+               as top2_share_ppm
+    from agg order by n_name
+"""
+
+QUERIES["q_order_value_decile_bounds"] = q_order_value_decile_bounds
+ORACLES["q_order_value_decile_bounds"] = """
+    with ranked as (
+        select floor(o_totalprice * 100 + 0.5)::bigint as cents,
+               row_number() over (
+                   order by floor(o_totalprice * 100 + 0.5)::bigint,
+                            o_orderkey) as rn,
+               count(*) over () as n
+        from orders
+    ),
+    sel as (
+        select case {cases} end as decile, cents
+        from ranked
+        where {preds}
+    )
+    select decile::bigint as decile, max(cents)::bigint as bound_cents
+    from sel group by decile order by decile
+""".format(
+    cases=" ".join(
+        f"when rn = ({d} * n) // 10 then {d}" for d in range(9, 0, -1)
+    ),
+    preds=" or ".join(f"rn = ({d} * n) // 10" for d in range(1, 10)),
+)
+
+QUERIES["q_return_rate_by_brand_month"] = q_return_rate_by_brand_month
+ORACLES["q_return_rate_by_brand_month"] = """
+    with j as (
+        select p.p_brand, month(l.l_shipdate)::bigint as mo,
+               case when l.l_returnflag = 'R' then 1 else 0 end as ret
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+        where l.l_shipdate >= timestamp '1996-01-01'
+          and l.l_shipdate < timestamp '1997-01-01'
+    )
+    select p_brand, mo, count(*)::bigint as n_lines,
+           sum(ret)::bigint as n_returned,
+           (sum(ret) * 1000000 // count(*))::bigint as ret_ppm
+    from j group by p_brand, mo
+    order by p_brand, mo
+"""
+
+QUERIES["q_events_per_user_day_dist"] = q_events_per_user_day_dist
+ORACLES["q_events_per_user_day_dist"] = """
+    with per as (
+        select user_id, ts::date as d, count(*)::bigint as n_events
+        from events group by user_id, d
+    ),
+    dist as (
+        select n_events, count(*)::bigint as n_user_days
+        from per group by n_events
+    )
+    select n_events, n_user_days,
+           (n_user_days * 1000000
+            // (select sum(n_user_days)::bigint from dist))::bigint
+               as share_ppm
+    from dist order by n_events
+"""
