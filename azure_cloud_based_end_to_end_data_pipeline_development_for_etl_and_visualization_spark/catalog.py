@@ -18665,3 +18665,84 @@ ORACLES["q_events_per_user_day_dist"] = """
                as share_ppm
     from dist order by n_events
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 WINDOW: the driver's correctness gate reads the FIRST 50 entries
+# of QUERIES, so registry order is load-bearing (this block supersedes the
+# ROUND-9 WINDOW reorder above — it runs last, after every round-10
+# registration). Composition (pinned by tests/test_entry_contract.
+# test_driver_window_composition, candidates computed by
+# tools/attestation.py — never hand-curated):
+#   slots 1-13: the 13 round-9 batch-4/5/6 queries with no driver row yet
+#     (judge-attested at sf0.01 AND sf0.1 in r9; driver-green here makes
+#     the whole pre-round-10 catalog cumulatively driver-attested);
+#   slots 14-29: the 16 round-10 additions (all oracle-twinned and
+#     verified at sf0.001 + sf0.01 + sf0.1 this session);
+#   slots 30-35: re-attestation of every query whose PLAN changed this
+#     round (banded_id_pairs candidate rewrite; with_surrogate_key's
+#     two-phase rank) — oracle hashes are layout-independent, so these
+#     re-verify the reshaped plans end-to-end;
+#   slots 36-50: the 15 oldest driver attestations (round-1 greens) —
+#     freshness rotation for the long tail.
+# ---------------------------------------------------------------------------
+
+_R10_WINDOW = [
+    # -- 1-13: r9 attestation head (tools/attestation.py --unattested) --
+    "q_wilcoxon_signed_rank",
+    "q_gini_by_nation",
+    "q_supplier_hhi_by_nation",
+    "q_price_dispersion_topk",
+    "q_split_balance_check",
+    "q_ma_crossover",
+    "q_diff_in_diff",
+    "q_langid_confusion",
+    "q_dedup_token_savings",
+    "q_tv_drift",
+    "q_ship_latency_bands",
+    "q_reorder_interval_median",
+    "q_first_vs_repeat_value",
+    # -- 14-29: round-10 additions ---------------------------------------
+    "q_mcnemar_test",
+    "q_hellinger_drift",
+    "q_order_linecount_dist",
+    "q_backlog_daily",
+    "q_supplier_rank_shift",
+    "q_type_token_ratio",
+    "q_stopword_band_mix",
+    "q_candidate_jaccard_hist",
+    "q_seasonal_index",
+    "q_weekend_uplift",
+    "q_quantity_iqr_fences",
+    "q_levene_quantity",
+    "q_top2_share_by_nation",
+    "q_order_value_decile_bounds",
+    "q_return_rate_by_brand_month",
+    "q_events_per_user_day_dist",
+    # -- 30-35: round-10 plan-change re-attestations ---------------------
+    "q_ngram_jaccard",
+    "q_dedup_yield_curve",
+    "q_tfidf_cosine_pairs",
+    "q_scd1_merge",
+    "q_surrogate_key",
+    "q_time_travel",
+    # -- 36-50: oldest driver attestations (round-1 greens) --------------
+    "q_argminmax",
+    "q_arith_derive",
+    "q_cast_agg",
+    "q_count_distinct",
+    "q_cross_join",
+    "q_cube",
+    "q_date_parts",
+    "q_distinct",
+    "q_empty_relation",
+    "q_except",
+    "q_exists_subquery",
+    "q_filter_isnotnull",
+    "q_filter_isnull",
+    "q_full_outer_join",
+    "q_groupby_agg",
+]
+
+_r10_rest = [n for n in QUERIES if n not in set(_R10_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R10_WINDOW, *_r10_rest]}

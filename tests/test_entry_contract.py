@@ -67,49 +67,56 @@ def test_rows_only_queries_are_the_documented_set():
 
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-9 window —
-    slots 1-20 are the r8 batch-3/4 queries with no driver row yet (the
-    attestation head computed by tools/attestation.py; driver-green here
-    completes cumulative attestation of the whole r8 catalog), slots
-    21-38 are the round-9 additions, and slots 39-50 re-enter every
-    query whose PLAN changed under the round-9 hint-audit fixes — so an
-    accidental reorder can't silently starve the gate (that is precisely
-    what happened in round 1)."""
+    checks the FIRST 50 entries of queries(). Pin the round-10 window —
+    slots 1-13 are the round-9 batch-4/5/6 queries with no driver row
+    yet (the attestation head computed by tools/attestation.py;
+    driver-green here makes the pre-round-10 catalog cumulatively
+    driver-attested), slots 14-29 are the round-10 additions, slots
+    30-35 re-enter every query whose PLAN changed this round
+    (banded_id_pairs candidate rewrite, with_surrogate_key two-phase
+    rank), and slots 36-50 freshness-rotate the 15 oldest (round-1)
+    attestations — so an accidental reorder can't silently starve the
+    gate (that is precisely what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
-    # the round-9 window is fully oracle-twinned — zero rows-only slots
+    # the round-10 window is fully oracle-twinned — zero rows-only slots
     assert [n for n in window if n not in oracles] == []
     attestation_head = [
-        "q_grouped_median", "q_cohens_kappa", "q_chi2_contingency",
-        "q_ewma_dyadic", "q_max_drawdown", "q_local_clustering",
-        "q_mips_topk", "q_knn_label_vote", "q_revenue_share_filter",
-        "q_above_brand_avg", "q_acf_grid", "q_length_band_filter",
-        "q_weighted_median", "q_cross_corr", "q_burstiness",
-        "q_embargo_split", "q_hour_week_heatmap", "q_repeat_rate",
-        "q_weekly_active_overlap", "q_zipf_check",
+        "q_wilcoxon_signed_rank", "q_gini_by_nation",
+        "q_supplier_hhi_by_nation", "q_price_dispersion_topk",
+        "q_split_balance_check", "q_ma_crossover", "q_diff_in_diff",
+        "q_langid_confusion", "q_dedup_token_savings", "q_tv_drift",
+        "q_ship_latency_bands", "q_reorder_interval_median",
+        "q_first_vs_repeat_value",
     ]
-    assert window[:20] == attestation_head
-    round9 = [
-        "q_mann_whitney", "q_runs_test", "q_theil_sen", "q_top_supplier",
-        "q_promo_share_monthly", "q_late_ship_priority",
-        "q_dwell_time_bands", "q_dau_wau_stickiness", "q_cold_start_rate",
-        "q_user_hhi", "q_assortativity", "q_common_neighbors_topk",
-        "q_returned_items_topk", "q_dedup_survivorship",
-        "q_dedup_yield_curve", "q_vocab_coverage_curve",
-        "q_contamination_by_source", "q_boilerplate_ngrams",
+    assert window[:13] == attestation_head
+    round10 = [
+        "q_mcnemar_test", "q_hellinger_drift", "q_order_linecount_dist",
+        "q_backlog_daily", "q_supplier_rank_shift", "q_type_token_ratio",
+        "q_stopword_band_mix", "q_candidate_jaccard_hist",
+        "q_seasonal_index", "q_weekend_uplift", "q_quantity_iqr_fences",
+        "q_levene_quantity", "q_top2_share_by_nation",
+        "q_order_value_decile_bounds", "q_return_rate_by_brand_month",
+        "q_events_per_user_day_dist",
     ]
-    assert window[20:38] == round9
+    assert window[13:29] == round10
     plan_change_reattest = [
-        "q_star_join", "q_star_join_preagg", "q_left_join_lookup",
-        "q_filter_join_topk", "q_decontaminate", "q_cosine_topk",
-        "q_hard_negatives", "q_data_quality", "q_scd1_merge",
-        "q_cdc_apply", "q_skyline", "q_abc_pareto",
+        "q_ngram_jaccard", "q_dedup_yield_curve", "q_tfidf_cosine_pairs",
+        "q_scd1_merge", "q_surrogate_key", "q_time_travel",
     ]
-    assert window[38:50] == plan_change_reattest
-    # the r8 window follows the r9 one — every entry in it is
-    # driver-green from r8 and stays addressable
-    assert list(qs)[50:53] == ["q_dedup_clusters", "q_leakage_safe_split",
-                               "q_tokenizer_fertility"]
+    assert window[29:35] == plan_change_reattest
+    oldest_rotation = [
+        "q_argminmax", "q_arith_derive", "q_cast_agg", "q_count_distinct",
+        "q_cross_join", "q_cube", "q_date_parts", "q_distinct",
+        "q_empty_relation", "q_except", "q_exists_subquery",
+        "q_filter_isnotnull", "q_filter_isnull", "q_full_outer_join",
+        "q_groupby_agg",
+    ]
+    assert window[35:50] == oldest_rotation
+    # the r9 window head follows the r10 one — every entry in it is
+    # driver-green from r9 and stays addressable
+    assert list(qs)[50:53] == ["q_grouped_median", "q_cohens_kappa",
+                               "q_chi2_contingency"]
 
 
 def test_window_head_matches_attestation_ledger():
