@@ -18746,3 +18746,330 @@ _R10_WINDOW = [
 
 _r10_rest = [n for n in QUERIES if n not in set(_R10_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*_R10_WINDOW, *_r10_rest]}
+
+
+# ---------------------------------------------------------------------------
+# round-10 batch 4: brand correlation, spend consistency, char-class
+# profile, discount effect grid, nation trade balance
+# ---------------------------------------------------------------------------
+
+
+def q_price_quantity_corr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price vs quantity per brand — the
+    elasticity screen (negative r = price-sensitive demand). The five
+    moments (n, Sx, Sy, Sxy, Sxx, Syy) accumulate as EXACT integers
+    (decimal merge for the cent-scaled products); r composes from them
+    in one fixed IEEE sequence per brand row — two sqrts, two
+    multiplies, one divide — identical cross-engine. The unhinted
+    lineitem x part join shuffles on partkey (both sides scale)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    den_x = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    ).cast("double")
+    den_y = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy") * F.col("sy")
+    ).cast("double")
+    return m.select(
+        "p_brand",
+        "n",
+        (num / (F.sqrt(den_x) * F.sqrt(den_y))).alias("pearson_r"),
+    ).orderBy("p_brand")
+
+
+def q_spend_consistency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed by spend consistency — the coefficient-of-
+    variation segmentation (steady replenishers vs spiky bargain
+    hunters) behind CRM tiering. CV^2 = (n*Q - S^2)/S^2 compares to the
+    band thresholds {0.25, 0.5, 1.0} FULLY CROSS-MULTIPLIED in decimal
+    (no sqrt, no float ratio) — the whole query is exact integers.
+    Single-order customers are their own band (CV undefined)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "q"
+        ),
+    )
+    # cv2_num = n*Q - S^2 ; band k when cv2 < t_k^2, thresholds
+    # 0.25/0.5/1.0 -> compare 16*cv2_num < S^2, 4*cv2_num < S^2, ...
+    cv2n = F.col("n").cast("decimal(38,0)") * F.col("q") - F.col("s") * F.col("s")
+    band = (
+        F.when(F.col("n") == 1, F.lit("single_order"))
+        .when(cv2n * 16 < F.col("s") * F.col("s"), F.lit("steady_cv<0.25"))
+        .when(cv2n * 4 < F.col("s") * F.col("s"), F.lit("moderate_cv<0.5"))
+        .when(cv2n < F.col("s") * F.col("s"), F.lit("variable_cv<1.0"))
+        .otherwise(F.lit("spiky_cv>=1.0"))
+    )
+    return (
+        per.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source — ppm of letters, digits,
+    whitespace, punctuation (the junk-detection profile next to
+    alpha_ratio: OCR noise is punct-heavy, tables are digit-heavy).
+    Four regexp_replace lengths per doc in ONE JVM projection pass,
+    summed exactly per source; shares are exact ppm divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    lc = F.lower(F.col("text"))
+    per = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(lc, "[^a-z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(lc, "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace(lc, r"[^\s]", "")).cast("long").alias("n_space"),
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("n_alpha").cast("long").alias("alpha"),
+        F.sum("n_digit").cast("long").alias("digit"),
+        F.sum("n_space").cast("long").alias("space"),
+    )
+    return agg.select(
+        "source",
+        "chars",
+        F.expr("alpha * 1000000 div chars").alias("alpha_ppm"),
+        F.expr("digit * 1000000 div chars").alias("digit_ppm"),
+        F.expr("space * 1000000 div chars").alias("space_ppm"),
+        F.expr(
+            "(chars - alpha - digit - space) * 1000000 div chars"
+        ).alias("other_ppm"),
+    ).orderBy("source")
+
+
+def q_discount_effect_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean quantity per discount level — does a deeper discount move
+    more units? (the promo-effectiveness grid behind TPC-H Q19-style
+    pricing analysis). Discount levels are exact integer percents
+    (0..10 domain); per-level counts and quantity sums are exact longs;
+    the mean is the single IEEE division per row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        li.groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+        )
+        .select(
+            "disc_pct",
+            "n_lines",
+            (
+                F.col("sum_qty").cast("double") / F.col("n_lines").cast("double")
+            ).alias("mean_qty"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue earned by its suppliers vs
+    spend by its customers — the two sides of the TPC-H economy in one
+    readout. Each side is an independent fact aggregate (lineitem keyed
+    by suppkey; lineitem x orders x customer keyed by custkey — all
+    unhinted fact-fact equi-joins), meeting on the 25-row nation
+    domain; revenue stays exact discounted cents throughout."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c = F.expr(
+        "cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)"
+        " * (100 - cast(floor(l_discount * 100.0 + 0.5) as bigint)) div 100"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supply = (
+        li.select("l_suppkey", rev_c.alias("rev_c"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum("rev_c").cast("long").alias("supply_rev_cents"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    demand = (
+        li.select("l_orderkey", rev_c.alias("rev_c"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev_c").cast("long").alias("demand_spend_cents"))
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        nat.join(
+            F.broadcast(supply), nat.n_nationkey == supply.s_nationkey, "left"
+        )
+        .join(
+            F.broadcast(demand), nat.n_nationkey == demand.c_nationkey, "left"
+        )
+        .select(
+            "n_name",
+            F.coalesce("supply_rev_cents", F.lit(0))
+            .cast("long")
+            .alias("supply_rev_cents"),
+            F.coalesce("demand_spend_cents", F.lit(0))
+            .cast("long")
+            .alias("demand_spend_cents"),
+            (
+                F.coalesce("supply_rev_cents", F.lit(0))
+                - F.coalesce("demand_spend_cents", F.lit(0))
+            ).cast("long").alias("balance_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES["q_price_quantity_corr_by_brand"] = q_price_quantity_corr_by_brand
+ORACLES["q_price_quantity_corr_by_brand"] = """
+    with j as (
+        select p.p_brand, l.l_quantity::bigint as x,
+               floor(l.l_extendedprice * 100 + 0.5)::bigint as y
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+    ),
+    m as (
+        select p_brand, count(*)::bigint as n,
+               sum(x)::bigint as sx, sum(y)::hugeint as sy,
+               sum(x::hugeint * y) as sxy, sum(x * x)::bigint as sxx,
+               sum(y::hugeint * y) as syy
+        from j group by p_brand
+    ),
+    moments as (
+        select p_brand, n,
+               (n::hugeint * sxy - sx::hugeint * sy) as numd,
+               (n::hugeint * sxx - sx::hugeint * sx) as denx,
+               (n::hugeint * syy - sy * sy) as deny
+        from m
+    )
+    -- ::varchar::double: DuckDB's direct hugeint->double double-rounds
+    -- (1-ulp off near halfway points); the string path rounds correctly,
+    -- matching Spark's BigDecimal.doubleValue()
+    select p_brand, n,
+           numd::varchar::double
+           / (sqrt(denx::varchar::double) * sqrt(deny::varchar::double))
+               as pearson_r
+    from moments order by p_brand
+"""
+
+QUERIES["q_spend_consistency_bands"] = q_spend_consistency_bands
+ORACLES["q_spend_consistency_bands"] = """
+    with per as (
+        select o_custkey, count(*)::bigint as n,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::hugeint as s,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint::hugeint
+                   * floor(o_totalprice * 100 + 0.5)::bigint) as q
+        from orders group by o_custkey
+    ),
+    banded as (
+        select case
+            when n = 1 then 'single_order'
+            when (n * q - s * s) * 16 < s * s then 'steady_cv<0.25'
+            when (n * q - s * s) * 4 < s * s then 'moderate_cv<0.5'
+            when (n * q - s * s) < s * s then 'variable_cv<1.0'
+            else 'spiky_cv>=1.0' end as band
+        from per
+    )
+    select band, count(*)::bigint as n_customers
+    from banded group by band order by band
+"""
+
+QUERIES["q_char_class_profile"] = q_char_class_profile
+ORACLES["q_char_class_profile"] = """
+    with per as (
+        select source,
+               length(text)::bigint as n_chars,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::bigint
+                   as n_alpha,
+               length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::bigint
+                   as n_digit,
+               length(regexp_replace(lower(text), '[^\\s]', '', 'g'))::bigint
+                   as n_space
+        from documents
+    ),
+    agg as (
+        select source, sum(n_chars)::bigint as chars,
+               sum(n_alpha)::bigint as alpha, sum(n_digit)::bigint as digit,
+               sum(n_space)::bigint as space
+        from per group by source
+    )
+    select source, chars,
+           (alpha * 1000000 // chars)::bigint as alpha_ppm,
+           (digit * 1000000 // chars)::bigint as digit_ppm,
+           (space * 1000000 // chars)::bigint as space_ppm,
+           ((chars - alpha - digit - space) * 1000000 // chars)::bigint
+               as other_ppm
+    from agg order by source
+"""
+
+QUERIES["q_discount_effect_grid"] = q_discount_effect_grid
+ORACLES["q_discount_effect_grid"] = """
+    select floor(l_discount * 100 + 0.5)::bigint as disc_pct,
+           count(*)::bigint as n_lines,
+           sum(l_quantity::bigint)::bigint::double / count(*)::double
+               as mean_qty
+    from lineitem
+    group by disc_pct order by disc_pct
+"""
+
+QUERIES["q_nation_trade_balance"] = q_nation_trade_balance
+ORACLES["q_nation_trade_balance"] = """
+    with rev as (
+        select l_suppkey, l_orderkey,
+               floor(l_extendedprice * 100.0 + 0.5)::bigint
+               * (100 - floor(l_discount * 100.0 + 0.5)::bigint) // 100
+                   as rev_c
+        from lineitem
+    ),
+    supply as (
+        select s.s_nationkey, sum(r.rev_c)::bigint as supply_rev_cents
+        from rev r join supplier s on r.l_suppkey = s.s_suppkey
+        group by s.s_nationkey
+    ),
+    demand as (
+        select c.c_nationkey, sum(r.rev_c)::bigint as demand_spend_cents
+        from rev r
+        join orders o on r.l_orderkey = o.o_orderkey
+        join customer c on o.o_custkey = c.c_custkey
+        group by c.c_nationkey
+    )
+    select n.n_name,
+           coalesce(s.supply_rev_cents, 0)::bigint as supply_rev_cents,
+           coalesce(d.demand_spend_cents, 0)::bigint as demand_spend_cents,
+           (coalesce(s.supply_rev_cents, 0)
+            - coalesce(d.demand_spend_cents, 0))::bigint as balance_cents
+    from nation n
+    left join supply s on n.n_nationkey = s.s_nationkey
+    left join demand d on n.n_nationkey = d.c_nationkey
+    order by n.n_name
+"""
