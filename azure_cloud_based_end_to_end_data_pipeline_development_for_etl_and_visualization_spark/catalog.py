@@ -18677,13 +18677,13 @@ ORACLES["q_events_per_user_day_dist"] = """
 #   slots 1-13: the 13 round-9 batch-4/5/6 queries with no driver row yet
 #     (judge-attested at sf0.01 AND sf0.1 in r9; driver-green here makes
 #     the whole pre-round-10 catalog cumulatively driver-attested);
-#   slots 14-29: the 16 round-10 additions (all oracle-twinned and
+#   slots 14-34: the 21 round-10 additions (all oracle-twinned and
 #     verified at sf0.001 + sf0.01 + sf0.1 this session);
-#   slots 30-35: re-attestation of every query whose PLAN changed this
+#   slots 35-40: re-attestation of every query whose PLAN changed this
 #     round (banded_id_pairs candidate rewrite; with_surrogate_key's
 #     two-phase rank) — oracle hashes are layout-independent, so these
 #     re-verify the reshaped plans end-to-end;
-#   slots 36-50: the 15 oldest driver attestations (round-1 greens) —
+#   slots 41-50: the 10 oldest driver attestations (round-1 greens) —
 #     freshness rotation for the long tail.
 # ---------------------------------------------------------------------------
 
@@ -18719,14 +18719,20 @@ _R10_WINDOW = [
     "q_order_value_decile_bounds",
     "q_return_rate_by_brand_month",
     "q_events_per_user_day_dist",
-    # -- 30-35: round-10 plan-change re-attestations ---------------------
+    # -- 30-34: round-10 batch-4 additions -------------------------------
+    "q_price_quantity_corr_by_brand",
+    "q_spend_consistency_bands",
+    "q_char_class_profile",
+    "q_discount_effect_grid",
+    "q_nation_trade_balance",
+    # -- 35-40: round-10 plan-change re-attestations ---------------------
     "q_ngram_jaccard",
     "q_dedup_yield_curve",
     "q_tfidf_cosine_pairs",
     "q_scd1_merge",
     "q_surrogate_key",
     "q_time_travel",
-    # -- 36-50: oldest driver attestations (round-1 greens) --------------
+    # -- 41-50: oldest driver attestations (round-1 greens) --------------
     "q_argminmax",
     "q_arith_derive",
     "q_cast_agg",
@@ -18737,15 +18743,10 @@ _R10_WINDOW = [
     "q_distinct",
     "q_empty_relation",
     "q_except",
-    "q_exists_subquery",
-    "q_filter_isnotnull",
-    "q_filter_isnull",
-    "q_full_outer_join",
-    "q_groupby_agg",
 ]
 
-_r10_rest = [n for n in QUERIES if n not in set(_R10_WINDOW)]
-QUERIES = {n: QUERIES[n] for n in [*_R10_WINDOW, *_r10_rest]}
+# (the window reorder itself runs at the very END of this module, after
+# every round-10 registration — see the final lines of the file)
 
 
 # ---------------------------------------------------------------------------
@@ -19073,3 +19074,9 @@ ORACLES["q_nation_trade_balance"] = """
     left join demand d on n.n_nationkey = d.c_nationkey
     order by n.n_name
 """
+
+
+# ROUND-10 WINDOW reorder (must be the last statement touching QUERIES —
+# every registration above, including late batches, precedes it)
+_r10_rest = [n for n in QUERIES if n not in set(_R10_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R10_WINDOW, *_r10_rest]}

@@ -98,21 +98,22 @@ def test_driver_window_composition():
         "q_levene_quantity", "q_top2_share_by_nation",
         "q_order_value_decile_bounds", "q_return_rate_by_brand_month",
         "q_events_per_user_day_dist",
+        "q_price_quantity_corr_by_brand", "q_spend_consistency_bands",
+        "q_char_class_profile", "q_discount_effect_grid",
+        "q_nation_trade_balance",
     ]
-    assert window[13:29] == round10
+    assert window[13:34] == round10
     plan_change_reattest = [
         "q_ngram_jaccard", "q_dedup_yield_curve", "q_tfidf_cosine_pairs",
         "q_scd1_merge", "q_surrogate_key", "q_time_travel",
     ]
-    assert window[29:35] == plan_change_reattest
+    assert window[34:40] == plan_change_reattest
     oldest_rotation = [
         "q_argminmax", "q_arith_derive", "q_cast_agg", "q_count_distinct",
         "q_cross_join", "q_cube", "q_date_parts", "q_distinct",
-        "q_empty_relation", "q_except", "q_exists_subquery",
-        "q_filter_isnotnull", "q_filter_isnull", "q_full_outer_join",
-        "q_groupby_agg",
+        "q_empty_relation", "q_except",
     ]
-    assert window[35:50] == oldest_rotation
+    assert window[40:50] == oldest_rotation
     # the r9 window head follows the r10 one — every entry in it is
     # driver-green from r9 and stays addressable
     assert list(qs)[50:53] == ["q_grouped_median", "q_cohens_kappa",
