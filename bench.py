@@ -247,6 +247,28 @@ HEADLINE = [
     "q_ship_latency_bands",
     "q_reorder_interval_median",
     "q_first_vs_repeat_value",
+    # round-10 additions (appended; earlier entries comparable)
+    "q_mcnemar_test",
+    "q_hellinger_drift",
+    "q_order_linecount_dist",
+    "q_backlog_daily",
+    "q_supplier_rank_shift",
+    "q_type_token_ratio",
+    "q_stopword_band_mix",
+    "q_candidate_jaccard_hist",
+    "q_seasonal_index",
+    "q_weekend_uplift",
+    "q_quantity_iqr_fences",
+    "q_levene_quantity",
+    "q_top2_share_by_nation",
+    "q_order_value_decile_bounds",
+    "q_return_rate_by_brand_month",
+    "q_events_per_user_day_dist",
+    "q_price_quantity_corr_by_brand",
+    "q_spend_consistency_bands",
+    "q_char_class_profile",
+    "q_discount_effect_grid",
+    "q_nation_trade_balance",
 ]
 
 

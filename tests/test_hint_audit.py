@@ -97,16 +97,19 @@ def test_audit_pipeline_plans_are_clean(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
-    # customer-shaped dim (fact-scaling at 100 TB), with an existing sink
+    # customer-shaped dim (fact-scaling at 100 TB), with an existing sink;
+    # both audits apply — no forced broadcast AND no unpartitioned window
+    # over the dim relation (the surrogate-key path rides the two-phase
+    # range rank)
     dim = build_dim(
         cust, ["c_custkey"], ["c_name", "c_nationkey"], "dim_cust_key"
     )
-    assert audit_hints(dim) == []
+    assert audit_hints(dim) + audit_windows(dim) == []
     dim2 = build_dim(
         cust, ["c_custkey"], ["c_name", "c_nationkey"], "dim_cust_key",
         existing=dim,
     )
-    assert audit_hints(dim2) == []
+    assert audit_hints(dim2) + audit_windows(dim2) == []
 
     fact = build_fact(
         orders.alias("s"),
@@ -115,10 +118,10 @@ def test_audit_pipeline_plans_are_clean(spark, sf_dir):
           "dim_cust_key")],
         [F.col("s.o_orderkey"), F.col("s.o_totalprice")],
     )
-    assert audit_hints(fact) == []
+    assert audit_hints(fact) + audit_windows(fact) == []
 
     merged = merge_scd1_df(dim, dim2, ["dim_cust_key"])
-    assert audit_hints(merged) == []
+    assert audit_hints(merged) + audit_windows(merged) == []
 
 
 def test_audit_flags_fact_scaled_dim_optin_broadcast(spark, sf_dir):
