@@ -18677,13 +18677,13 @@ ORACLES["q_events_per_user_day_dist"] = """
 #   slots 1-13: the 13 round-9 batch-4/5/6 queries with no driver row yet
 #     (judge-attested at sf0.01 AND sf0.1 in r9; driver-green here makes
 #     the whole pre-round-10 catalog cumulatively driver-attested);
-#   slots 14-34: the 21 round-10 additions (all oracle-twinned and
+#   slots 14-38: the 25 round-10 additions (all oracle-twinned and
 #     verified at sf0.001 + sf0.01 + sf0.1 this session);
-#   slots 35-40: re-attestation of every query whose PLAN changed this
+#   slots 39-44: re-attestation of every query whose PLAN changed this
 #     round (banded_id_pairs candidate rewrite; with_surrogate_key's
 #     two-phase rank) — oracle hashes are layout-independent, so these
 #     re-verify the reshaped plans end-to-end;
-#   slots 41-50: the 10 oldest driver attestations (round-1 greens) —
+#   slots 45-50: the 6 oldest driver attestations (round-1 greens) —
 #     freshness rotation for the long tail.
 # ---------------------------------------------------------------------------
 
@@ -18725,24 +18725,24 @@ _R10_WINDOW = [
     "q_char_class_profile",
     "q_discount_effect_grid",
     "q_nation_trade_balance",
-    # -- 35-40: round-10 plan-change re-attestations ---------------------
+    "q_doc_dup_ratio_by_length_band",
+    "q_token_length_percentiles",
+    "q_supplier_dependency_bands",
+    "q_brands_per_order_dist",
+    # -- 39-44: round-10 plan-change re-attestations ---------------------
     "q_ngram_jaccard",
     "q_dedup_yield_curve",
     "q_tfidf_cosine_pairs",
     "q_scd1_merge",
     "q_surrogate_key",
     "q_time_travel",
-    # -- 41-50: oldest driver attestations (round-1 greens) --------------
+    # -- 45-50: oldest driver attestations (round-1 greens) --------------
     "q_argminmax",
     "q_arith_derive",
     "q_cast_agg",
     "q_count_distinct",
     "q_cross_join",
     "q_cube",
-    "q_date_parts",
-    "q_distinct",
-    "q_empty_relation",
-    "q_except",
 ]
 
 # (the window reorder itself runs at the very END of this module, after
@@ -19073,6 +19073,228 @@ ORACLES["q_nation_trade_balance"] = """
     left join supply s on n.n_nationkey = s.s_nationkey
     left join demand d on n.n_nationkey = d.c_nationkey
     order by n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-10 batch 5: dup-rate by length band, token-length percentiles,
+# single-sourcing dependency, basket brand mix
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dup_ratio_by_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate by document length band — the curation
+    readout that decides WHERE dedup effort pays (boilerplate stubs
+    duplicate far more than long-form text). One fingerprint aggregate
+    (md5 of normalized text, the q_dedup_exact substrate) marks dup
+    groups; docs re-key to 500-char bands and the per-band dup share is
+    an exact ppm. Both passes are map-side-combined aggregates on
+    high-cardinality keys."""
+    from .functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("n_chars div 500").alias("len_band"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    grp = docs.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    flagged = docs.join(grp, "fp").select(
+        "len_band", (F.col("n_copies") > 1).cast("long").alias("is_dup")
+    )
+    return (
+        flagged.groupBy("len_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "len_band",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_ppm"),
+        )
+        .orderBy("len_band")
+    )
+
+
+def q_token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count p50/p90/p99 per source — the context-window sizing
+    profile a training pipeline reads before choosing sequence length
+    and packing strategy. Percentiles are RANK-SELECTED at ceil(q*n)
+    (interpolation-free, exact integers) via the two-phase grouped row
+    number — each source's sort spreads across all reducers."""
+    from .functions.text import token_count
+    from .operators.relational import with_grouped_row_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("tok_n")
+    )
+    ranked = with_grouped_row_number(
+        docs, ["source"], ["tok_n", "doc_id"], rn_col="rn", n_col="n"
+    )
+    sel = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(9 * n + 9) div 10"))
+        | (F.col("rn") == F.expr("(99 * n + 99) div 100"))
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("tok_n"))
+            ).cast("long").alias("p50_tokens"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("tok_n")
+                )
+            ).cast("long").alias("p90_tokens"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(99 * n + 99) div 100"),
+                    F.col("tok_n"),
+                )
+            ).cast("long").alias("p99_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_supplier_dependency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sourcing risk histogram: per part, the volume share of its
+    TOP supplier, banded by decile — how much of the catalog rides one
+    vendor. Per-(part, supplier) quantities aggregate once; the top
+    supplier is a grouped max(struct) (no per-part window sort); the
+    dependency band is an integer cross-multiplication on the
+    high-cardinality part grain, collapsing to an 11-row histogram."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").cast("long").alias("sq")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.max(
+            F.struct(F.col("sq").alias("v"), (-F.col("l_suppkey")).alias("nk"))
+        ).alias("__top"),
+        F.sum("sq").cast("long").alias("tot"),
+    )
+    return (
+        per_part.select(
+            F.expr("(10 * __top.v) div tot").alias("dependency_band")
+        )
+        .groupBy("dependency_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("dependency_band")
+    )
+
+
+def q_brands_per_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of distinct brands per order — the basket-mix
+    histogram next to q_order_linecount_dist (single-brand baskets vs
+    cross-brand shoppers). One unhinted lineitem x part equi-join, a
+    per-order distinct-brand count (map-side-combined two-level
+    aggregate), then the small count-domain histogram with exact ppm
+    shares."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_order = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("p_brand").cast("long").alias("n_brands"))
+    )
+    dist = per_order.groupBy("n_brands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    total = dist.agg(F.sum("n_orders").cast("long").alias("__t"))
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "n_brands",
+            "n_orders",
+            F.expr("n_orders * 1000000 div __t").alias("share_ppm"),
+        )
+        .orderBy("n_brands")
+    )
+
+
+QUERIES["q_doc_dup_ratio_by_length_band"] = q_doc_dup_ratio_by_length_band
+ORACLES["q_doc_dup_ratio_by_length_band"] = """
+    with docs as (
+        select doc_id, n_chars // 500 as len_band,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fp
+        from documents
+    ),
+    grp as (select fp, count(*)::bigint as n_copies from docs group by fp),
+    flagged as (
+        select d.len_band,
+               case when g.n_copies > 1 then 1 else 0 end as is_dup
+        from docs d join grp g on d.fp = g.fp
+    )
+    select len_band::bigint as len_band, count(*)::bigint as n_docs,
+           sum(is_dup)::bigint as n_dup_docs,
+           (sum(is_dup) * 1000000 // count(*))::bigint as dup_ppm
+    from flagged group by len_band order by len_band
+"""
+
+QUERIES["q_token_length_percentiles"] = q_token_length_percentiles
+ORACLES["q_token_length_percentiles"] = f"""
+    with docs as (
+        select source, doc_id, len({_DK_TOKENS})::bigint as tok_n
+        from documents
+    ),
+    ranked as (
+        select source, tok_n,
+               row_number() over (partition by source
+                                  order by tok_n, doc_id) as rn,
+               count(*) over (partition by source) as n
+        from docs
+    )
+    select source, max(n)::bigint as n_docs,
+           max(case when rn = (n + 1) // 2 then tok_n end)::bigint
+               as p50_tokens,
+           max(case when rn = (9 * n + 9) // 10 then tok_n end)::bigint
+               as p90_tokens,
+           max(case when rn = (99 * n + 99) // 100 then tok_n end)::bigint
+               as p99_tokens
+    from ranked
+    where rn = (n + 1) // 2 or rn = (9 * n + 9) // 10
+       or rn = (99 * n + 99) // 100
+    group by source order by source
+"""
+
+QUERIES["q_supplier_dependency_bands"] = q_supplier_dependency_bands
+ORACLES["q_supplier_dependency_bands"] = """
+    with ps as (
+        select l_partkey, l_suppkey, sum(l_quantity::bigint)::bigint as sq
+        from lineitem group by l_partkey, l_suppkey
+    ),
+    per_part as (
+        select l_partkey, max(sq)::bigint as top_sq, sum(sq)::bigint as tot
+        from ps group by l_partkey
+    )
+    select ((10 * top_sq) // tot)::bigint as dependency_band,
+           count(*)::bigint as n_parts
+    from per_part group by dependency_band
+    order by dependency_band
+"""
+
+QUERIES["q_brands_per_order_dist"] = q_brands_per_order_dist
+ORACLES["q_brands_per_order_dist"] = """
+    with per_order as (
+        select l.l_orderkey,
+               count(distinct p.p_brand)::bigint as n_brands
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+        group by l.l_orderkey
+    ),
+    dist as (
+        select n_brands, count(*)::bigint as n_orders
+        from per_order group by n_brands
+    )
+    select n_brands, n_orders,
+           (n_orders * 1000000 // (select sum(n_orders)::bigint from dist))
+               ::bigint as share_ppm
+    from dist order by n_brands
 """
 
 

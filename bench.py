@@ -269,6 +269,10 @@ HEADLINE = [
     "q_char_class_profile",
     "q_discount_effect_grid",
     "q_nation_trade_balance",
+    "q_doc_dup_ratio_by_length_band",
+    "q_token_length_percentiles",
+    "q_supplier_dependency_bands",
+    "q_brands_per_order_dist",
 ]
 
 

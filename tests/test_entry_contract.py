@@ -71,10 +71,10 @@ def test_driver_window_composition():
     slots 1-13 are the round-9 batch-4/5/6 queries with no driver row
     yet (the attestation head computed by tools/attestation.py;
     driver-green here makes the pre-round-10 catalog cumulatively
-    driver-attested), slots 14-29 are the round-10 additions, slots
-    30-35 re-enter every query whose PLAN changed this round
+    driver-attested), slots 14-38 are the round-10 additions, slots
+    39-44 re-enter every query whose PLAN changed this round
     (banded_id_pairs candidate rewrite, with_surrogate_key two-phase
-    rank), and slots 36-50 freshness-rotate the 15 oldest (round-1)
+    rank), and slots 45-50 freshness-rotate the 6 oldest (round-1)
     attestations — so an accidental reorder can't silently starve the
     gate (that is precisely what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
@@ -101,19 +101,20 @@ def test_driver_window_composition():
         "q_price_quantity_corr_by_brand", "q_spend_consistency_bands",
         "q_char_class_profile", "q_discount_effect_grid",
         "q_nation_trade_balance",
+        "q_doc_dup_ratio_by_length_band", "q_token_length_percentiles",
+        "q_supplier_dependency_bands", "q_brands_per_order_dist",
     ]
-    assert window[13:34] == round10
+    assert window[13:38] == round10
     plan_change_reattest = [
         "q_ngram_jaccard", "q_dedup_yield_curve", "q_tfidf_cosine_pairs",
         "q_scd1_merge", "q_surrogate_key", "q_time_travel",
     ]
-    assert window[34:40] == plan_change_reattest
+    assert window[38:44] == plan_change_reattest
     oldest_rotation = [
         "q_argminmax", "q_arith_derive", "q_cast_agg", "q_count_distinct",
-        "q_cross_join", "q_cube", "q_date_parts", "q_distinct",
-        "q_empty_relation", "q_except",
+        "q_cross_join", "q_cube",
     ]
-    assert window[40:50] == oldest_rotation
+    assert window[44:50] == oldest_rotation
     # the r9 window head follows the r10 one — every entry in it is
     # driver-green from r9 and stays addressable
     assert list(qs)[50:53] == ["q_grouped_median", "q_cohens_kappa",
