@@ -17602,7 +17602,11 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISCORDANT cells carry signal). One lineitem scan to per-part
     (shipped?, returned?) flags per year via conditional max; pairs are
     parts shipped in BOTH years; chi2 = (b-c)^2/(b+c) — exact integers
-    until one IEEE division."""
+    until one IEEE division. Degenerate panel (ZERO discordant pairs):
+    the statistic is undefined, and the divisor is nullif-guarded on
+    BOTH engines so each emits NULL (unguarded, Spark's non-ANSI divide
+    yields NULL while DuckDB's IEEE float division yields nan — a hash
+    split waiting for degenerate data)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
@@ -17638,7 +17642,10 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_97_only",
         (
             (d * d).cast("double")
-            / (F.col("b_96_only") + F.col("c_97_only")).cast("double")
+            / F.nullif(
+                (F.col("b_96_only") + F.col("c_97_only")).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("mcnemar_chi2"),
     )
 
@@ -17832,7 +17839,7 @@ ORACLES["q_mcnemar_test"] = """
     )
     select n_pairs, b_96_only, c_97_only,
            ((b_96_only - c_97_only) * (b_96_only - c_97_only))::double
-           / (b_96_only + c_97_only)::double as mcnemar_chi2
+           / nullif((b_96_only + c_97_only)::double, 0.0) as mcnemar_chi2
     from agg
 """
 
@@ -18316,7 +18323,10 @@ def q_levene_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     use per-group ``Sj^2 div nj`` with decimal promotion so every
     quotient is long-sized at ANY scale (the HHI discipline; both
     engines truncate identically), and the final F is a fixed
-    two-division-one-multiply IEEE sequence."""
+    two-division-one-multiply IEEE sequence. Degenerate inputs (one
+    group, or zero within-group spread) leave F undefined: both
+    divisors are nullif-guarded on BOTH engines so each emits NULL
+    instead of a cross-engine NULL-vs-inf hash split."""
     from .operators.relational import with_grouped_row_number
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -18381,9 +18391,9 @@ def q_levene_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (
                 (F.col("n_total") - F.col("k_groups")).cast("double")
-                / (F.col("k_groups") - 1).cast("double")
+                / F.nullif((F.col("k_groups") - 1).cast("double"), F.lit(0.0))
             )
-            * (ssb.cast("double") / ssw.cast("double"))
+            * (ssb.cast("double") / F.nullif(ssw.cast("double"), F.lit(0.0)))
         ).alias("bf_f"),
     )
 
@@ -18572,9 +18582,10 @@ ORACLES["q_levene_quantity"] = """
            (sq_over_n - ((s::hugeint * s) // n_total)::bigint)::bigint
                as ssb_t,
            (q - sq_over_n)::bigint as ssw_t,
-           ((n_total - k_groups)::double / (k_groups - 1)::double)
+           ((n_total - k_groups)::double
+            / nullif((k_groups - 1)::double, 0.0))
            * ((sq_over_n - ((s::hugeint * s) // n_total)::bigint)::double
-              / (q - sq_over_n)::double) as bf_f
+              / nullif((q - sq_over_n)::double, 0.0)) as bf_f
     from agg
 """
 
@@ -18725,6 +18736,7 @@ _R10_WINDOW = [
     "q_char_class_profile",
     "q_discount_effect_grid",
     "q_nation_trade_balance",
+    # -- 35-38: round-10 batch-5 additions -------------------------------
     "q_doc_dup_ratio_by_length_band",
     "q_token_length_percentiles",
     "q_supplier_dependency_bands",

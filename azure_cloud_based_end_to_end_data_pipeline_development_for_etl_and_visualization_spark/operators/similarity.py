@@ -22,6 +22,49 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 
+# Driver-side budget for the QUERY side of the search APIs below. The
+# corpus side always stays distributed, but queries are either collected
+# (PQ/IVFPQ lookup tables: |Q| x n_sub x n_centroids doubles) or
+# broadcast whole (the exact brute-force rungs) — so a fact-sized
+# queries DataFrame is a driver/executor OOM, the exact failure class
+# threshold_pairs' ``allow_full_cross`` guards one function over. At the
+# default cap the collected LUT state is ~16 MB (8192 queries x 128
+# doubles x 16 B) — comfortably driver-sized; callers with bigger
+# retrieval batches split them (the batching is embarrassingly parallel
+# across query splits) or override explicitly.
+DEFAULT_MAX_QUERY_BATCH = 8192
+
+
+def _require_bounded_queries(
+    queries: DataFrame,
+    fn_name: str,
+    max_query_batch: int,
+    allow_full_cross: bool,
+) -> None:
+    """Fail fast if the queries side exceeds the driver-side budget.
+
+    Cost: one ``limit(cap + 1).count()`` job — bounded by the cap, never
+    a full scan of a fact-sized input (the limit short-circuits)."""
+    if allow_full_cross:
+        return
+    cap = int(max_query_batch)
+    if cap <= 0:
+        raise ValueError(
+            f"{fn_name}: max_query_batch must be positive (got "
+            f"{max_query_batch}); pass allow_full_cross=True to disable "
+            "the query-batch guard entirely"
+        )
+    if queries.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{fn_name}: queries side exceeds max_query_batch={cap} rows."
+            " The query batch is collected/broadcast driver-side (the"
+            " corpus side stays distributed), so a fact-sized queries"
+            " DataFrame would OOM the driver at scale. Split the batch"
+            " (query batching is embarrassingly parallel), raise"
+            " max_query_batch deliberately, or pass allow_full_cross=True"
+            " to override explicitly."
+        )
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -29,12 +72,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
     Output: (query_id, neighbor_id, rank, sim). Self-matches excluded.
     Plan: broadcast(queries) x corpus -> cosine expr (JVM, no UDF) ->
-    row_number window partitioned by query."""
+    row_number window partitioned by query.
+
+    The queries side is BROADCAST whole, so it is count-guarded to
+    ``max_query_batch`` rows (default 8192); a bigger batch raises unless
+    ``allow_full_cross=True`` is passed explicitly — the same discipline
+    as :func:`threshold_pairs`."""
+    _require_bounded_queries(
+        queries, "cosine_topk", max_query_batch, allow_full_cross
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -694,6 +747,8 @@ def pq_topk(
     k: int = 10,
     rerank: int | None = 100,
     codes: DataFrame | None = None,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation (ADC):
     queries stay exact, corpus vectors are approximated by their PQ
@@ -720,7 +775,15 @@ def pq_topk(
     ``codes`` accepts a MATERIALIZED :func:`pq_encode` output so the
     query path scans 8-byte codes instead of re-encoding the corpus per
     batch (encoding costs n_sub x n_centroids sub-dots per vector — a
-    build-once cost, same argument as :func:`build_ivf_index`)."""
+    build-once cost, same argument as :func:`build_ivf_index`).
+
+    The per-query lookup tables are COLLECTED driver-side, so the
+    queries side is count-guarded to ``max_query_batch`` rows (default
+    8192, ~16 MB of LUT doubles); a bigger batch raises unless
+    ``allow_full_cross=True`` is passed explicitly."""
+    _require_bounded_queries(
+        queries, "pq_topk", max_query_batch, allow_full_cross
+    )
     n_sub, n_c, sub_dim = codebooks.shape
     spark = corpus.sparkSession
     if codes is None:
@@ -788,6 +851,8 @@ def cosine_topk_ivfpq(
     n_iters: int = 2,
     centroids: np.ndarray | None = None,
     rerank: int | None = None,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """IVF coarse pruning composed with PQ asymmetric-distance scoring —
     the billion-scale ANN configuration (IVFADC, Jégou et al. 2011):
@@ -807,7 +872,15 @@ def cosine_topk_ivfpq(
     training; ``rerank=R`` adds the exact re-rank refinement (see
     :func:`pq_topk`) — together they are the production operating
     point: train once, per-batch cost = cell join + ADC + R-sized
-    exact re-rank."""
+    exact re-rank.
+
+    The per-query probe lists + lookup tables are COLLECTED driver-side,
+    so the queries side is count-guarded to ``max_query_batch`` rows
+    (default 8192); a bigger batch raises unless ``allow_full_cross=True``
+    is passed explicitly."""
+    _require_bounded_queries(
+        queries, "cosine_topk_ivfpq", max_query_batch, allow_full_cross
+    )
     cents = (
         centroids
         if centroids is not None
@@ -1073,6 +1146,8 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the k
     most-similar corpus vectors with a DIFFERENT label — the negatives
@@ -1084,7 +1159,14 @@ def hard_negatives(
     a JVM cosine expression, label-inequality filter BEFORE scoring's
     window, per-query top-k — so everything said there about scale
     carries over; for corpus-vs-corpus mining, swap the candidate source
-    for IVF/LSH candidates and keep the label filter + window."""
+    for IVF/LSH candidates and keep the label filter + window.
+
+    The queries side is BROADCAST whole, so it is count-guarded to
+    ``max_query_batch`` rows (default 8192); a bigger batch raises
+    unless ``allow_full_cross=True`` is passed explicitly."""
+    _require_bounded_queries(
+        queries, "hard_negatives", max_query_batch, allow_full_cross
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -1125,6 +1207,8 @@ def mips_topk(
     n_probe: int | None = None,
     n_iters: int = 2,
     centroids: np.ndarray | None = None,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Max-inner-product top-k (the recommendation/retrieval scoring
     problem: rank items by q·x, NOT by angle) via the norm-augmentation
@@ -1149,8 +1233,17 @@ def mips_topk(
     from the ORIGINAL vectors, so the readout never inherits
     augmentation arithmetic. The only driver-side values are the 1-row
     M² scalar and the centroid matrix. Returns
-    ``(query_id, neighbor_id, rank, ip)``; self-matches excluded."""
+    ``(query_id, neighbor_id, rank, ip)``; self-matches excluded.
+
+    On the exact rung (no cells) the queries side is BROADCAST whole, so
+    it is count-guarded to ``max_query_batch`` rows (default 8192); a
+    bigger batch raises unless ``allow_full_cross=True`` is passed
+    explicitly. The cell rung keeps queries distributed (probe lists are
+    plan expressions), so no guard applies there."""
     if n_centroids is None and centroids is None:
+        _require_bounded_queries(
+            queries, "mips_topk", max_query_batch, allow_full_cross
+        )
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
