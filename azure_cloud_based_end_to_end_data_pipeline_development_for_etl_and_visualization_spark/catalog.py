@@ -19310,7 +19310,895 @@ ORACLES["q_brands_per_order_dist"] = """
 """
 
 
-# ROUND-10 WINDOW reorder (must be the last statement touching QUERIES —
+# ---------------------------------------------------------------------------
+# round-11 batch 1: association strength, monotone trend, quartile
+# skewness, grouped mode, count dispersion
+# ---------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square cell terms + Cramér's V normalizers for the order
+    status x priority contingency — the association-STRENGTH readout
+    q_chi2_contingency's raw statistic lacks (chi2 grows with n; V is
+    scale-free). Cells, row/col totals and n are exact integers from
+    one orders scan (all grouped on enum-domain columns, so every
+    relation after the scan is domain-bounded; joins are unhinted and
+    AQE broadcasts the tiny sides). Each cell's term
+    ``(obs*n - row*col)^2 / (n*row*col)`` is computed wholly in DOUBLE
+    with one fixed operand order — long->double conversions round
+    identically cross-engine at any magnitude, unlike 38-digit decimal
+    intermediates which overflow at extreme scale — and emitted PER
+    CELL (never float-summed; the q_hellinger_drift discipline), with
+    ``min_rc = min(r,c)-1`` alongside so V = sqrt(sum(term)/(n*min_rc))
+    folds downstream."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_t = cells.groupBy("o_orderstatus").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    col_t = cells.groupBy("o_orderpriority").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n_total"),
+        (
+            F.least(
+                F.countDistinct("o_orderstatus"),
+                F.countDistinct("o_orderpriority"),
+            )
+            - 1
+        ).cast("long").alias("min_rc"),
+    )
+    j = (
+        cells.join(row_t, "o_orderstatus")
+        .join(col_t, "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+    )
+    o_d = F.col("obs").cast("double")
+    r_d = F.col("row_tot").cast("double")
+    c_d = F.col("col_tot").cast("double")
+    n_d = F.col("n_total").cast("double")
+    num = o_d * n_d - r_d * c_d
+    return j.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "obs",
+        "row_tot",
+        "col_tot",
+        "n_total",
+        "min_rc",
+        ((num * num) / ((n_d * r_d) * c_d)).alias("chi2_term"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+QUERIES["q_cramers_v"] = q_cramers_v
+ORACLES["q_cramers_v"] = """
+    with cells as (
+        select o_orderstatus, o_orderpriority, count(*)::bigint as obs
+        from orders group by o_orderstatus, o_orderpriority
+    ),
+    rt as (
+        select o_orderstatus, sum(obs)::bigint as row_tot
+        from cells group by o_orderstatus
+    ),
+    ct as (
+        select o_orderpriority, sum(obs)::bigint as col_tot
+        from cells group by o_orderpriority
+    ),
+    t as (
+        select sum(obs)::bigint as n_total,
+               (least(count(distinct o_orderstatus),
+                      count(distinct o_orderpriority)) - 1)::bigint
+                   as min_rc
+        from cells
+    )
+    select c.o_orderstatus, c.o_orderpriority, c.obs, r.row_tot,
+           k.col_tot, t.n_total, t.min_rc,
+           ((c.obs::double * t.n_total::double
+             - r.row_tot::double * k.col_tot::double)
+            * (c.obs::double * t.n_total::double
+               - r.row_tot::double * k.col_tot::double))
+           / ((t.n_total::double * r.row_tot::double) * k.col_tot::double)
+               as chi2_term
+    from cells c
+    join rt r on c.o_orderstatus = r.o_orderstatus
+    join ct k on c.o_orderpriority = k.o_orderpriority
+    cross join t
+    order by c.o_orderstatus, c.o_orderpriority
+"""
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the monthly revenue series — the
+    NON-parametric "is there a monotone trend" companion to q_theil_sen
+    (which estimates the slope this test decides the existence of).
+    S = #(increasing pairs) - #(decreasing pairs) over all month pairs:
+    the pair space is month-domain-sized (~80 months -> ~3k pairs, a
+    bounded non-equi self-join over an already-aggregated relation —
+    the q_kendall_tau_daily shape), and every output is an exact
+    integer, no float anywhere."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * F.lit(100) + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mo"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    a = monthly.select(F.col("mo").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select(F.col("mo").alias("mb"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("ma") < F.col("mb"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("rb") > F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("rb") < F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("rb") == F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie"),
+    )
+    nper = monthly.agg(F.count(F.lit(1)).cast("long").alias("n_periods"))
+    return agg.crossJoin(F.broadcast(nper)).select(
+        "n_periods",
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        (F.col("n_pos") - F.col("n_neg")).cast("long").alias("s_stat"),
+    )
+
+
+QUERIES["q_mann_kendall"] = q_mann_kendall
+ORACLES["q_mann_kendall"] = """
+    with monthly as (
+        select (year(o_orderdate) * 100 + month(o_orderdate))::bigint as mo,
+               sum(floor(o_totalprice * 100.0 + 0.5)::bigint)::bigint as rev
+        from orders group by mo
+    ),
+    p as (
+        select a.rev as ra, b.rev as rb
+        from monthly a join monthly b on a.mo < b.mo
+    )
+    select (select count(*)::bigint from monthly) as n_periods,
+           count(*)::bigint as n_pairs,
+           sum(case when rb > ra then 1 else 0 end)::bigint as n_pos,
+           sum(case when rb < ra then 1 else 0 end)::bigint as n_neg,
+           sum(case when rb = ra then 1 else 0 end)::bigint as n_tie,
+           (sum(case when rb > ra then 1 else 0 end)
+            - sum(case when rb < ra then 1 else 0 end))::bigint as s_stat
+    from p
+"""
+
+
+def q_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of quantity per return flag — the
+    robust asymmetry readout (outlier-immune, unlike moment skewness):
+    (Q3 - 2*Q2 + Q1) / (Q3 - Q1). Quartiles are RANK-SELECTED at
+    ceil(q*n) (exact integers, interpolation-free — the
+    q_token_length_percentiles discipline) via the two-phase grouped
+    row number, so each flag's sort spreads across all reducers;
+    numerator/denominator emit as exact longs and the ratio is ONE
+    nullif-guarded IEEE division (zero IQR -> NULL on both engines)."""
+    from .operators.relational import with_grouped_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_grouped_row_number(
+        li,
+        ["l_returnflag"],
+        ["qty", "l_orderkey", "l_linenumber"],
+        rn_col="rn",
+        n_col="n",
+    )
+    r1 = F.expr("(n + 3) div 4")
+    r2 = F.expr("(n + 1) div 2")
+    r3 = F.expr("(3 * n + 3) div 4")
+    sel = ranked.filter(
+        (F.col("rn") == r1) | (F.col("rn") == r2) | (F.col("rn") == r3)
+    )
+    agg = sel.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max(F.when(F.col("rn") == r1, F.col("qty")))
+        .cast("long")
+        .alias("q1"),
+        F.max(F.when(F.col("rn") == r2, F.col("qty")))
+        .cast("long")
+        .alias("q2"),
+        F.max(F.when(F.col("rn") == r3, F.col("qty")))
+        .cast("long")
+        .alias("q3"),
+    )
+    num = F.col("q3") - 2 * F.col("q2") + F.col("q1")
+    den = F.col("q3") - F.col("q1")
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "q1",
+        "q2",
+        "q3",
+        num.cast("long").alias("skew_num"),
+        den.cast("long").alias("skew_den"),
+        (
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+        ).alias("bowley_skew"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["q_bowley_skew"] = q_bowley_skew
+ORACLES["q_bowley_skew"] = """
+    with li as (
+        select l_returnflag, l_quantity::bigint as qty, l_orderkey,
+               l_linenumber
+        from lineitem
+    ),
+    ranked as (
+        select l_returnflag, qty,
+               row_number() over (partition by l_returnflag
+                                  order by qty, l_orderkey, l_linenumber)
+                   as rn,
+               count(*) over (partition by l_returnflag) as n
+        from li
+    ),
+    agg as (
+        select l_returnflag, max(n)::bigint as n_rows,
+               max(case when rn = (n + 3) // 4 then qty end)::bigint as q1,
+               max(case when rn = (n + 1) // 2 then qty end)::bigint as q2,
+               max(case when rn = (3 * n + 3) // 4 then qty end)::bigint
+                   as q3
+        from ranked
+        where rn = (n + 3) // 4 or rn = (n + 1) // 2
+           or rn = (3 * n + 3) // 4
+        group by l_returnflag
+    )
+    select l_returnflag, n_rows, q1, q2, q3,
+           (q3 - 2 * q2 + q1)::bigint as skew_num,
+           (q3 - q1)::bigint as skew_den,
+           (q3 - 2 * q2 + q1)::double
+               / nullif((q3 - q1)::double, 0.0) as bowley_skew
+    from agg order by l_returnflag
+"""
+
+
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source modal language with a DETERMINISTIC tie-break (count
+    desc, language asc) plus its ppm share of the source — the grouped
+    MODE operator (the catalog had grouped median and weighted median
+    but no mode). The window ranks the (source, lang) COUNT relation —
+    a domain-bounded aggregate, never the fact table — and the share
+    promotes to decimal before ``div`` so the ppm quotient stays
+    long-sized at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mode")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_mode").desc(), F.col("lang")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    return (
+        mode.join(tot, "source")
+        .select(
+            "source",
+            F.col("lang").alias("mode_lang"),
+            "n_mode",
+            "n_src",
+            F.expr(
+                "cast(cast(n_mode as decimal(38,0)) * 1000000 div n_src"
+                " as bigint)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q_grouped_mode"] = q_grouped_mode
+ORACLES["q_grouped_mode"] = """
+    with counts as (
+        select source, lang, count(*)::bigint as n_mode
+        from documents group by source, lang
+    ),
+    ranked as (
+        select source, lang, n_mode,
+               row_number() over (partition by source
+                                  order by n_mode desc, lang) as rn
+        from counts
+    ),
+    tot as (
+        select source, count(*)::bigint as n_src
+        from documents group by source
+    )
+    select r.source, r.lang as mode_lang, r.n_mode, t.n_src,
+           ((r.n_mode::hugeint * 1000000) // t.n_src)::bigint as share_ppm
+    from ranked r join tot t on r.source = t.source
+    where r.rn = 1
+    order by r.source
+"""
+
+
+def q_order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index (variance-to-mean ratio) of DAILY order
+    counts per priority — the overdispersion screen a capacity planner
+    runs before assuming Poisson arrivals (D ~ 1 Poisson, D >> 1
+    bursty). Daily counts and their sum are exact longs; the
+    squared-count sum merges as decimal(38,0) (daily counts square past
+    long range at extreme scale); the index folds to
+    ``(n*S2 - S^2) / ((n-1)*S)`` computed wholly in DOUBLE with one
+    fixed operand order — the oracle routes its hugeint S2 through
+    ``::varchar::double`` (correctly-rounded strtod) per the wide-cast
+    rule — with a nullif guard for the 1-day degenerate group."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority", F.to_date("o_orderdate").alias("d")
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("__sc2"),
+    )
+    n_d = F.col("n_days").cast("double")
+    sc_d = F.col("sum_c").cast("double")
+    sc2_d = F.col("__sc2").cast("double")
+    return per.select(
+        "o_orderpriority",
+        "n_days",
+        "sum_c",
+        (
+            (n_d * sc2_d - sc_d * sc_d)
+            / F.nullif((n_d - F.lit(1.0)) * sc_d, F.lit(0.0))
+        ).alias("dispersion"),
+    ).orderBy("o_orderpriority")
+
+
+QUERIES["q_order_count_dispersion"] = q_order_count_dispersion
+ORACLES["q_order_count_dispersion"] = """
+    with daily as (
+        select o_orderpriority, o_orderdate::date as d,
+               count(*)::bigint as c
+        from orders group by o_orderpriority, d
+    ),
+    per as (
+        select o_orderpriority, count(*)::bigint as n_days,
+               sum(c)::bigint as sum_c,
+               sum(c * c)::varchar::double as sc2
+        from daily group by o_orderpriority
+    )
+    select o_orderpriority, n_days, sum_c,
+           (n_days::double * sc2 - sum_c::double * sum_c::double)
+           / nullif((n_days::double - 1.0) * sum_c::double, 0.0)
+               as dispersion
+    from per order by o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 2: proportion z-test, cross-split near-dup leaks,
+# length x quality curation grid, Kendall's W, min-max feature scaling
+# ---------------------------------------------------------------------------
+
+
+def q_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test: did the return RATE change from
+    1996 to 1997? The pooled-variance z on exact integer counts (one
+    lineitem scan, conditional sums) — counts emit as longs, and z is
+    one fixed IEEE sequence (four divides, one sqrt — sqrt is
+    correctly-rounded by IEEE 754 on both engines) with a nullif guard
+    for the all-or-none degenerate pool (p_hat in {0,1} -> NULL both
+    engines)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    per = li.select(
+        F.year("l_shipdate").alias("yr"),
+        (F.col("l_returnflag") == "R").cast("int").alias("r"),
+    ).agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    n1_d = F.col("n1").cast("double")
+    x1_d = F.col("x1").cast("double")
+    n2_d = F.col("n2").cast("double")
+    x2_d = F.col("x2").cast("double")
+    pp = (x1_d + x2_d) / (n1_d + n2_d)
+    den = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1_d + F.lit(1.0) / n2_d)
+    )
+    return per.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        (
+            (x1_d / n1_d - x2_d / n2_d) / F.nullif(den, F.lit(0.0))
+        ).alias("z_stat"),
+    )
+
+
+QUERIES["q_proportion_ztest"] = q_proportion_ztest
+ORACLES["q_proportion_ztest"] = """
+    with agg as (
+        select
+            sum(case when year(l_shipdate) = 1996 then 1 else 0
+                end)::bigint as n1,
+            sum(case when year(l_shipdate) = 1996
+                      and l_returnflag = 'R' then 1 else 0
+                end)::bigint as x1,
+            sum(case when year(l_shipdate) = 1997 then 1 else 0
+                end)::bigint as n2,
+            sum(case when year(l_shipdate) = 1997
+                      and l_returnflag = 'R' then 1 else 0
+                end)::bigint as x2
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+    )
+    select n1, x1, n2, x2,
+           (x1::double / n1::double - x2::double / n2::double)
+           / nullif(
+               sqrt(((x1::double + x2::double) / (n1::double + n2::double))
+                    * (1.0 - (x1::double + x2::double)
+                             / (n1::double + n2::double))
+                    * (1.0 / n1::double + 1.0 / n2::double)),
+               0.0) as z_stat
+    from agg
+"""
+
+
+def q_split_neardup_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that CROSS train/val/test boundaries — the
+    contamination matrix for fuzzy leakage (q_contamination_by_source
+    catches exact-hash leaks; a near-dup of a test doc inside train
+    inflates eval just as surely). Splits are the content-independent
+    md5 id-hash of q_split_assign; candidates ride banded_id_pairs (the
+    linear (block, id-bucket) equi-join, window=100 — the q_ngram_jaccard
+    candidate discipline); the >= 0.5 Jaccard gate is the exact INTEGER
+    comparison ``2*i >= u`` on hashed-shingle set sizes (no float
+    threshold to disagree on). Output is the full unordered split-pair
+    matrix (least/greatest) with BOTH the candidate count and the leak
+    count per class — the leak RATE denominator ships with its
+    numerator, and the matrix stays informative when leaks are rare.
+    The oracle derives identical set sizes from raw string shingles —
+    xxhash64 is size-preserving on distinct sets."""
+    from .functions.text import hash32
+    from .operators.dedup import banded_id_pairs, hashed_shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = banded_id_pairs(docs, "doc_id", "source", 100)
+    sets = hashed_shingle_sets(docs, "doc_id", "text", shingle_n=3)
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pv = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("u"),
+        )
+        .filter(F.col("u") > 0)
+    )
+    bucket = hash32(F.col("doc_id").cast("string")) % 1000
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    xa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("sp_a"))
+    xb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("sp_b"))
+    return (
+        pv.join(xa, "a")
+        .join(xb, "b")
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            (2 * F.col("i") >= F.col("u")).cast("int").alias("leak"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand_pairs"),
+            F.sum("leak").cast("long").alias("n_leak_pairs"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+QUERIES["q_split_neardup_leaks"] = q_split_neardup_leaks
+ORACLES["q_split_neardup_leaks"] = f"""
+    with t as (
+        select doc_id, source, list_distinct({_DK_SHINGLES}) as sh
+        from (select doc_id, source, {_DK_TOKENS} as w from documents)
+    ),
+    sp as (
+        select doc_id,
+               case when ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+                         % 1000 < 900 then 'train'
+                    when ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+                         % 1000 < 950 then 'val'
+                    else 'test' end as split
+        from documents
+    ),
+    pv as (
+        select a.doc_id as a, b.doc_id as b,
+               len(list_distinct(list_intersect(a.sh, b.sh)))::bigint as i,
+               len(list_distinct(a.sh || b.sh))::bigint as u
+        from t a join t b
+          on a.source = b.source and a.doc_id < b.doc_id
+         and b.doc_id - a.doc_id <= 100
+    )
+    select least(x.split, y.split) as split_a,
+           greatest(x.split, y.split) as split_b,
+           count(*)::bigint as n_cand_pairs,
+           sum(case when 2 * i >= u then 1 else 0 end)::bigint
+               as n_leak_pairs
+    from pv join sp x on pv.a = x.doc_id join sp y on pv.b = y.doc_id
+    where u > 0
+    group by split_a, split_b
+    order by split_a, split_b
+"""
+
+
+def q_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length band x stopword-density band grid — the 2-D curation
+    planning readout (WHERE the corpus mass sits before choosing filter
+    thresholds: short low-stopword cells are code/tables, long
+    high-stopword cells are prose). Both band axes are exact integer
+    cross-multiplications (length div 64; (10*n_stop) div n_tok, the
+    q_stopword_band_mix signal), the grid is domain-bounded, and shares
+    are exact ppm against a broadcast 1-row total with decimal
+    promotion before div."""
+    from .functions.text import EN_STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = tokens(F.col("text"))
+    per = docs.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("long").alias("n_stop"),
+    )
+    grid = (
+        per.select(
+            F.expr("n_tok div 64").cast("long").alias("len_band"),
+            F.expr("(10 * n_stop) div n_tok").cast("long").alias("stop_band"),
+        )
+        .groupBy("len_band", "stop_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = grid.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "len_band",
+            "stop_band",
+            "n_docs",
+            F.expr(
+                "cast(cast(n_docs as decimal(38,0)) * 1000000 div n_total"
+                " as bigint)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("len_band", "stop_band")
+    )
+
+
+QUERIES["q_length_quality_grid"] = q_length_quality_grid
+ORACLES["q_length_quality_grid"] = f"""
+    with per as (
+        select len({_DK_TOKENS})::bigint as n_tok,
+               len(list_filter({_DK_TOKENS},
+                   t -> list_contains({_DK_STOPLIST}, t)))::bigint as n_stop
+        from documents
+    ),
+    grid as (
+        select (n_tok // 64)::bigint as len_band,
+               ((10 * n_stop) // n_tok)::bigint as stop_band,
+               count(*)::bigint as n_docs
+        from per group by len_band, stop_band
+    )
+    select len_band, stop_band, n_docs,
+           ((n_docs::hugeint * 1000000)
+            // (select sum(n_docs)::bigint from grid))::bigint as share_ppm
+    from grid order by len_band, stop_band
+"""
+
+
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W — concordance of the per-year nation revenue RANKINGS
+    (1995/1996/1997): do the three years agree on which nations sell
+    most? (W=1 identical rankings, W~0 none; the multi-ranking
+    generalization of q_kendall_tau_daily.) Nation-year revenue is one
+    exact cent aggregate over the unhinted lineitem x supplier join;
+    rankings are deterministic row_numbers over the (year, nation)
+    aggregate (25 rows/year — domain-bounded, never the fact); only
+    nations present in ALL years enter (an unbalanced panel breaks W).
+    The spread statistic doubles the rank sums to stay integer
+    (D_i = 2*R_i - m*(n+1), so W = 3*sum(D^2) / (m^2*(n^3-n))) — one
+    nullif-guarded IEEE division at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.year("l_shipdate").alias("yr"),
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("yr", "s_nationkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    full = (
+        rev.groupBy("s_nationkey")
+        .agg(F.countDistinct("yr").alias("n_yrs"))
+        .filter(F.col("n_yrs") == 3)
+        .select("s_nationkey")
+    )
+    rev3 = rev.join(full, "s_nationkey")
+    w = Window.partitionBy("yr").orderBy(
+        F.col("rev").desc(), F.col("s_nationkey")
+    )
+    ranked = rev3.withColumn("rk", F.row_number().over(w).cast("long"))
+    sums = ranked.groupBy("s_nationkey").agg(
+        F.sum("rk").cast("long").alias("rank_sum")
+    )
+    agg = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rank_sum").cast("long").alias("__rs"),
+    )
+    d2 = (
+        sums.crossJoin(F.broadcast(agg))
+        .select(
+            (
+                (2 * F.col("rank_sum") - 3 * (F.col("n_items") + 1))
+                * (2 * F.col("rank_sum") - 3 * (F.col("n_items") + 1))
+            ).cast("long").alias("d2"),
+            "n_items",
+        )
+        .groupBy("n_items")
+        .agg(F.sum("d2").cast("long").alias("d2_sum"))
+    )
+    n_d = F.col("n_items").cast("double")
+    return d2.select(
+        "n_items",
+        F.lit(3).cast("long").alias("m_rankings"),
+        "d2_sum",
+        (
+            (F.lit(3.0) * F.col("d2_sum").cast("double"))
+            / F.nullif(F.lit(9.0) * (n_d * n_d * n_d - n_d), F.lit(0.0))
+        ).alias("kendall_w"),
+    )
+
+
+QUERIES["q_kendall_w"] = q_kendall_w
+ORACLES["q_kendall_w"] = """
+    with rev as (
+        select year(l_shipdate)::bigint as yr, s.s_nationkey,
+               sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+                   as rev
+        from lineitem l join supplier s on l.l_suppkey = s.s_suppkey
+        where l_shipdate >= timestamp '1995-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+        group by yr, s.s_nationkey
+    ),
+    full_n as (
+        select s_nationkey from rev
+        group by s_nationkey having count(distinct yr) = 3
+    ),
+    ranked as (
+        select r.yr, r.s_nationkey,
+               row_number() over (partition by r.yr
+                                  order by r.rev desc, r.s_nationkey)
+                   as rk
+        from rev r join full_n f on r.s_nationkey = f.s_nationkey
+    ),
+    sums as (
+        select s_nationkey, sum(rk)::bigint as rank_sum
+        from ranked group by s_nationkey
+    ),
+    agg as (select count(*)::bigint as n_items from sums),
+    d2 as (
+        select a.n_items,
+               sum((2 * s.rank_sum - 3 * (a.n_items + 1))
+                   * (2 * s.rank_sum - 3 * (a.n_items + 1)))::bigint
+                   as d2_sum
+        from sums s cross join agg a
+        group by a.n_items
+    )
+    select n_items, 3::bigint as m_rankings, d2_sum,
+           (3.0 * d2_sum::double)
+           / nullif(9.0 * (n_items::double * n_items::double
+                           * n_items::double - n_items::double),
+                    0.0) as kendall_w
+    from d2
+"""
+
+
+def q_minmax_scale_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling of supplier revenue WITHIN nation, as
+    exact ppm (0 = nation's weakest supplier, 1e6 = strongest) — the
+    per-group normalization a feature pipeline runs before mixing
+    magnitudes across groups. Per-supplier cents are one exact
+    aggregate; nation extrema are a 25-row aggregate joined back
+    (unhinted — AQE broadcasts); the scale promotes to decimal before
+    ``div`` so the quotient stays long-sized at any magnitude, and a
+    single-supplier nation (max = min) yields NULL via the mirrored
+    nullif rather than an engine-specific 0/0."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    ext = rev.groupBy("s_nationkey").agg(
+        F.min("rev_cents").cast("long").alias("mn"),
+        F.max("rev_cents").cast("long").alias("mx"),
+    )
+    return (
+        rev.join(ext, "s_nationkey")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            "rev_cents",
+            F.expr(
+                "cast(cast(rev_cents - mn as decimal(38,0)) * 1000000"
+                " div nullif(mx - mn, 0) as bigint)"
+            ).alias("scaled_ppm"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES["q_minmax_scale_ppm"] = q_minmax_scale_ppm
+ORACLES["q_minmax_scale_ppm"] = """
+    with rev as (
+        select s.s_suppkey, s.s_nationkey,
+               sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+                   as rev_cents
+        from lineitem l join supplier s on l.l_suppkey = s.s_suppkey
+        group by s.s_suppkey, s.s_nationkey
+    ),
+    ext as (
+        select s_nationkey, min(rev_cents)::bigint as mn,
+               max(rev_cents)::bigint as mx
+        from rev group by s_nationkey
+    )
+    select r.s_suppkey, r.s_nationkey, r.rev_cents,
+           ((r.rev_cents - e.mn)::hugeint * 1000000
+            // nullif(e.mx - e.mn, 0))::bigint as scaled_ppm
+    from rev r join ext e on r.s_nationkey = e.s_nationkey
+    order by r.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROUND-11 WINDOW: the driver's correctness gate reads the FIRST 50 entries
+# of QUERIES, so registry order is load-bearing (this block supersedes the
+# ROUND-10 WINDOW reorder — _R10_WINDOW above stays for provenance but no
+# longer drives the order). Composition (pinned by tests/test_entry_contract.
+# test_driver_window_composition; the ledger reports 0 never-attested
+# pre-round-11 queries, so the head is this round's additions — computed
+# via tools/attestation.py --unattested, never hand-curated):
+#   slots 1-10: the 10 round-11 additions (all oracle-twinned, verified at
+#     sf0.001 + sf0.01 + sf0.1 this session);
+#   slots 11-21: re-attestation of every ORACLE-TWINNED query whose plan
+#     or expression changed this round (PPJoin+ prunes in
+#     prefix_filter_pairs; banded_id_pairs floor-division buckets; the
+#     query-batch guards in the similarity APIs; the nullif divisor
+#     guards) — the rows-only q_pq_topk/q_ivfpq_topk guard changes are
+#     pinned by pytest canaries instead, keeping the window fully
+#     oracle-twinned;
+#   slots 22-50: the 29 oldest driver attestations (round-1 greens with
+#     oracle twins — the two rows-only round-1 entries are skipped) —
+#     freshness rotation for the long tail.
+# ---------------------------------------------------------------------------
+
+_R11_WINDOW = [
+    # -- 1-10: round-11 additions (attestation head: never driver-run) --
+    "q_cramers_v",
+    "q_mann_kendall",
+    "q_bowley_skew",
+    "q_grouped_mode",
+    "q_order_count_dispersion",
+    "q_proportion_ztest",
+    "q_split_neardup_leaks",
+    "q_length_quality_grid",
+    "q_kendall_w",
+    "q_minmax_scale_ppm",
+    # -- 11-21: round-11 plan/expression-change re-attestations ----------
+    "q_prefix_filter_join",
+    "q_ngram_jaccard",
+    "q_dedup_yield_curve",
+    "q_tfidf_cosine_pairs",
+    "q_candidate_jaccard_hist",
+    "q_cosine_topk",
+    "q_mips_topk",
+    "q_knn_label_vote",
+    "q_hard_negatives",
+    "q_mcnemar_test",
+    "q_levene_quantity",
+    # -- 22-50: oldest driver attestations (round-1 greens) --------------
+    "q_date_parts",
+    "q_distinct",
+    "q_empty_relation",
+    "q_except",
+    "q_exists_subquery",
+    "q_filter_isnotnull",
+    "q_filter_isnull",
+    "q_full_outer_join",
+    "q_groupby_agg",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_in_subquery",
+    "q_intersect",
+    "q_join_project_disambiguate",
+    "q_left_anti",
+    "q_left_semi",
+    "q_max_global",
+    "q_null_safe_join",
+    "q_orderby_limit",
+    "q_pivot",
+    "q_project",
+    "q_rollup",
+    "q_scan_parquet",
+    "q_split_getitem",
+    "q_sql_analytics",
+    "q_sql_over_path",
+    "q_stats_moments",
+    "q_topk_per_group",
+    "q_union_all",
+]
+
+# ROUND-11 WINDOW reorder (must be the last statement touching QUERIES —
 # every registration above, including late batches, precedes it)
-_r10_rest = [n for n in QUERIES if n not in set(_R10_WINDOW)]
-QUERIES = {n: QUERIES[n] for n in [*_R10_WINDOW, *_r10_rest]}
+_r11_rest = [n for n in QUERIES if n not in set(_R11_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R11_WINDOW, *_r11_rest]}

@@ -503,6 +503,26 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
         hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
         recall[label] = round(hits / n_truth, 3)
     out["recall_at_10"] = recall
+    # Rung taxonomy (r10 VERDICT #7): `lsh` and `pq` are BUILDING-BLOCK
+    # rungs — they time one hyperplane table / one raw-ADC code scan in
+    # isolation, and their default recall on this isotropic corpus
+    # (~0.02 / ~0.15) is NOT a usable operating point. A reader picking
+    # a config takes the tuned rows: ivf_tuned (n_probe=12, recall
+    # ~0.93) or pq16_rerank (16 subspaces + exact top-100 re-rank,
+    # recall ~0.82). The label ships in the artifact so the table can't
+    # be misread as a recommendation.
+    out["non_operating_points"] = {
+        "lsh": "building block: single hyperplane table; operating "
+               "points are lsh_x8 (recall-amplified) or ivf_tuned",
+        "lsh_x8": "building block: OR-amplified LSH, still sub-0.8 "
+                  "recall on isotropic vectors; operating point is "
+                  "ivf_tuned",
+        "pq": "building block: raw ADC without re-rank; operating "
+              "point is pq16_rerank",
+        "ivfpq": "building block: composed cell+code path at speed "
+                 "configs; compose with rerank for recall (see "
+                 "pq16_rerank)",
+    }
     good = {k: out[k] for k in approx if recall[k] >= 0.8}
     out["best_approx"] = (
         {"config": min(good, key=good.get), "sec": good[min(good, key=good.get)]}
@@ -573,12 +593,27 @@ def _bench_ann_crossover(spark, repeats: int, tag: str) -> dict:
 
     out: dict = {"corpus_n": n}
     exact = lambda: cosine_topk(corpus, cq, k=10)  # noqa: E731
-    t0 = _t.time()
-    cents = kmeans_centroids(corpus, n_centroids=64, n_iters=2)
-    out["train_sec"] = round(_t.time() - t0, 3)
-    t0 = _t.time()
-    index = build_ivf_index(corpus, cents, f"{tag}_xover")
-    out["index_sec"] = round(_t.time() - t0, 3)
+
+    # Train/index timings get the same warmup + median-of-repeats +
+    # spread treatment as bench_ann's _timed_train (r10 VERDICT "What's
+    # wrong" #2: single-shot train_sec printed 13.4 s / 20.3 s / 30.2 s
+    # across three runs of identical code — first-JVM-call ordering, not
+    # training cost; the spread makes a loaded-host artifact readable).
+    def _timed_build(fn):
+        fn()  # unmeasured warmup (codegen, Arrow, parquet footer caches)
+        runs, val = [], None
+        for _ in range(max(repeats, 3)):
+            t1 = _t.time()
+            val = fn()
+            runs.append(_t.time() - t1)
+        return val, round(_st.median(runs), 3), round(max(runs) - min(runs), 3)
+
+    cents, out["train_sec"], out["train_spread"] = _timed_build(
+        lambda: kmeans_centroids(corpus, n_centroids=64, n_iters=2)
+    )
+    index, out["index_sec"], out["index_spread"] = _timed_build(
+        lambda: build_ivf_index(corpus, cents, f"{tag}_xover")
+    )
     ivf = lambda: cosine_topk_ivf(  # noqa: E731
         corpus, cq, k=10, n_probe=4, centroids=cents, index=index
     )

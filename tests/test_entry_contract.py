@@ -67,56 +67,50 @@ def test_rows_only_queries_are_the_documented_set():
 
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-10 window —
-    slots 1-13 are the round-9 batch-4/5/6 queries with no driver row
-    yet (the attestation head computed by tools/attestation.py;
-    driver-green here makes the pre-round-10 catalog cumulatively
-    driver-attested), slots 14-38 are the round-10 additions, slots
-    39-44 re-enter every query whose PLAN changed this round
-    (banded_id_pairs candidate rewrite, with_surrogate_key two-phase
-    rank), and slots 45-50 freshness-rotate the 6 oldest (round-1)
+    checks the FIRST 50 entries of queries(). Pin the round-11 window —
+    the ledger reports zero never-attested pre-round-11 queries, so
+    slots 1-10 are the 10 round-11 additions (the attestation head
+    computed by tools/attestation.py --unattested), slots 11-21
+    re-enter every ORACLE-TWINNED query whose plan or expression changed
+    this round (PPJoin+ prunes, banded_id_pairs floor-division buckets,
+    similarity query-batch guards, nullif divisor guards), and slots
+    22-50 freshness-rotate the 29 oldest (round-1) oracle-twinned
     attestations — so an accidental reorder can't silently starve the
     gate (that is precisely what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
-    # the round-10 window is fully oracle-twinned — zero rows-only slots
+    # the round-11 window is fully oracle-twinned — zero rows-only slots
     assert [n for n in window if n not in oracles] == []
-    attestation_head = [
-        "q_wilcoxon_signed_rank", "q_gini_by_nation",
-        "q_supplier_hhi_by_nation", "q_price_dispersion_topk",
-        "q_split_balance_check", "q_ma_crossover", "q_diff_in_diff",
-        "q_langid_confusion", "q_dedup_token_savings", "q_tv_drift",
-        "q_ship_latency_bands", "q_reorder_interval_median",
-        "q_first_vs_repeat_value",
+    round11_additions = [
+        "q_cramers_v", "q_mann_kendall", "q_bowley_skew",
+        "q_grouped_mode", "q_order_count_dispersion",
+        "q_proportion_ztest", "q_split_neardup_leaks",
+        "q_length_quality_grid", "q_kendall_w", "q_minmax_scale_ppm",
     ]
-    assert window[:13] == attestation_head
-    round10 = [
-        "q_mcnemar_test", "q_hellinger_drift", "q_order_linecount_dist",
-        "q_backlog_daily", "q_supplier_rank_shift", "q_type_token_ratio",
-        "q_stopword_band_mix", "q_candidate_jaccard_hist",
-        "q_seasonal_index", "q_weekend_uplift", "q_quantity_iqr_fences",
-        "q_levene_quantity", "q_top2_share_by_nation",
-        "q_order_value_decile_bounds", "q_return_rate_by_brand_month",
-        "q_events_per_user_day_dist",
-        "q_price_quantity_corr_by_brand", "q_spend_consistency_bands",
-        "q_char_class_profile", "q_discount_effect_grid",
-        "q_nation_trade_balance",
-        "q_doc_dup_ratio_by_length_band", "q_token_length_percentiles",
-        "q_supplier_dependency_bands", "q_brands_per_order_dist",
-    ]
-    assert window[13:38] == round10
+    assert window[:10] == round11_additions
     plan_change_reattest = [
-        "q_ngram_jaccard", "q_dedup_yield_curve", "q_tfidf_cosine_pairs",
-        "q_scd1_merge", "q_surrogate_key", "q_time_travel",
+        "q_prefix_filter_join", "q_ngram_jaccard", "q_dedup_yield_curve",
+        "q_tfidf_cosine_pairs", "q_candidate_jaccard_hist",
+        "q_cosine_topk", "q_mips_topk", "q_knn_label_vote",
+        "q_hard_negatives", "q_mcnemar_test", "q_levene_quantity",
     ]
-    assert window[38:44] == plan_change_reattest
+    assert window[10:21] == plan_change_reattest
     oldest_rotation = [
-        "q_argminmax", "q_arith_derive", "q_cast_agg", "q_count_distinct",
-        "q_cross_join", "q_cube",
+        "q_date_parts", "q_distinct", "q_empty_relation", "q_except",
+        "q_exists_subquery", "q_filter_isnotnull", "q_filter_isnull",
+        "q_full_outer_join", "q_groupby_agg", "q_grouping_sets",
+        "q_histogram", "q_in_subquery", "q_intersect",
+        "q_join_project_disambiguate", "q_left_anti", "q_left_semi",
+        "q_max_global", "q_null_safe_join", "q_orderby_limit", "q_pivot",
+        "q_project", "q_rollup", "q_scan_parquet", "q_split_getitem",
+        "q_sql_analytics", "q_sql_over_path", "q_stats_moments",
+        "q_topk_per_group", "q_union_all",
     ]
-    assert window[44:50] == oldest_rotation
-    # the r9 window head follows the r10 one — every entry in it is
-    # driver-green from r9 and stays addressable
+    assert window[21:50] == oldest_rotation
+    # the r9 window head follows the r11 one (the r10 reorder statement
+    # was superseded; the module-order baseline under the r11 reorder is
+    # the r9 ordering) — every entry there is driver-green and stays
+    # addressable
     assert list(qs)[50:53] == ["q_grouped_median", "q_cohens_kappa",
                                "q_chi2_contingency"]
 
