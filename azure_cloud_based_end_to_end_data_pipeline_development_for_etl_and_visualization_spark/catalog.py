@@ -20121,6 +20121,350 @@ ORACLES["q_minmax_scale_ppm"] = """
 
 
 # ---------------------------------------------------------------------------
+# round-11 batch 3: effect size, binomial interval, tokenizer economics,
+# quantile normalization, split quality
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size for the 1996-vs-1997 quantity shift — the
+    magnitude readout the q_proportion_ztest / q_ab_ttest family's
+    significance numbers need next to them (a tiny effect goes
+    'significant' at 100 TB row counts; d is what decides if anyone
+    should care). Per-year moments are exact integers from one scan
+    (quantities are small, but the squared sums still merge as
+    decimal(38,0) for the extreme-scale margin); d folds in DOUBLE with
+    one fixed operand order — pooled variance from the exact moments,
+    one sqrt, one divide — with nullif guards for the degenerate pool
+    (n1+n2 <= 2 or zero spread). The oracle routes its hugeint squared
+    sums through ``::varchar::double`` per the wide-cast rule."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    per = li.select(
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("yr") == 1996, F.col("q") * F.col("q")).otherwise(0)
+        ).cast("decimal(38,0)").alias("__q1"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("yr") == 1997, F.col("q") * F.col("q")).otherwise(0)
+        ).cast("decimal(38,0)").alias("__q2"),
+    )
+    n1_d = F.col("n1").cast("double")
+    s1_d = F.col("s1").cast("double")
+    q1_d = F.col("__q1").cast("double")
+    n2_d = F.col("n2").cast("double")
+    s2_d = F.col("s2").cast("double")
+    q2_d = F.col("__q2").cast("double")
+    ss1 = q1_d - (s1_d * s1_d) / n1_d
+    ss2 = q2_d - (s2_d * s2_d) / n2_d
+    s_pooled = F.sqrt(
+        (ss1 + ss2) / F.nullif(n1_d + n2_d - F.lit(2.0), F.lit(0.0))
+    )
+    return per.select(
+        "n1",
+        "s1",
+        "n2",
+        "s2",
+        (
+            (s1_d / n1_d - s2_d / n2_d) / F.nullif(s_pooled, F.lit(0.0))
+        ).alias("cohens_d"),
+    )
+
+
+QUERIES["q_cohens_d"] = q_cohens_d
+ORACLES["q_cohens_d"] = """
+    with agg as (
+        select
+            sum(case when year(l_shipdate) = 1996 then 1 else 0
+                end)::bigint as n1,
+            sum(case when year(l_shipdate) = 1996
+                     then l_quantity::bigint else 0 end)::bigint as s1,
+            sum(case when year(l_shipdate) = 1996
+                     then l_quantity::bigint * l_quantity::bigint
+                     else 0 end)::varchar::double as q1,
+            sum(case when year(l_shipdate) = 1997 then 1 else 0
+                end)::bigint as n2,
+            sum(case when year(l_shipdate) = 1997
+                     then l_quantity::bigint else 0 end)::bigint as s2,
+            sum(case when year(l_shipdate) = 1997
+                     then l_quantity::bigint * l_quantity::bigint
+                     else 0 end)::varchar::double as q2
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+    )
+    select n1, s1, n2, s2,
+           (s1::double / n1::double - s2::double / n2::double)
+           / nullif(
+               sqrt(((q1 - (s1::double * s1::double) / n1::double)
+                     + (q2 - (s2::double * s2::double) / n2::double))
+                    / nullif(n1::double + n2::double - 2.0, 0.0)),
+               0.0) as cohens_d
+    from agg
+"""
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-brand return rate — the
+    binomial interval that behaves at small n and p near 0/1 (the Wald
+    interval a naive report uses collapses there), i.e. the error bars
+    for q_return_rate_by_brand_month's point estimates. Counts are
+    exact longs from the unhinted lineitem x part join; the bounds are
+    one fixed IEEE sequence per brand row (z = 1.96 literal, one sqrt)
+    written with IDENTICAL operand order in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("r"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("r").cast("long").alias("n_returned"),
+        )
+    )
+    n_d = F.col("n_lines").cast("double")
+    x_d = F.col("n_returned").cast("double")
+    z = F.lit(1.96)
+    p = x_d / n_d
+    center = p + (z * z) / (2.0 * n_d)
+    half = z * F.sqrt(
+        (p * (F.lit(1.0) - p)) / n_d + (z * z) / (4.0 * (n_d * n_d))
+    )
+    denom = F.lit(1.0) + (z * z) / n_d
+    return per.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("p_brand")
+
+
+QUERIES["q_wilson_ci"] = q_wilson_ci
+ORACLES["q_wilson_ci"] = """
+    with per as (
+        select p.p_brand, count(*)::bigint as n_lines,
+               sum(case when l.l_returnflag = 'R' then 1 else 0
+                   end)::bigint as n_returned
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+        group by p.p_brand
+    )
+    select p_brand, n_lines, n_returned,
+           ((n_returned::double / n_lines::double
+             + (1.96 * 1.96) / (2.0 * n_lines::double))
+            - 1.96 * sqrt(((n_returned::double / n_lines::double)
+                           * (1.0 - n_returned::double / n_lines::double))
+                          / n_lines::double
+                          + (1.96 * 1.96)
+                            / (4.0 * (n_lines::double * n_lines::double))))
+           / (1.0 + (1.96 * 1.96) / n_lines::double) as wilson_lo,
+           ((n_returned::double / n_lines::double
+             + (1.96 * 1.96) / (2.0 * n_lines::double))
+            + 1.96 * sqrt(((n_returned::double / n_lines::double)
+                           * (1.0 - n_returned::double / n_lines::double))
+                          / n_lines::double
+                          + (1.96 * 1.96)
+                            / (4.0 * (n_lines::double * n_lines::double))))
+           / (1.0 + (1.96 * 1.96) / n_lines::double) as wilson_hi
+    from per order by p_brand
+"""
+
+
+def q_chars_per_token_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characters-per-token ppm by source — the tokenizer-economics
+    profile at corpus grain (q_tokenizer_fertility measures a trained
+    BPE's fertility; this is the raw whitespace-token density a
+    pipeline reads FIRST, before any tokenizer exists, to forecast
+    token budgets from byte counts). Char counts ride the stored
+    n_chars column, token counts one JVM expression; both sums are
+    exact, and the ratio promotes to decimal before ``div`` so the ppm
+    quotient is long-sized at any corpus size."""
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("ch"),
+        token_count(F.col("text")).cast("long").alias("tk"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ch").cast("long").alias("sum_chars"),
+        F.sum("tk").cast("long").alias("sum_tokens"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        F.expr(
+            "cast(cast(sum_chars as decimal(38,0)) * 1000000"
+            " div nullif(sum_tokens, 0) as bigint)"
+        ).alias("chars_per_token_ppm"),
+    ).orderBy("source")
+
+
+QUERIES["q_chars_per_token_by_source"] = q_chars_per_token_by_source
+ORACLES["q_chars_per_token_by_source"] = f"""
+    with per as (
+        select source, count(*)::bigint as n_docs,
+               sum(n_chars::bigint)::bigint as sum_chars,
+               sum(len({_DK_TOKENS}))::bigint as sum_tokens
+        from documents group by source
+    )
+    select source, n_docs, sum_chars, sum_tokens,
+           ((sum_chars::hugeint * 1000000)
+            // nullif(sum_tokens, 0))::bigint as chars_per_token_ppm
+    from per order by source
+"""
+
+
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of supplier revenue ACROSS nations — the
+    batch-effect removal op (map each nation's k-th ranked supplier to
+    the cross-nation mean revenue at rank k, so every nation ends up
+    with the same distribution; the bioinformatics standard, and a real
+    feature-engineering primitive for mixing heterogeneous groups).
+    Ranks ride the two-phase GROUPED row number (each nation's sort
+    spreads across reducers); the per-rank reference profile is one
+    groupBy on the rank (rank domain <= max group size); the mean is an
+    exact truncating ``div`` with decimal promotion, mirrored, so no
+    float average ever exists."""
+    from .operators.relational import with_grouped_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    ranked = with_grouped_row_number(
+        rev,
+        ["s_nationkey"],
+        ["rev_cents", "s_suppkey"],
+        rn_col="rn",
+        n_col="n",
+    ).select("s_suppkey", "s_nationkey", "rev_cents", "rn")
+    ref = ranked.groupBy("rn").agg(
+        F.expr(
+            "cast(cast(sum(rev_cents) as decimal(38,0))"
+            " div count(1) as bigint)"
+        ).alias("qnorm_cents")
+    )
+    return (
+        ranked.join(ref, "rn")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.col("rn").cast("long").alias("rn"),
+            "rev_cents",
+            "qnorm_cents",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES["q_quantile_normalization"] = q_quantile_normalization
+ORACLES["q_quantile_normalization"] = """
+    with rev as (
+        select s.s_suppkey, s.s_nationkey,
+               sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+                   as rev_cents
+        from lineitem l join supplier s on l.l_suppkey = s.s_suppkey
+        group by s.s_suppkey, s.s_nationkey
+    ),
+    ranked as (
+        select s_suppkey, s_nationkey, rev_cents,
+               row_number() over (partition by s_nationkey
+                                  order by rev_cents, s_suppkey)::bigint
+                   as rn
+        from rev
+    ),
+    ref as (
+        select rn,
+               (sum(rev_cents)::hugeint // count(*))::bigint as qnorm_cents
+        from ranked group by rn
+    )
+    select r.s_suppkey, r.s_nationkey, r.rn, r.rev_cents, f.qnorm_cents
+    from ranked r join ref f on r.rn = f.rn
+    order by r.s_suppkey
+"""
+
+
+def q_gini_split_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Gini impurity of the return flag within each brand — the
+    decision-tree split-quality score (how well does 'brand' separate
+    returns?), i.e. the feature-selection readout a training pipeline
+    computes per candidate attribute. Class counts are exact longs; per
+    brand, impurity = (n^2 - sum_k c_k^2) / n^2 emits as exact ppm via
+    decimal promotion before ``div`` (no float probability squares),
+    alongside the brand's weight for the caller's weighted rollup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cls = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = cls.groupBy("p_brand").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("__c2"),
+    )
+    return per.select(
+        "p_brand",
+        "n_lines",
+        F.expr(
+            "cast((cast(n_lines as decimal(38,0)) * n_lines - __c2)"
+            " * 1000000 div (cast(n_lines as decimal(38,0)) * n_lines)"
+            " as bigint)"
+        ).alias("gini_ppm"),
+    ).orderBy("p_brand")
+
+
+QUERIES["q_gini_split_quality"] = q_gini_split_quality
+ORACLES["q_gini_split_quality"] = """
+    with cls as (
+        select p.p_brand, l.l_returnflag, count(*)::bigint as c
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+        group by p.p_brand, l.l_returnflag
+    ),
+    per as (
+        select p_brand, sum(c)::bigint as n_lines,
+               sum(c::hugeint * c) as c2
+        from cls group by p_brand
+    )
+    select p_brand, n_lines,
+           (((n_lines::hugeint * n_lines - c2) * 1000000)
+            // (n_lines::hugeint * n_lines))::bigint as gini_ppm
+    from per order by p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROUND-11 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-10 WINDOW reorder — _R10_WINDOW above stays for provenance but no
@@ -20128,22 +20472,22 @@ ORACLES["q_minmax_scale_ppm"] = """
 # test_driver_window_composition; the ledger reports 0 never-attested
 # pre-round-11 queries, so the head is this round's additions — computed
 # via tools/attestation.py --unattested, never hand-curated):
-#   slots 1-10: the 10 round-11 additions (all oracle-twinned, verified at
-#     sf0.001 + sf0.01 + sf0.1 this session);
-#   slots 11-21: re-attestation of every ORACLE-TWINNED query whose plan
+#   slots 1-15: the 15 round-11 additions (batches 1-3, all
+#     oracle-twinned, verified at sf0.001 + sf0.01 + sf0.1 this session);
+#   slots 16-26: re-attestation of every ORACLE-TWINNED query whose plan
 #     or expression changed this round (PPJoin+ prunes in
 #     prefix_filter_pairs; banded_id_pairs floor-division buckets; the
 #     query-batch guards in the similarity APIs; the nullif divisor
 #     guards) — the rows-only q_pq_topk/q_ivfpq_topk guard changes are
 #     pinned by pytest canaries instead, keeping the window fully
 #     oracle-twinned;
-#   slots 22-50: the 29 oldest driver attestations (round-1 greens with
+#   slots 27-50: the 24 oldest driver attestations (round-1 greens with
 #     oracle twins — the two rows-only round-1 entries are skipped) —
 #     freshness rotation for the long tail.
 # ---------------------------------------------------------------------------
 
 _R11_WINDOW = [
-    # -- 1-10: round-11 additions (attestation head: never driver-run) --
+    # -- 1-15: round-11 additions (attestation head: never driver-run) --
     "q_cramers_v",
     "q_mann_kendall",
     "q_bowley_skew",
@@ -20154,7 +20498,12 @@ _R11_WINDOW = [
     "q_length_quality_grid",
     "q_kendall_w",
     "q_minmax_scale_ppm",
-    # -- 11-21: round-11 plan/expression-change re-attestations ----------
+    "q_cohens_d",
+    "q_wilson_ci",
+    "q_chars_per_token_by_source",
+    "q_quantile_normalization",
+    "q_gini_split_quality",
+    # -- 16-26: round-11 plan/expression-change re-attestations ----------
     "q_prefix_filter_join",
     "q_ngram_jaccard",
     "q_dedup_yield_curve",
@@ -20166,7 +20515,7 @@ _R11_WINDOW = [
     "q_hard_negatives",
     "q_mcnemar_test",
     "q_levene_quantity",
-    # -- 22-50: oldest driver attestations (round-1 greens) --------------
+    # -- 27-50: oldest driver attestations (round-1 greens) --------------
     "q_date_parts",
     "q_distinct",
     "q_empty_relation",
@@ -20191,11 +20540,6 @@ _R11_WINDOW = [
     "q_rollup",
     "q_scan_parquet",
     "q_split_getitem",
-    "q_sql_analytics",
-    "q_sql_over_path",
-    "q_stats_moments",
-    "q_topk_per_group",
-    "q_union_all",
 ]
 
 # ROUND-11 WINDOW reorder (must be the last statement touching QUERIES —
