@@ -20465,6 +20465,1257 @@ ORACLES["q_gini_split_quality"] = """
 
 
 # ---------------------------------------------------------------------------
+# round-11 batch 4: TPC-H decision-support parity — the five classic query
+# shapes the catalog did not yet carry under any name (Q3 lives in
+# q_filter_join_topk, Q5 in q_star_join, Q10 in q_returned_items_topk, Q11's
+# HAVING-vs-global-scalar in q_revenue_share_filter, Q12 in
+# q_late_ship_priority, Q14 in q_promo_share_monthly): Q13's left-outer
+# double aggregation, Q17's per-PART correlated average (fact-scaling group
+# count, unlike q_above_brand_avg's 25-brand broadcast), Q18's large-volume
+# HAVING semi-join, Q19's disjunctive join predicate with derived per-side
+# pushdown, and Q22's scalar-subquery + anti-join. Adapted where the
+# testdata schema is reduced (no partsupp / phone / container columns);
+# every adaptation is documented inline.
+# ---------------------------------------------------------------------------
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, INCLUDING the
+    zero-order customers a plain inner join would drop. The textbook plan
+    left-joins customer to orders then counts twice; pre-aggregating
+    orders per ``o_custkey`` FIRST shrinks the join's probe side from
+    order rows to customer rows (the same partial-agg-through-join
+    rewrite as q_star_join_preagg — Catalyst does not push aggregates
+    through outer joins itself), and the left join against the counts
+    relation preserves the zero bucket via ``coalesce``. Both relations
+    scale with the fact, so the join carries NO build-side hint. The
+    second aggregate's key domain is bounded by the max orders-per-
+    customer (~tens), so the final groupBy is a kilobyte-state shuffle.
+    (The classic filter ``o_comment not like '%special%requests%'`` has
+    no column in this vintage; omitted, documented.)"""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias(
+                "c_count"
+            )
+        )
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+QUERIES["q_custdist"] = q_custdist
+ORACLES["q_custdist"] = """
+    with per_cust as (
+        select c_custkey, count(o_orderkey)::bigint as c_count
+        from customer left join orders on c_custkey = o_custkey
+        group by c_custkey
+    )
+    select c_count, count(*)::bigint as custdist
+    from per_cust group by c_count
+    order by custdist desc, c_count desc
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue locked up in small-quantity lineitems — lines
+    whose quantity is below 20% of their own PART's average quantity.
+    The correlated scalar average decorrelates to a per-part aggregate
+    joined back on ``l_partkey``; that aggregate has one row per part,
+    and part SCALES with the fact (unlike q_above_brand_avg's bounded
+    25-brand broadcast), so the join back is a plain unhinted equi-join
+    — AQE picks the strategy. The below-average test is the exact
+    integer cross-multiplication ``5·qty·cnt < sum_qty`` (qty ≤ 50 and
+    TPC-H's ~30 lines/part make 5·50·cnt ≤ ~7.5e8 even at 100 TB — 10
+    orders of magnitude inside long). Classic Q17 filters one brand +
+    one container (~0.04% of parts — empty below sf0.1 and there is no
+    container column); the scale-invariant adaptation keeps the shape
+    with ``p_size <= 10`` (20% of parts). Revenue is summed in exact
+    half-up cents with decimal(38,0) merge margin."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+    )
+    small_part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey")
+    )
+    return (
+        li.join(per_part.withColumnRenamed("l_partkey", "pk"),
+                F.col("l_partkey") == F.col("pk"))
+        .join(small_part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            # decimal(38,0) merge margin, final value fits long by ~100x
+            # even at 100 TB (~7.8e16 cents)
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+QUERIES["q_small_qty_revenue"] = q_small_qty_revenue
+ORACLES["q_small_qty_revenue"] = """
+    with per_part as (
+        select l_partkey as pk, count(*)::bigint as cnt,
+               sum(l_quantity)::bigint as sum_qty
+        from lineitem group by l_partkey
+    )
+    select count(*)::bigint as n_small,
+           sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+               as revenue_cents
+    from lineitem
+    join per_part on l_partkey = pk
+    join part on p_partkey = l_partkey and p_size <= 10
+    where 5 * l_quantity * cnt < sum_qty
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: the top-100 orders by value whose total quantity
+    exceeds 200 units, with the customer who placed them. The HAVING
+    subquery decorrelates to one per-order aggregate (map-side partial
+    sums, then the >200 filter drops ~93% of orders BEFORE any join);
+    the qualifying sum rides along instead of Q18's textbook second
+    lineitem join. orders and customer both scale with the fact —
+    unhinted equi-joins, AQE decides. The top-100 is fully
+    deterministic: ordered by exact half-up total-price cents desc,
+    then order date, then order key."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "orderdate",
+            "total_cents",
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("total_cents").desc(), "orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+QUERIES["q_large_volume_customers"] = q_large_volume_customers
+ORACLES["q_large_volume_customers"] = """
+    with big as (
+        select l_orderkey, sum(l_quantity)::bigint as sum_qty
+        from lineitem group by l_orderkey
+        having sum(l_quantity) > 200
+    )
+    select c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') as orderdate,
+           floor(o_totalprice * 100.0 + 0.5)::bigint as total_cents,
+           sum_qty
+    from big
+    join orders on o_orderkey = l_orderkey
+    join customer on c_custkey = o_custkey
+    order by total_cents desc, orderdate, o_orderkey
+    limit 100
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue matched by an OR of three brand/size/quantity
+    conjunctions spanning BOTH join sides. Catalyst cannot push a
+    cross-relation disjunction below the join, so each side gets the
+    DERIVED union filter every branch implies (part: brand IN the three
+    brands AND size in the union envelope 1..25; lineitem: quantity in
+    the union envelope 1..30) — at 100 TB that is the difference between
+    scanning ~2% of the join input and scanning all of it — and the
+    exact three-way OR applies post-join. Branch bounds are widened vs
+    classic Q19 (whose brand+container cut is empty below sf0.1 on this
+    vintage; documented adaptation). Revenue is the house decimal(18,6)
+    per-row-rounded sum."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & F.col("p_size").between(1, 25)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+QUERIES["q_disjunctive_revenue"] = q_disjunctive_revenue
+ORACLES["q_disjunctive_revenue"] = """
+    select cast(cast(sum(cast(l_extendedprice * (1 - l_discount)
+               as decimal(18,6))) as varchar) as double) as revenue,
+           count(*)::bigint as n_lines
+    from lineitem join part on p_partkey = l_partkey
+    where (p_brand = 'Brand#12' and p_size between 1 and 15
+           and l_quantity between 1 and 11)
+       or (p_brand = 'Brand#23' and p_size between 1 and 20
+           and l_quantity between 10 and 20)
+       or (p_brand = 'Brand#34' and p_size between 1 and 25
+           and l_quantity between 20 and 30)
+"""
+
+
+def q_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: per-nation census of customers whose account balance
+    beats the global positive-balance average but who have placed no
+    RECENT order — the scalar-subquery + NOT EXISTS shape. The scalar
+    side is a one-row aggregate cross-joined back with an explicit
+    broadcast (1 row is bounded by construction); the above-average
+    test cross-multiplies exactly — ``cents·c > s`` in decimal(38,0),
+    no float average — and NOT EXISTS decorrelates to a left-anti join
+    against date-filtered orders (the ``o_orderdate >=`` predicate
+    lands in PushedFilters before the anti join). Adapted: no phone
+    column, so the country-code IN-set becomes the nation key itself,
+    and 'no orders at all' (0% of customers on this vintage — every
+    customer orders) becomes 'no order since 2000-07-01' (~20% at every
+    SF). Balances are exact half-up cents."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    pos = cust.filter(F.col("cents") > 0).agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-07-01").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("cents").cast("decimal(38,0)") * F.col("c") > F.col("s")
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            # decimal(38,0) merge margin; per-nation totals fit long
+            F.sum(F.col("cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("totacctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES["q_idle_high_balance"] = q_idle_high_balance
+ORACLES["q_idle_high_balance"] = """
+    with cents as (
+        select c_custkey, c_nationkey,
+               floor(c_acctbal * 100.0 + 0.5)::bigint as cb
+        from customer
+    ),
+    pos as (
+        select sum(cb)::hugeint as s, count(*)::bigint as c
+        from cents where cb > 0
+    )
+    select c_nationkey, count(*)::bigint as numcust,
+           sum(cb)::bigint as totacctbal_cents
+    from cents, pos
+    where cb::hugeint * c > s
+      and not exists (
+          select 1 from orders o
+          where o.o_custkey = cents.c_custkey
+            and o.o_orderdate >= timestamp '2000-07-01'
+      )
+    group by c_nationkey
+    order by c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 5: TPC-H parity second half (Q21's multi-EXISTS, Q7's
+# bidirectional volume shipping, Q8's market share) plus two regression/
+# diagnostic stats (per-brand odds ratio, Durbin-Watson serial-correlation
+# readout on the monthly revenue series).
+# ---------------------------------------------------------------------------
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. The classic EXISTS l2 / NOT EXISTS
+    l3 pair decorrelates to two per-order aggregates — distinct
+    suppliers and distinct LATE suppliers — and the qualifying
+    condition becomes ``n_supp >= 2 AND n_late = 1`` for a late
+    supplier (sole-late ⇔ the only member of the late set), turning
+    two correlated self-joins into keyed equi-joins on ``l_orderkey``
+    that shuffle once each. supplier scales with the fact — unhinted
+    join for the name lookup. Adapted: no l_commitdate/l_receiptdate
+    columns in this vintage, so 'kept waiting' = shipped more than 60
+    days after the order date (documented; the decorrelation shape is
+    the point)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    finished = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(finished, li.l_orderkey == finished.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("interval 60 days")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("ns")
+    )
+    n_late = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("nl")
+    )
+    waiting = (
+        late.dropDuplicates(["l_orderkey", "l_suppkey"])
+        .join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(sup, waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+QUERIES["q_waiting_suppliers"] = q_waiting_suppliers
+ORACLES["q_waiting_suppliers"] = """
+    with late as (
+        select l_orderkey, l_suppkey
+        from lineitem join orders on l_orderkey = o_orderkey
+        where o_orderstatus = 'F'
+          and l_shipdate > o_orderdate + interval 60 day
+    ),
+    n_supp as (
+        select l_orderkey, count(distinct l_suppkey)::bigint as ns
+        from lineitem group by l_orderkey
+    ),
+    n_late as (
+        select l_orderkey, count(distinct l_suppkey)::bigint as nl
+        from late group by l_orderkey
+    )
+    select s_name, count(*)::bigint as numwait
+    from (select distinct l.l_orderkey, l.l_suppkey
+          from late l
+          join n_supp using (l_orderkey)
+          join n_late using (l_orderkey)
+          where ns >= 2 and nl = 1) w
+    join supplier on s_suppkey = l_suppkey
+    group by s_name
+    order by numwait desc, s_name
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two trading regions, BOTH
+    directions, by ship year. Five joins: the two bounded dims (nation
+    25 rows, region 5 rows) broadcast — twice each, aliased per role —
+    while orders/customer/supplier scale with the fact and stay
+    unhinted. The region-pair disjunction applies after the cheap
+    broadcast joins; year bounds push to the lineitem scan. (Classic
+    Q7 picks two NATIONS — sparse to emptiness below sf0.1 on this
+    vintage; the region-pair adaptation keeps all four
+    (direction, year) groups populated at every SF.)"""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region")
+    supp_reg = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    cust_reg = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("r_name").alias("cust_region"),
+        )
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(supp_reg), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_reg), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            (
+                (F.col("supp_region") == "EUROPE")
+                & (F.col("cust_region") == "ASIA")
+            )
+            | (
+                (F.col("supp_region") == "ASIA")
+                & (F.col("cust_region") == "EUROPE")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("supp_region", "cust_region", "yr")
+    )
+
+
+QUERIES["q_volume_shipping"] = q_volume_shipping
+ORACLES["q_volume_shipping"] = """
+    select r1.r_name as supp_region, r2.r_name as cust_region,
+           year(l_shipdate)::bigint as yr,
+           cast(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                as decimal(18,6))) as varchar) as double) as revenue,
+           count(*)::bigint as n_lines
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join supplier on l_suppkey = s_suppkey
+    join nation n1 on s_nationkey = n1.n_nationkey
+    join region r1 on n1.n_regionkey = r1.r_regionkey
+    join nation n2 on c_nationkey = n2.n_nationkey
+    join region r2 on n2.n_regionkey = r2.r_regionkey
+    where ((r1.r_name = 'EUROPE' and r2.r_name = 'ASIA')
+           or (r1.r_name = 'ASIA' and r2.r_name = 'EUROPE'))
+      and l_shipdate >= timestamp '1995-01-01'
+      and l_shipdate < timestamp '1997-01-01'
+    group by 1, 2, 3
+    order by 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of a part type inside a
+    consuming region, by order year — the share-of-conditional-sum
+    shape (sum(CASE supplier-nation)/sum(all)). Six joins: bounded
+    nation/region broadcast (aliased per role), part carries the
+    ``p_type`` pushdown and scales with the fact — unhinted, as do
+    orders/customer/supplier. Both sums ride the house decimal(18,6)
+    per-row-rounded discipline; the share divides the two exact sums
+    as doubles in one fixed operand order (oracle routes the decimals
+    ::varchar::double first). NATION_7's STANDARD sales into ASIA are
+    genuinely zero at sf0.001 — share 0.0, not a degenerate plan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nat.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    per_year = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)
+            ).alias("__nat"),
+            F.sum(rev).alias("__tot"),
+        )
+    )
+    nat_d = F.col("__nat").cast("double")
+    tot_d = F.col("__tot").cast("double")
+    return per_year.select(
+        "yr",
+        nat_d.alias("nation_rev"),
+        tot_d.alias("total_rev"),
+        (nat_d / F.nullif(tot_d, F.lit(0.0))).alias("mkt_share"),
+    ).orderBy("yr")
+
+
+QUERIES["q_market_share"] = q_market_share
+ORACLES["q_market_share"] = """
+    with sales as (
+        select year(o_orderdate)::bigint as yr,
+               cast(l_extendedprice * (1 - l_discount) as decimal(18,6))
+                   as rev,
+               n1.n_name as supp_nation
+        from lineitem
+        join part on p_partkey = l_partkey and p_type = 'STANDARD'
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join nation n2 on c_nationkey = n2.n_nationkey
+        join region on n2.n_regionkey = r_regionkey and r_name = 'ASIA'
+        join supplier on l_suppkey = s_suppkey
+        join nation n1 on s_nationkey = n1.n_nationkey
+        where o_orderdate >= timestamp '1995-01-01'
+          and o_orderdate < timestamp '1997-01-01'
+    ),
+    agg as (
+        select yr,
+               cast(cast(sum(case when supp_nation = 'NATION_7' then rev
+                                  else cast(0 as decimal(18,6)) end)
+                    as varchar) as double) as nation_rev,
+               cast(cast(sum(rev) as varchar) as double) as total_rev
+        from sales group by yr
+    )
+    select yr, nation_rev, total_rev,
+           nation_rev / nullif(total_rev, 0.0) as mkt_share
+    from agg order by yr
+"""
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return odds ratio vs the rest of the catalog — the
+    2x2 effect-size companion to q_return_rate_by_brand_month's point
+    rates and q_proportion_ztest's significance (an OR of 1.1 on 1e11
+    lines is 'significant' and still ignorable; the OR is what ranks
+    brands for quality triage). One unhinted lineitem x part join,
+    one 25-row grouped aggregate of exact integer cells; the
+    complement cells subtract from the one-row global totals
+    (broadcast by construction). The ratio itself is one fixed IEEE
+    sequence over exact counts — products up to (1e12)² sit well
+    inside double range — with a nullif guard for brands with zero
+    non-returned or zero complement-returned lines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("r"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("r").cast("long").alias("a_ret"),
+            F.sum(1 - F.col("r")).cast("long").alias("b_not"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("a_ret").cast("long").alias("ta"),
+        F.sum("b_not").cast("long").alias("tb"),
+    )
+    a_d = F.col("a_ret").cast("double")
+    b_d = F.col("b_not").cast("double")
+    c_d = F.col("c_ret").cast("double")
+    d_d = F.col("d_not").cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "a_ret",
+            "b_not",
+            (F.col("ta") - F.col("a_ret")).alias("c_ret"),
+            (F.col("tb") - F.col("b_not")).alias("d_not"),
+        )
+        .select(
+            "p_brand",
+            "a_ret",
+            "b_not",
+            "c_ret",
+            "d_not",
+            (
+                (a_d * d_d) / F.nullif(b_d * c_d, F.lit(0.0))
+            ).alias("odds_ratio"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["q_odds_ratio"] = q_odds_ratio
+ORACLES["q_odds_ratio"] = """
+    with cells as (
+        select p_brand,
+               sum(case when l_returnflag = 'R' then 1 else 0
+                   end)::bigint as a_ret,
+               sum(case when l_returnflag <> 'R' then 1 else 0
+                   end)::bigint as b_not
+        from lineitem join part on p_partkey = l_partkey
+        group by p_brand
+    ),
+    tot as (
+        select sum(a_ret)::bigint as ta, sum(b_not)::bigint as tb
+        from cells
+    )
+    select p_brand, a_ret, b_not,
+           (ta - a_ret)::bigint as c_ret,
+           (tb - b_not)::bigint as d_not,
+           (a_ret::double * (tb - b_not)::double)
+           / nullif(b_not::double * (ta - a_ret)::double, 0.0)
+               as odds_ratio
+    from cells, tot
+    order by p_brand
+"""
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic over the monthly
+    revenue series (deviations from the series mean — the residuals of
+    the intercept-only model): d = Σ(e_t − e_{t−1})² / Σe_t², the
+    is-my-trend-model-missing-autocorrelation readout next to
+    q_autocorr's lag-1 coefficient. The mean never materializes as a
+    float: deviations are scaled to exact integers ``e = n·x − S``
+    (decimal(38,0) — month cents ~2e16 at 100 TB make n·x ~1.6e18,
+    within long but only 5x margin, so the decimal path), squares
+    ~1e32 stay inside decimal(38,0), and the single division is
+    IEEE-exact over two correctly-rounded doubles. The lag window
+    orders the BOUNDED month domain (~80 values — audit-registered
+    calendar key 'm'); everything upstream is one partial-agg shuffle
+    of orders."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    stats = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+    )
+    dev = monthly.crossJoin(F.broadcast(stats)).select(
+        "m",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")
+        ).alias("e"),
+    )
+    w = Window.orderBy("m")
+    lagged = dev.select(
+        "n", "e", F.lag("e").over(w).alias("e_prev")
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n_months"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e") - F.col("e_prev"))
+                * (F.col("e") - F.col("e_prev")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__num"),
+        F.sum(F.col("e") * F.col("e")).alias("__den"),
+    )
+    num_d = F.col("__num").cast("double")
+    den_d = F.col("__den").cast("double")
+    return agg.select(
+        "n_months",
+        num_d.alias("num"),
+        den_d.alias("den"),
+        (num_d / F.nullif(den_d, F.lit(0.0))).alias("dw"),
+    )
+
+
+QUERIES["q_durbin_watson"] = q_durbin_watson
+ORACLES["q_durbin_watson"] = """
+    with monthly as (
+        select date_trunc('month', o_orderdate) as m,
+               sum(floor(o_totalprice * 100.0 + 0.5)::bigint)::bigint as x
+        from orders group by 1
+    ),
+    stats as (select count(*)::bigint as n, sum(x)::bigint as s
+              from monthly),
+    dev as (
+        select m, n, (n * x - s)::hugeint as e
+        from monthly, stats
+    ),
+    lagged as (
+        select n, e, lag(e) over (order by m) as e_prev from dev
+    ),
+    agg as (
+        select max(n) as n_months,
+               sum(case when e_prev is not null
+                        then (e - e_prev) * (e - e_prev)
+                        else 0::hugeint end)::varchar::double as num,
+               sum(e * e)::varchar::double as den
+        from lagged
+    )
+    select n_months, num, den, num / nullif(den, 0.0) as dw from agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 6: ordinal association (Goodman-Kruskal gamma), repeated
+# binary outcomes (Cochran's Q), duplicate-ngram coverage (Lee et al.'s
+# substring-dedup readout), partial correlation, and edit-distance-verified
+# near-dup pairs (the Levenshtein rung on LSH-blocked candidates).
+# ---------------------------------------------------------------------------
+
+
+def q_gamma_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between discount level (11 ordinal values)
+    and quantity band (5 ordinal bands) — the ordinal-association
+    companion to q_cramers_v's nominal V (does a deeper discount MOVE
+    quantity, monotonically?). Concordant/discordant pair counts come
+    from the 55-cell contingency table squared against itself — both
+    sides of that join are domain-bounded aggregates (audit-registered
+    'd'/'qb'), so the pair space is 55x55 REGARDLESS of fact size; the
+    fact contributes one map-side-combined count pass. Cell products
+    overflow long at ~1e10 rows per cell, so conc/disc accumulate in
+    decimal(38,0) and publish as correctly-rounded doubles (oracle
+    routes its hugeints ::varchar::double); gamma is one guarded IEEE
+    division."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+        # l_quantity is DOUBLE in some testdata vintages — cast before div
+        F.expr("(cast(l_quantity as bigint) - 1) div 10").alias("qb"),
+    )
+    cells = li.groupBy("d", "qb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c1 = cells.select(
+        F.col("d").alias("d1"), F.col("qb").alias("qb1"),
+        F.col("n").alias("n1"),
+    )
+    c2 = cells.select(
+        F.col("d").alias("d2"), F.col("qb").alias("qb2"),
+        F.col("n").alias("n2"),
+    )
+    prod = (F.col("n1").cast("decimal(38,0)") * F.col("n2")).alias("p")
+    zero = F.lit(0).cast("decimal(38,0)")
+    cd = (
+        c1.crossJoin(F.broadcast(c2))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("d2") > F.col("d1")) & (F.col("qb2") > F.col("qb1")),
+                    F.col("n1").cast("decimal(38,0)") * F.col("n2"),
+                ).otherwise(zero)
+            ).alias("__conc"),
+            F.sum(
+                F.when(
+                    (F.col("d2") > F.col("d1")) & (F.col("qb2") < F.col("qb1")),
+                    F.col("n1").cast("decimal(38,0)") * F.col("n2"),
+                ).otherwise(zero)
+            ).alias("__disc"),
+        )
+    )
+    conc_d = F.col("__conc").cast("double")
+    disc_d = F.col("__disc").cast("double")
+    return cd.select(
+        conc_d.alias("conc"),
+        disc_d.alias("disc"),
+        (
+            (conc_d - disc_d) / F.nullif(conc_d + disc_d, F.lit(0.0))
+        ).alias("gamma"),
+    )
+
+
+QUERIES["q_gamma_concordance"] = q_gamma_concordance
+ORACLES["q_gamma_concordance"] = """
+    with cells as (
+        select floor(l_discount * 100 + 0.5)::bigint as d,
+               ((l_quantity::bigint - 1) // 10)::bigint as qb,
+               count(*)::bigint as n
+        from lineitem group by 1, 2
+    ),
+    cd as (
+        select sum(case when c2.d > c1.d and c2.qb > c1.qb
+                        then c1.n::hugeint * c2.n else 0::hugeint
+                   end)::varchar::double as conc,
+               sum(case when c2.d > c1.d and c2.qb < c1.qb
+                        then c1.n::hugeint * c2.n else 0::hugeint
+                   end)::varchar::double as disc
+        from cells c1, cells c2
+    )
+    select conc, disc,
+           (conc - disc) / nullif(conc + disc, 0.0) as gamma
+    from cd
+"""
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for repeated binary outcomes: did each part's
+    'had a return' flag stay homogeneous across 1995/1996/1997? The
+    k=3 generalization of q_mcnemar_test's 2x2 (blocks = parts with
+    lines in all three years — complete blocks only, per the test's
+    definition). Everything is exact integers from two grouped passes
+    over lineitem (per-(part,year) max flag, then per-part row sums
+    pivoted by conditional aggregation — part count scales with the
+    fact, both passes are map-side-combined equi-shuffles); Q itself is
+    one fixed IEEE sequence over the six published cells with a nullif
+    guard for the degenerate all-rows-equal board."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    flags = (
+        li.select(
+            "l_partkey",
+            F.year("l_shipdate").cast("long").alias("yr"),
+            (F.col("l_returnflag") == "R").cast("long").alias("r"),
+        )
+        .groupBy("l_partkey", "yr")
+        .agg(F.max("r").alias("x"))
+    )
+    blocks = (
+        flags.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            F.sum(F.when(F.col("yr") == 1995, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("x95"),
+            F.sum(F.when(F.col("yr") == 1996, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("x96"),
+            F.sum(F.when(F.col("yr") == 1997, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("x97"),
+        )
+        .filter(F.col("n_years") == 3)
+    )
+    row_sum = F.col("x95") + F.col("x96") + F.col("x97")
+    cells = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("x95").cast("long").alias("c1"),
+        F.sum("x96").cast("long").alias("c2"),
+        F.sum("x97").cast("long").alias("c3"),
+        F.sum(row_sum).cast("long").alias("sum_r"),
+        F.sum(row_sum * row_sum).cast("long").alias("sum_r2"),
+    )
+    c1d, c2d, c3d = (F.col(c).cast("double") for c in ("c1", "c2", "c3"))
+    srd = F.col("sum_r").cast("double")
+    sr2d = F.col("sum_r2").cast("double")
+    return cells.select(
+        "n_blocks", "c1", "c2", "c3", "sum_r", "sum_r2",
+        (
+            (
+                F.lit(2.0)
+                * (
+                    F.lit(3.0) * (c1d * c1d + c2d * c2d + c3d * c3d)
+                    - srd * srd
+                )
+            )
+            / F.nullif(F.lit(3.0) * srd - sr2d, F.lit(0.0))
+        ).alias("q_stat"),
+    )
+
+
+QUERIES["q_cochran_q"] = q_cochran_q
+ORACLES["q_cochran_q"] = """
+    with flags as (
+        select l_partkey, year(l_shipdate)::bigint as yr,
+               max(case when l_returnflag = 'R' then 1 else 0
+                   end)::bigint as x
+        from lineitem
+        where l_shipdate >= timestamp '1995-01-01'
+          and l_shipdate < timestamp '1998-01-01'
+        group by 1, 2
+    ),
+    blocks as (
+        select l_partkey,
+               sum(case when yr = 1995 then x else 0 end)::bigint as x95,
+               sum(case when yr = 1996 then x else 0 end)::bigint as x96,
+               sum(case when yr = 1997 then x else 0 end)::bigint as x97
+        from flags group by l_partkey having count(*) = 3
+    ),
+    cells as (
+        select count(*)::bigint as n_blocks,
+               sum(x95)::bigint as c1, sum(x96)::bigint as c2,
+               sum(x97)::bigint as c3,
+               sum(x95 + x96 + x97)::bigint as sum_r,
+               sum((x95 + x96 + x97) * (x95 + x96 + x97))::bigint as sum_r2
+        from blocks
+    )
+    select n_blocks, c1, c2, c3, sum_r, sum_r2,
+           (2.0 * (3.0 * (c1::double * c1::double + c2::double * c2::double
+                          + c3::double * c3::double)
+                   - sum_r::double * sum_r::double))
+           / nullif(3.0 * sum_r::double - sum_r2::double, 0.0) as q_stat
+    from cells
+"""
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-8-gram coverage per source — the Lee et al.
+    ('Deduplicating Training Data Makes Language Models Better')
+    substring-duplication readout: what fraction of each source's
+    distinct document 8-grams also appear in at least one OTHER
+    document. Exact-dedup (q_dedup_exact) misses these partial
+    overlaps; this measures the mass the n-gram rung would remove.
+    The exploded (doc, gram) relation feeds TWO consumers (gram doc
+    frequency; the per-source rollup), so it materializes once to a
+    parquet artifact (the materialized_signatures discipline — without
+    it Spark re-runs tokenize->shingle->explode per reference). Both
+    aggregates are map-side-combined equi-shuffles on high-cardinality
+    keys; coverage is an exact integer ppm (n_grams ~1e12 at 100 TB
+    keeps n*1e6 inside long)."""
+    from .functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(TX.shingles_of(F.col("__toks"), 8))
+        ).alias("gram"),
+    )
+    path = _tmp_path("dup_ngram_coverage_grams")
+    grams.write.mode("overwrite").parquet(path)
+    grams = spark.read.parquet(path)
+    gram_df = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("n_dup_grams * 1000000 div n_grams").alias(
+                "dup_coverage_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q_dup_ngram_coverage"] = q_dup_ngram_coverage
+ORACLES["q_dup_ngram_coverage"] = f"""
+    with t as (select doc_id, source, {_DK_TOKENS} as w from documents),
+    g as (select doc_id, source,
+                 unnest(list_distinct({_DK_SHINGLES8})) as gram
+          from t),
+    df as (select gram, count(distinct doc_id)::bigint as nd
+           from g group by gram)
+    select source,
+           count(distinct doc_id)::bigint as n_docs,
+           count(*)::bigint as n_grams,
+           sum(case when nd >= 2 then 1 else 0 end)::bigint as n_dup_grams,
+           sum(case when nd >= 2 then 1 else 0 end)::bigint * 1000000
+               // count(*)::bigint as dup_coverage_ppm
+    from g join df using (gram)
+    group by source
+    order by source
+"""
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial Pearson correlation of price and quantity CONTROLLING
+    for discount — is the raw price-quantity correlation
+    (q_price_quantity_corr_by_brand) just the discount lever moving
+    both? One scan accumulates all ten moments as exact integers
+    (price cents and discount cents half-up-rounded once; squared-sum
+    magnitudes ~6e25 at 100 TB ride decimal(38,0), and the n·Σxx
+    cross-terms ~3.6e37 are computed AFTER the correctly-rounded
+    double conversion — the oracle routes its hugeints
+    ::varchar::double per the wide-cast rule); the three pairwise r's
+    and the partial r are each one fixed IEEE sequence with nullif
+    guards on degenerate spreads."""
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    dpct = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    qty = F.col("l_quantity").cast("long")
+    li = _t(spark, sf_dir, "lineitem").select(
+        cents.alias("x"), qty.alias("y"), dpct.alias("z")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("__sx"),
+        F.sum(dec(F.col("y"))).alias("__sy"),
+        F.sum(dec(F.col("z"))).alias("__sz"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("__sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("__syy"),
+        F.sum(dec(F.col("z")) * F.col("z")).alias("__szz"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("__sxy"),
+        F.sum(dec(F.col("x")) * F.col("z")).alias("__sxz"),
+        F.sum(dec(F.col("y")) * F.col("z")).alias("__syz"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy, sz = (F.col(f"__s{c}").cast("double") for c in "xyz")
+    sxx, syy, szz = (
+        F.col(f"__s{c}{c}").cast("double") for c in "xyz"
+    )
+    sxy = F.col("__sxy").cast("double")
+    sxz = F.col("__sxz").cast("double")
+    syz = F.col("__syz").cast("double")
+    rxy = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+    )
+    rxz = (n * sxz - sx * sz) / F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * szz - sz * sz), F.lit(0.0)
+    )
+    ryz = (n * syz - sy * sz) / F.nullif(
+        F.sqrt(n * syy - sy * sy) * F.sqrt(n * szz - sz * sz), F.lit(0.0)
+    )
+    withr = m.select(
+        "n", rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz")
+    )
+    return withr.select(
+        "n",
+        "rxy",
+        "rxz",
+        "ryz",
+        (
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.nullif(
+                F.sqrt(F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+                * F.sqrt(F.lit(1.0) - F.col("ryz") * F.col("ryz")),
+                F.lit(0.0),
+            )
+        ).alias("partial_rxy_z"),
+    )
+
+
+QUERIES["q_partial_corr"] = q_partial_corr
+ORACLES["q_partial_corr"] = """
+    with m as (
+        select count(*)::bigint as n,
+            sum(floor(l_extendedprice*100+0.5)::bigint)
+                ::varchar::double as sx,
+            sum(l_quantity)::varchar::double as sy,
+            sum(floor(l_discount*100+0.5)::bigint)::varchar::double as sz,
+            sum(floor(l_extendedprice*100+0.5)::bigint::hugeint
+                * floor(l_extendedprice*100+0.5)::bigint)
+                ::varchar::double as sxx,
+            sum(l_quantity::hugeint * l_quantity)::varchar::double as syy,
+            sum(floor(l_discount*100+0.5)::bigint::hugeint
+                * floor(l_discount*100+0.5)::bigint)
+                ::varchar::double as szz,
+            sum(floor(l_extendedprice*100+0.5)::bigint::hugeint
+                * l_quantity)::varchar::double as sxy,
+            sum(floor(l_extendedprice*100+0.5)::bigint::hugeint
+                * floor(l_discount*100+0.5)::bigint)
+                ::varchar::double as sxz,
+            sum(l_quantity::hugeint
+                * floor(l_discount*100+0.5)::bigint)
+                ::varchar::double as syz
+        from lineitem
+    ),
+    r as (
+        select n,
+            (n*sxy - sx*sy) / nullif(sqrt(n*sxx - sx*sx)
+                * sqrt(n*syy - sy*sy), 0.0) as rxy,
+            (n*sxz - sx*sz) / nullif(sqrt(n*sxx - sx*sx)
+                * sqrt(n*szz - sz*sz), 0.0) as rxz,
+            (n*syz - sy*sz) / nullif(sqrt(n*syy - sy*sy)
+                * sqrt(n*szz - sz*sz), 0.0) as ryz
+        from m
+    )
+    select n, rxy, rxz, ryz,
+        (rxy - rxz*ryz) / nullif(sqrt(1.0 - rxz*rxz)
+            * sqrt(1.0 - ryz*ryz), 0.0) as partial_rxy_z
+    from r
+"""
+
+
+def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: LSH-blocked
+    candidates confirmed by Levenshtein distance ≤ 20% of the longer
+    normalized text — the character-level rung that catches small-edit
+    duplicates token-Jaccard underweights (a one-character typo flips
+    three word-shingles). Candidates come from the standard banding
+    machinery (signatures materialized once); a completeness-preserving
+    LENGTH prune ``5·|la−lb| ≤ max(la,lb)`` runs BEFORE the O(la·lb)
+    Levenshtein (edit distance ≥ length difference, so nothing true is
+    dropped — the PPJoin length-filter argument), keeping the quadratic
+    kernel off obviously-unequal pairs. All comparisons are exact
+    integers; both engines implement textbook Levenshtein."""
+    from .operators.dedup import lsh_candidate_pairs, materialized_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = materialized_signatures(
+        docs, "doc_id", "text", path=_tmp_path("edit_dedup_sigs")
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.lower(F.col("text"))), r"\s+", " "
+        ).alias("nt"),
+    )
+    na = norm.select(
+        F.col("doc_id").alias("a"), F.col("nt").alias("nta")
+    )
+    nb = norm.select(
+        F.col("doc_id").alias("b"), F.col("nt").alias("ntb")
+    )
+    la = F.length("nta").cast("long")
+    lb = F.length("ntb").cast("long")
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.lit(5) * F.abs(la - lb) <= F.greatest(la, lb)
+        )
+        .select(
+            "a",
+            "b",
+            la.alias("la"),
+            lb.alias("lb"),
+            F.levenshtein("nta", "ntb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.lit(5) * F.col("edit_dist") <= F.greatest(
+            F.col("la"), F.col("lb")
+        ))
+        .orderBy("a", "b")
+    )
+
+
+QUERIES["q_edit_distance_dedup"] = q_edit_distance_dedup
+ORACLES["q_edit_distance_dedup"] = f"""
+    with {_DK_LSH_PAIR_CTES},
+    norm as (
+        select doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as nt
+        from documents
+    ),
+    verified as (
+        select a, b, len(na.nt)::bigint as la, len(nb.nt)::bigint as lb,
+               levenshtein(na.nt, nb.nt)::bigint as edit_dist
+        from cand
+        join norm na on na.doc_id = a
+        join norm nb on nb.doc_id = b
+        where 5 * abs(len(na.nt) - len(nb.nt))
+              <= greatest(len(na.nt), len(nb.nt))
+    )
+    select a, b, la, lb, edit_dist from verified
+    where 5 * edit_dist <= greatest(la, lb)
+    order by a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROUND-11 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-10 WINDOW reorder — _R10_WINDOW above stays for provenance but no
@@ -20472,22 +21723,22 @@ ORACLES["q_gini_split_quality"] = """
 # test_driver_window_composition; the ledger reports 0 never-attested
 # pre-round-11 queries, so the head is this round's additions — computed
 # via tools/attestation.py --unattested, never hand-curated):
-#   slots 1-15: the 15 round-11 additions (batches 1-3, all
+#   slots 1-30: the 30 round-11 additions (batches 1-6, all
 #     oracle-twinned, verified at sf0.001 + sf0.01 + sf0.1 this session);
-#   slots 16-26: re-attestation of every ORACLE-TWINNED query whose plan
+#   slots 31-41: re-attestation of every ORACLE-TWINNED query whose plan
 #     or expression changed this round (PPJoin+ prunes in
 #     prefix_filter_pairs; banded_id_pairs floor-division buckets; the
 #     query-batch guards in the similarity APIs; the nullif divisor
 #     guards) — the rows-only q_pq_topk/q_ivfpq_topk guard changes are
 #     pinned by pytest canaries instead, keeping the window fully
 #     oracle-twinned;
-#   slots 27-50: the 24 oldest driver attestations (round-1 greens with
+#   slots 42-50: the 9 oldest driver attestations (round-1 greens with
 #     oracle twins — the two rows-only round-1 entries are skipped) —
 #     freshness rotation for the long tail.
 # ---------------------------------------------------------------------------
 
 _R11_WINDOW = [
-    # -- 1-15: round-11 additions (attestation head: never driver-run) --
+    # -- 1-30: round-11 additions (attestation head: never driver-run) --
     "q_cramers_v",
     "q_mann_kendall",
     "q_bowley_skew",
@@ -20503,7 +21754,22 @@ _R11_WINDOW = [
     "q_chars_per_token_by_source",
     "q_quantile_normalization",
     "q_gini_split_quality",
-    # -- 16-26: round-11 plan/expression-change re-attestations ----------
+    "q_custdist",
+    "q_small_qty_revenue",
+    "q_large_volume_customers",
+    "q_disjunctive_revenue",
+    "q_idle_high_balance",
+    "q_waiting_suppliers",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_odds_ratio",
+    "q_durbin_watson",
+    "q_gamma_concordance",
+    "q_cochran_q",
+    "q_dup_ngram_coverage",
+    "q_partial_corr",
+    "q_edit_distance_dedup",
+    # -- 31-41: round-11 plan/expression-change re-attestations ----------
     "q_prefix_filter_join",
     "q_ngram_jaccard",
     "q_dedup_yield_curve",
@@ -20515,7 +21781,7 @@ _R11_WINDOW = [
     "q_hard_negatives",
     "q_mcnemar_test",
     "q_levene_quantity",
-    # -- 27-50: oldest driver attestations (round-1 greens) --------------
+    # -- 42-50: oldest driver attestations (round-1 greens) --------------
     "q_date_parts",
     "q_distinct",
     "q_empty_relation",
@@ -20525,21 +21791,6 @@ _R11_WINDOW = [
     "q_filter_isnull",
     "q_full_outer_join",
     "q_groupby_agg",
-    "q_grouping_sets",
-    "q_histogram",
-    "q_in_subquery",
-    "q_intersect",
-    "q_join_project_disambiguate",
-    "q_left_anti",
-    "q_left_semi",
-    "q_max_global",
-    "q_null_safe_join",
-    "q_orderby_limit",
-    "q_pivot",
-    "q_project",
-    "q_rollup",
-    "q_scan_parquet",
-    "q_split_getitem",
 ]
 
 # ROUND-11 WINDOW reorder (must be the last statement touching QUERIES —

@@ -69,12 +69,12 @@ def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries of queries(). Pin the round-11 window —
     the ledger reports zero never-attested pre-round-11 queries, so
-    slots 1-15 are the 15 round-11 additions (the attestation head
-    computed by tools/attestation.py --unattested), slots 16-26
+    slots 1-30 are the 30 round-11 additions (the attestation head
+    computed by tools/attestation.py --unattested), slots 31-41
     re-enter every ORACLE-TWINNED query whose plan or expression changed
     this round (PPJoin+ prunes, banded_id_pairs floor-division buckets,
     similarity query-batch guards, nullif divisor guards), and slots
-    27-50 freshness-rotate the 24 oldest (round-1) oracle-twinned
+    42-50 freshness-rotate the 9 oldest (round-1) oracle-twinned
     attestations — so an accidental reorder can't silently starve the
     gate (that is precisely what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
@@ -88,25 +88,27 @@ def test_driver_window_composition():
         "q_length_quality_grid", "q_kendall_w", "q_minmax_scale_ppm",
         "q_cohens_d", "q_wilson_ci", "q_chars_per_token_by_source",
         "q_quantile_normalization", "q_gini_split_quality",
+        "q_custdist", "q_small_qty_revenue", "q_large_volume_customers",
+        "q_disjunctive_revenue", "q_idle_high_balance",
+        "q_waiting_suppliers", "q_volume_shipping", "q_market_share",
+        "q_odds_ratio", "q_durbin_watson",
+        "q_gamma_concordance", "q_cochran_q", "q_dup_ngram_coverage",
+        "q_partial_corr", "q_edit_distance_dedup",
     ]
-    assert window[:15] == round11_additions
+    assert window[:30] == round11_additions
     plan_change_reattest = [
         "q_prefix_filter_join", "q_ngram_jaccard", "q_dedup_yield_curve",
         "q_tfidf_cosine_pairs", "q_candidate_jaccard_hist",
         "q_cosine_topk", "q_mips_topk", "q_knn_label_vote",
         "q_hard_negatives", "q_mcnemar_test", "q_levene_quantity",
     ]
-    assert window[15:26] == plan_change_reattest
+    assert window[30:41] == plan_change_reattest
     oldest_rotation = [
         "q_date_parts", "q_distinct", "q_empty_relation", "q_except",
         "q_exists_subquery", "q_filter_isnotnull", "q_filter_isnull",
-        "q_full_outer_join", "q_groupby_agg", "q_grouping_sets",
-        "q_histogram", "q_in_subquery", "q_intersect",
-        "q_join_project_disambiguate", "q_left_anti", "q_left_semi",
-        "q_max_global", "q_null_safe_join", "q_orderby_limit", "q_pivot",
-        "q_project", "q_rollup", "q_scan_parquet", "q_split_getitem",
+        "q_full_outer_join", "q_groupby_agg",
     ]
-    assert window[26:50] == oldest_rotation
+    assert window[41:50] == oldest_rotation
     # the r9 window head follows the r11 one (the r10 reorder statement
     # was superseded; the module-order baseline under the r11 reorder is
     # the r9 ordering) — every entry there is driver-green and stays
