@@ -318,3 +318,46 @@ def test_levene_null_on_zero_spread(spark, tmp_path):
         catalog.ORACLES["q_levene_quantity"], {"lineitem": path}
     )
     assert want["bf_f"].isna().all()
+
+
+def test_bm25_matches_python(spark, sf_dir):
+    """q_bm25_topk is rows-only (the idf's ln() is libm-specific in its
+    last ulp, so no cross-engine hash) — pin it against a pure-Python
+    reference instead: identical tokenizer (regex whitespace split with
+    boundary empties kept, matching Spark's split limit=-1), identical
+    k1=1.2 / b=0.75 constants, exact ranking, scores at 1e-9."""
+    import math
+    import re
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark import (
+        catalog,
+    )
+
+    got = catalog.q_bm25_topk(spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r.doc_id: re.split(r"\s+", r.text.lower()) for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = ["data", "model", "training"]
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    scores = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * 2.2) / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * len(tk) / avgdl)
+            )
+        if s > 0.0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r.bm25 - s) < 1e-9
