@@ -21996,6 +21996,251 @@ QUERIES["q_bm25_topk"] = q_bm25_topk
 
 
 # ---------------------------------------------------------------------------
+# round-11 batch 8: SQL-surface completions — LATERAL correlated top-k,
+# gaps-and-islands streaks, first/nth/last_value frames, systematic
+# (every-k-th) sampling on the two-phase global rank, and the bitwise
+# aggregate surface.
+# ---------------------------------------------------------------------------
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 suppliers by account balance
+    PER NATION via a correlated ORDER BY ... LIMIT in the FROM clause —
+    the SQL-standard spelling of top-k-per-group (q_topk_per_group's
+    window formulation is the plan both engines decorrelate it to;
+    Spark rewrites the lateral limit into a per-group rank, so no
+    per-nation re-scan happens). Exercises Spark 4's lateral-join
+    resolution end-to-end over file-path relations; tie-break on
+    s_name keeps the limit deterministic cross-engine."""
+    nation_path = os.path.join(sf_dir, "nation.parquet")
+    supplier_path = os.path.join(sf_dir, "supplier.parquet")
+    return spark.sql(f"""
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM parquet.`{nation_path}` n,
+        LATERAL (SELECT s_name, s_acctbal
+                 FROM parquet.`{supplier_path}`
+                 WHERE s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        ORDER BY n.n_name, s.s_acctbal DESC, s.s_name
+    """)
+
+
+QUERIES["q_lateral_topk"] = q_lateral_topk
+ORACLES["q_lateral_topk"] = """
+    select n.n_name, s.s_name, s.s_acctbal
+    from nation n,
+    lateral (select s_name, s_acctbal from supplier
+             where s_nationkey = n.n_nationkey
+             order by s_acctbal desc, s_name limit 2) s
+    order by n.n_name, s.s_acctbal desc, s.s_name
+"""
+
+
+def q_month_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's LONGEST run of consecutive
+    ordering months, rolled into a streak-length histogram — the
+    classic islands pattern (month_index − row_number is constant
+    within a run) that sessionize's time-gap rule can't express on a
+    calendar grid. The per-customer window partitions on the
+    fact-scaling key (every reducer gets whole small groups — ~80
+    months max per customer bounds the partition payload); the final
+    histogram key is run length, bounded by the date span."""
+    om = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mi"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    grp = om.select(
+        "o_custkey", "mi",
+        (F.col("mi") - F.row_number().over(w)).alias("g"),
+    )
+    runs = grp.groupBy("o_custkey", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    mx = runs.groupBy("o_custkey").agg(
+        F.max("run_len").cast("long").alias("max_streak")
+    )
+    return (
+        mx.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("max_streak")
+    )
+
+
+QUERIES["q_month_streaks"] = q_month_streaks
+ORACLES["q_month_streaks"] = """
+    with om as (
+        select distinct o_custkey,
+               (year(o_orderdate) * 12 + month(o_orderdate))::bigint as mi
+        from orders
+    ),
+    grp as (
+        select o_custkey, mi,
+               mi - row_number() over (partition by o_custkey
+                                       order by mi) as g
+        from om
+    ),
+    runs as (
+        select o_custkey, count(*)::bigint as run_len
+        from grp group by o_custkey, g
+    ),
+    mx as (
+        select o_custkey, max(run_len)::bigint as max_streak
+        from runs group by o_custkey
+    )
+    select max_streak, count(*)::bigint as n_customers
+    from mx group by max_streak order by max_streak
+"""
+
+
+def q_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value frame surface: each order
+    next to its customer's FIRST, SECOND, and LAST order values — the
+    onboarding-trajectory readout (did the second purchase grow from
+    the first; where did the customer end up). first/second ride the
+    default running frame; last_value needs the explicit
+    unbounded-following frame (the default frame silently returns the
+    CURRENT row — the classic window-frame footgun, pinned here
+    cross-engine). Values are exact half-up cents; the window
+    partitions on the fact-scaling customer key."""
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents")
+    )
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value(F.col("cents")).over(run).alias("first_cents"),
+        F.nth_value(F.col("cents"), 2).over(run).alias("second_cents"),
+        F.last_value(F.col("cents")).over(full).alias("last_cents"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+QUERIES["q_nth_value_window"] = q_nth_value_window
+ORACLES["q_nth_value_window"] = """
+    select o_custkey, o_orderkey,
+           first_value(floor(o_totalprice * 100 + 0.5)::bigint)
+               over w as first_cents,
+           nth_value(floor(o_totalprice * 100 + 0.5)::bigint, 2)
+               over w as second_cents,
+           last_value(floor(o_totalprice * 100 + 0.5)::bigint) over (
+               partition by o_custkey order by o_orderdate, o_orderkey
+               rows between unbounded preceding and unbounded following
+           ) as last_cents
+    from orders
+    window w as (partition by o_custkey order by o_orderdate, o_orderkey
+                 rows between unbounded preceding and current row)
+    order by o_custkey, o_orderkey
+"""
+
+
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-k-th) sampling under a total order: rank all
+    orders by exact value cents (two-phase global row number — range
+    partitioner + partition-count-sized offset carry, NEVER a
+    single-reducer sort) and keep rank ≡ 50 (mod 100) — the
+    equal-probability-stratified-by-value sample that value-ordered
+    QA reads demand (reservoir/hash samples lose the value
+    stratification). Fully deterministic under the (cents, o_orderkey)
+    total order, so the sample is reproducible across engines, runs,
+    and partition layouts."""
+    from .operators.relational import with_global_row_number
+
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    ranked = with_global_row_number(o, ["cents", "o_orderkey"], rn_col="rn")
+    return (
+        ranked.filter(F.col("rn") % 100 == 50)
+        .select("o_orderkey", "cents", F.col("rn").cast("long").alias("rn"))
+        .orderBy("rn")
+    )
+
+
+QUERIES["q_systematic_sample"] = q_systematic_sample
+ORACLES["q_systematic_sample"] = """
+    with r as (
+        select o_orderkey,
+               floor(o_totalprice * 100 + 0.5)::bigint as cents,
+               row_number() over (
+                   order by floor(o_totalprice * 100 + 0.5)::bigint,
+                            o_orderkey) as rn
+        from orders
+    )
+    select o_orderkey, cents, rn::bigint as rn
+    from r where rn % 100 = 50 order by rn
+"""
+
+
+def q_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface: fold each customer's order priorities
+    into a 5-bit mask with BIT_OR(1 << priority), read it back with
+    bit_count — the compact set-membership encoding used for bitmap
+    rollups (one long instead of a collect_set; at 100 TB a bitmask
+    merges map-side in constant space where array sets do not), plus
+    the mask-histogram readout over the bounded 31-value mask domain."""
+    # pyspark's shiftleft() only takes a literal shift amount — the SQL
+    # form takes a column expression
+    prio_bit = F.expr(
+        "shiftleft(1, cast(substring(o_orderpriority, 1, 1) as int) - 1)"
+    )
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", prio_bit.alias("pb"))
+        .groupBy("o_custkey")
+        .agg(F.expr("bit_or(pb)").cast("long").alias("prio_mask"))
+        .select(
+            "o_custkey",
+            "prio_mask",
+            F.bit_count("prio_mask").cast("long").alias("n_prios"),
+        )
+    )
+    return (
+        per_cust.groupBy("prio_mask", "n_prios")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("prio_mask")
+    )
+
+
+QUERIES["q_bitmask_rollup"] = q_bitmask_rollup
+ORACLES["q_bitmask_rollup"] = """
+    with per_cust as (
+        select o_custkey,
+               bit_or(1 << (o_orderpriority[1]::int - 1))::bigint
+                   as prio_mask
+        from orders group by o_custkey
+    )
+    select prio_mask,
+           bit_count(prio_mask)::bigint as n_prios,
+           count(*)::bigint as n_customers
+    from per_cust
+    group by prio_mask
+    order by prio_mask
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROUND-11 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-10 WINDOW reorder — _R10_WINDOW above stays for provenance but no
@@ -22003,23 +22248,22 @@ QUERIES["q_bm25_topk"] = q_bm25_topk
 # test_driver_window_composition; the ledger reports 0 never-attested
 # pre-round-11 queries, so the head is this round's additions — computed
 # via tools/attestation.py --unattested, never hand-curated):
-#   slots 1-34: the 34 oracle-twinned round-11 additions (batches 1-7,
+#   slots 1-39: the 39 oracle-twinned round-11 additions (batches 1-8,
 #     verified at sf0.001 + sf0.01 + sf0.1 this session; the rows-only
 #     q_bm25_topk is pinned in tests/test_round11.py instead);
-#   slots 35-45: re-attestation of every ORACLE-TWINNED query whose plan
+#   slots 40-50: re-attestation of every ORACLE-TWINNED query whose plan
 #     or expression changed this round (PPJoin+ prunes in
 #     prefix_filter_pairs; banded_id_pairs floor-division buckets; the
 #     query-batch guards in the similarity APIs; the nullif divisor
 #     guards) — the rows-only q_pq_topk/q_ivfpq_topk guard changes are
 #     pinned by pytest canaries instead, keeping the window fully
-#     oracle-twinned;
-#   slots 46-50: the 5 oldest driver attestations (round-1 greens with
-#     oracle twins — the two rows-only round-1 entries are skipped) —
-#     freshness rotation for the long tail.
+#     oracle-twinned. The additions head fills the window exactly this
+#     round, so the oldest-attestation freshness rotation pauses (every
+#     catalog query remains cumulatively attested per the ledger).
 # ---------------------------------------------------------------------------
 
 _R11_WINDOW = [
-    # -- 1-34: round-11 additions (attestation head: never driver-run) --
+    # -- 1-39: round-11 additions (attestation head: never driver-run) --
     "q_cramers_v",
     "q_mann_kendall",
     "q_bowley_skew",
@@ -22054,7 +22298,12 @@ _R11_WINDOW = [
     "q_cross_lang_neardup",
     "q_doc_prefix_dup",
     "q_map_funcs",
-    # -- 35-45: round-11 plan/expression-change re-attestations ----------
+    "q_lateral_topk",
+    "q_month_streaks",
+    "q_nth_value_window",
+    "q_systematic_sample",
+    "q_bitmask_rollup",
+    # -- 40-50: round-11 plan/expression-change re-attestations ----------
     "q_prefix_filter_join",
     "q_ngram_jaccard",
     "q_dedup_yield_curve",
@@ -22066,12 +22315,6 @@ _R11_WINDOW = [
     "q_hard_negatives",
     "q_mcnemar_test",
     "q_levene_quantity",
-    # -- 46-50: oldest driver attestations (round-1 greens) --------------
-    "q_date_parts",
-    "q_distinct",
-    "q_empty_relation",
-    "q_except",
-    "q_exists_subquery",
 ]
 
 # ROUND-11 WINDOW reorder (must be the last statement touching QUERIES —

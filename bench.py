@@ -273,6 +273,42 @@ HEADLINE = [
     "q_token_length_percentiles",
     "q_supplier_dependency_bands",
     "q_brands_per_order_dist",
+    # round-11 additions (appended; earlier entries comparable)
+    "q_cramers_v",
+    "q_mann_kendall",
+    "q_bowley_skew",
+    "q_grouped_mode",
+    "q_order_count_dispersion",
+    "q_proportion_ztest",
+    "q_split_neardup_leaks",
+    "q_length_quality_grid",
+    "q_kendall_w",
+    "q_minmax_scale_ppm",
+    "q_cohens_d",
+    "q_wilson_ci",
+    "q_chars_per_token_by_source",
+    "q_quantile_normalization",
+    "q_gini_split_quality",
+    "q_custdist",
+    "q_small_qty_revenue",
+    "q_large_volume_customers",
+    "q_disjunctive_revenue",
+    "q_idle_high_balance",
+    "q_waiting_suppliers",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_odds_ratio",
+    "q_durbin_watson",
+    "q_gamma_concordance",
+    "q_cochran_q",
+    "q_dup_ngram_coverage",
+    "q_partial_corr",
+    "q_edit_distance_dedup",
+    "q_mutual_knn_pairs",
+    "q_cross_lang_neardup",
+    "q_doc_prefix_dup",
+    "q_map_funcs",
+    "q_bm25_topk",
 ]
 
 

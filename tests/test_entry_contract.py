@@ -72,15 +72,16 @@ def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
     checks the FIRST 50 entries of queries(). Pin the round-11 window —
     the ledger reports zero never-attested pre-round-11 queries, so
-    slots 1-34 are the 34 oracle-twinned round-11 additions (the
+    slots 1-39 are the 39 oracle-twinned round-11 additions (the
     attestation head computed by tools/attestation.py --unattested; the
-    rows-only q_bm25_topk is pinned in tests/test_round11.py), slots
-    35-45 re-enter every ORACLE-TWINNED query whose plan or expression
-    changed this round (PPJoin+ prunes, banded_id_pairs floor-division
-    buckets, similarity query-batch guards, nullif divisor guards), and
-    slots 46-50 freshness-rotate the 5 oldest (round-1) oracle-twinned
-    attestations — so an accidental reorder can't silently starve the
-    gate (that is precisely what happened in round 1)."""
+    rows-only q_bm25_topk is pinned in tests/test_round11.py), and
+    slots 40-50 re-enter every ORACLE-TWINNED query whose plan or
+    expression changed this round (PPJoin+ prunes, banded_id_pairs
+    floor-division buckets, similarity query-batch guards, nullif
+    divisor guards). The additions head fills the window exactly this
+    round, so the oldest-attestation freshness rotation pauses — the
+    pin still guards against an accidental reorder silently starving
+    the gate (that is precisely what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
     # the round-11 window is fully oracle-twinned — zero rows-only slots
@@ -100,20 +101,17 @@ def test_driver_window_composition():
         "q_partial_corr", "q_edit_distance_dedup",
         "q_mutual_knn_pairs", "q_cross_lang_neardup", "q_doc_prefix_dup",
         "q_map_funcs",
+        "q_lateral_topk", "q_month_streaks", "q_nth_value_window",
+        "q_systematic_sample", "q_bitmask_rollup",
     ]
-    assert window[:34] == round11_additions
+    assert window[:39] == round11_additions
     plan_change_reattest = [
         "q_prefix_filter_join", "q_ngram_jaccard", "q_dedup_yield_curve",
         "q_tfidf_cosine_pairs", "q_candidate_jaccard_hist",
         "q_cosine_topk", "q_mips_topk", "q_knn_label_vote",
         "q_hard_negatives", "q_mcnemar_test", "q_levene_quantity",
     ]
-    assert window[34:45] == plan_change_reattest
-    oldest_rotation = [
-        "q_date_parts", "q_distinct", "q_empty_relation", "q_except",
-        "q_exists_subquery",
-    ]
-    assert window[45:50] == oldest_rotation
+    assert window[39:50] == plan_change_reattest
     # the r9 window head follows the r11 one (the r10 reorder statement
     # was superseded; the module-order baseline under the r11 reorder is
     # the r9 ordering) — every entry there is driver-green and stays
