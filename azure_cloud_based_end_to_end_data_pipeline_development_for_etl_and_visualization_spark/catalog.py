@@ -22241,6 +22241,382 @@ ORACLES["q_bitmask_rollup"] = """
 
 
 # ---------------------------------------------------------------------------
+# round-11 batch 9: incremental near-dup ingest, multiset set-ops,
+# robust (median/IQR) scaling, rank-dependence grid, and the
+# deterministic proportional mixture interleave.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: an INCOMING batch (deterministic
+    1/3 id-hash split) checked against the EXISTING corpus only —
+    the production shape of snapshot dedup, where base×base pairs were
+    settled in a previous run and the new batch must never trigger
+    them again. The banding join is ASYMMETRIC (incoming bands probe
+    base bands; at 100 TB the base side's signatures are the persisted
+    artifact and only the incoming slice is re-hashed), then the
+    standard Jaccard verify at 0.5. Signatures for the full corpus
+    materialize once; the split is the reproducible id-hash (never
+    rand())."""
+    from .functions import text as TX
+    from .operators.dedup import jaccard_pairs, materialized_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = materialized_signatures(
+        docs, "doc_id", "text", path=_tmp_path("inc_dedup_sigs")
+    )
+    is_inc = TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
+    r = 2  # 8 minhashes -> 4 bands of 2
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.array(F.col(f"mh{b * r}"), F.col(f"mh{b * r + 1}")).alias(
+                "bucket"
+            ),
+        )
+        for b in range(4)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.bucket", is_inc.alias("is_inc"))
+    inc = buckets.filter(F.col("is_inc")).select(
+        F.col("doc_id").alias("a"), "band_id", "bucket"
+    )
+    base = buckets.filter(~F.col("is_inc")).select(
+        F.col("doc_id").alias("b"),
+        F.col("band_id").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        inc.join(
+            base,
+            (F.col("band_id") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        jaccard_pairs(docs, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    )
+
+
+QUERIES["q_dedup_incremental"] = q_dedup_incremental
+ORACLES["q_dedup_incremental"] = f"""
+    with sig as ({_DK_MINHASH_SQL}),
+    split as (
+        select doc_id,
+               ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 3 = 0
+                   as is_inc
+        from documents
+    ),
+    bands as (
+        select doc_id, 0 as band_id, mh0 as v0, mh1 as v1 from sig
+        union all select doc_id, 1, mh2, mh3 from sig
+        union all select doc_id, 2, mh4, mh5 from sig
+        union all select doc_id, 3, mh6, mh7 from sig
+    ),
+    cand as (
+        select distinct i.doc_id as a, b.doc_id as b
+        from bands i
+        join split si on si.doc_id = i.doc_id and si.is_inc
+        join bands b on b.band_id = i.band_id
+                    and b.v0 = i.v0 and b.v1 = i.v1
+        join split sb on sb.doc_id = b.doc_id and not sb.is_inc
+    ),
+    sh as (
+        select doc_id, list_distinct({_DK_SHINGLES}) as sh
+        from (select doc_id, {_DK_TOKENS} as w from documents)
+    )
+    select a, b,
+           len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+               / len(list_distinct(sa.sh || sb.sh)) as jaccard
+    from cand
+    join sh sa on sa.doc_id = a
+    join sh sb on sb.doc_id = b
+    where len(list_distinct(list_intersect(sa.sh, sb.sh)))::double
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+    order by a, b
+"""
+
+
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET set-op semantics
+    (q_intersect/q_except cover the DISTINCT forms; ALL preserves
+    per-row multiplicity: min(m,n) copies for intersect, m−n copies
+    for except). Spark plans both as aggregate-count + generate
+    (replicate) — no distinct collapse — over the same shuffle key as
+    the distinct forms. Nation keys from two customer segments give
+    genuinely repeated rows, so the multiplicity semantics are load-
+    bearing in the hash, not incidental."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_nationkey"
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey"
+    )
+    return (
+        a.intersectAll(b)
+        .select(F.lit("intersect_all").alias("op"), "c_nationkey")
+        .unionAll(
+            a.exceptAll(b).select(
+                F.lit("except_all").alias("op"), "c_nationkey"
+            )
+        )
+        .orderBy("op", "c_nationkey")
+    )
+
+
+QUERIES["q_multiset_ops"] = q_multiset_ops
+ORACLES["q_multiset_ops"] = """
+    with a as (select c_nationkey from customer
+               where c_mktsegment = 'AUTOMOBILE'),
+    b as (select c_nationkey from customer
+          where c_mktsegment = 'BUILDING')
+    select 'intersect_all' as op, c_nationkey from
+        (select c_nationkey from a intersect all
+         select c_nationkey from b)
+    union all
+    select 'except_all', c_nationkey from
+        (select c_nationkey from a except all
+         select c_nationkey from b)
+    order by op, c_nationkey
+"""
+
+
+def q_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) scaling summary per customer cohort — the
+    outlier-insensitive normalization (q_minmax_scale_ppm's min/max
+    collapses under one extreme value; median/IQR does not). Quartiles
+    are RANK-SELECTED exact integers via the grouped two-phase row
+    number; the readout publishes each cohort's quartiles plus the
+    span of the scaled range as exact NON-NEGATIVE ppm ratios
+    ((med−min)/IQR and (max−med)/IQR — kept one-signed because Spark's
+    div truncates toward zero while DuckDB's // floors, and they
+    disagree exactly on negative quotients), nullif-guarded for
+    zero-IQR cohorts."""
+    from .operators.relational import with_grouped_row_number
+
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 25).cast("long").alias("cohort"),
+        cents.alias("c"),
+        "o_orderkey",
+    )
+    ranked = with_grouped_row_number(
+        o, ["cohort"], ["c", "o_orderkey"], rn_col="rn", n_col="n"
+    )
+    q = ranked.groupBy("cohort").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("c"))
+        ).cast("long").alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c"))
+        ).cast("long").alias("med"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 1) div 4"), F.col("c"))
+        ).cast("long").alias("q3"),
+        F.min("c").cast("long").alias("c_min"),
+        F.max("c").cast("long").alias("c_max"),
+    )
+    return q.select(
+        "cohort",
+        "q1",
+        "med",
+        "q3",
+        F.expr(
+            "(med - c_min) * 1000000 div nullif(q3 - q1, 0)"
+        ).alias("lo_range_ppm"),
+        F.expr(
+            "(c_max - med) * 1000000 div nullif(q3 - q1, 0)"
+        ).alias("hi_range_ppm"),
+    ).orderBy("cohort")
+
+
+QUERIES["q_robust_scaler"] = q_robust_scaler
+ORACLES["q_robust_scaler"] = """
+    with cents as (
+        select (o_custkey % 25)::bigint as cohort,
+               floor(o_totalprice * 100 + 0.5)::bigint as c,
+               o_orderkey
+        from orders
+    ),
+    rk as (
+        select cohort, c,
+               row_number() over (partition by cohort
+                                  order by c, o_orderkey) as rn,
+               count(*) over (partition by cohort) as n
+        from cents
+    ),
+    q as (
+        select cohort,
+               max(case when rn = (n + 3) // 4 then c end)::bigint as q1,
+               max(case when rn = (n + 1) // 2 then c end)::bigint as med,
+               max(case when rn = (3 * n + 1) // 4 then c end)::bigint
+                   as q3,
+               min(c)::bigint as c_min,
+               max(c)::bigint as c_max
+        from rk group by cohort
+    )
+    select cohort, q1, med, q3,
+           (med - c_min) * 1000000 // nullif(q3 - q1, 0) as lo_range_ppm,
+           (c_max - med) * 1000000 // nullif(q3 - q1, 0) as hi_range_ppm
+    from q order by cohort
+"""
+
+
+def q_rank_dependence_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-dependence (empirical copula) grid: joint decile counts of
+    price rank × quantity rank — the dependence-STRUCTURE readout a
+    single correlation number flattens (tail dependence, non-monotone
+    association both show up as non-uniform cells). Each margin ranks
+    via the two-phase global row number under a deterministic total
+    order (value, orderkey, linenumber); the self-join back is an
+    equi-join on the unique line key; the grid itself is a bounded
+    10×10 aggregate."""
+    from .operators.relational import with_global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+        F.col("l_quantity").cast("long").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    rp = with_global_row_number(
+        li, ["p", "l_orderkey", "l_linenumber"], rn_col="rn", n_col="n"
+    ).select("l_orderkey", "l_linenumber", "rn", "n")
+    rq = with_global_row_number(
+        li.select("q", "l_orderkey", "l_linenumber"),
+        ["q", "l_orderkey", "l_linenumber"],
+        rn_col="rnq",
+    ).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        "rnq",
+    )
+    return (
+        rp.join(
+            rq,
+            (rp.l_orderkey == rq.ok) & (rp.l_linenumber == rq.ln),
+        )
+        .select(
+            F.expr("(10 * (rn - 1)) div n").alias("p_dec"),
+            F.expr("(10 * (rnq - 1)) div n").alias("q_dec"),
+        )
+        .groupBy("p_dec", "q_dec")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .orderBy("p_dec", "q_dec")
+    )
+
+
+QUERIES["q_rank_dependence_grid"] = q_rank_dependence_grid
+ORACLES["q_rank_dependence_grid"] = """
+    with r as (
+        select floor(l_extendedprice * 100 + 0.5)::bigint as p,
+               l_quantity::bigint as q, l_orderkey, l_linenumber
+        from lineitem
+    ),
+    rp as (
+        select l_orderkey, l_linenumber,
+               row_number() over (
+                   order by p, l_orderkey, l_linenumber) as rn,
+               count(*) over () as n
+        from r
+    ),
+    rq as (
+        select l_orderkey, l_linenumber,
+               row_number() over (
+                   order by q, l_orderkey, l_linenumber) as rnq
+        from r
+    )
+    select (10 * (rn - 1)) // n as p_dec,
+           (10 * (rnq - 1)) // n as q_dec,
+           count(*)::bigint as n_lines
+    from rp join rq using (l_orderkey, l_linenumber)
+    group by 1, 2
+    order by 1, 2
+"""
+
+
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional interleave: the global training-data
+    feed order under per-source mixture weights — source s's documents
+    appear every ~1e6/weight positions, so a sequential reader consumes
+    the mix at the configured ratios WITHOUT a shuffled shuffle (the
+    q_mixture_temperature weights decide HOW MUCH; this decides the
+    ORDER, reproducibly). Position keys are exact integers
+    (rank·1e6 div weight — the classic stride interleave), per-source
+    ranks ride the grouped two-phase row number, and the first 200
+    positions publish as the verifiable schedule head (TakeOrdered —
+    no global sort)."""
+    from .operators.relational import with_grouped_row_number
+
+    rates = {"src0": 900, "src1": 700, "src2": 500, "src3": 100}
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in rates.items()],
+        F.lit(300),
+    )
+    ranked = with_grouped_row_number(
+        docs, ["source"], ["doc_id"], rn_col="rn"
+    )
+    # integer stride: div (not float /) so both engines truncate alike
+    keyed = ranked.select(
+        "doc_id", "source", "rn", rate.cast("long").alias("rate")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("rn * 1000000 div rate").alias("pos_key"),
+    )
+    head = keyed.orderBy("pos_key", "source", "doc_id").limit(200)
+    w = Window.orderBy("pos_key", "source", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("long").alias("global_pos"),
+        "source",
+        "doc_id",
+        "pos_key",
+    ).orderBy("global_pos")
+
+
+QUERIES["q_mixture_interleave"] = q_mixture_interleave
+ORACLES["q_mixture_interleave"] = """
+    with rates as (
+        select * from (values ('src0', 900), ('src1', 700),
+                              ('src2', 500), ('src3', 100))
+            as t(source, rate)
+    ),
+    ranked as (
+        select doc_id, d.source,
+               row_number() over (partition by d.source
+                                  order by doc_id) as rn,
+               coalesce(r.rate, 300) as rate
+        from documents d left join rates r on d.source = r.source
+    ),
+    keyed as (
+        select doc_id, source,
+               (rn * 1000000 // rate)::bigint as pos_key
+        from ranked
+    ),
+    head as (
+        select * from keyed
+        order by pos_key, source, doc_id limit 200
+    )
+    select row_number() over (order by pos_key, source, doc_id)::bigint
+               as global_pos,
+           source, doc_id, pos_key
+    from head
+    order by global_pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROUND-11 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-10 WINDOW reorder — _R10_WINDOW above stays for provenance but no
@@ -22260,6 +22636,11 @@ ORACLES["q_bitmask_rollup"] = """
 #     oracle-twinned. The additions head fills the window exactly this
 #     round, so the oldest-attestation freshness rotation pauses (every
 #     catalog query remains cumulatively attested per the ledger).
+#   Batches 9+ (q_dedup_incremental, q_multiset_ops, q_robust_scaler,
+#     q_rank_dependence_grid, q_mixture_interleave, ...) do not fit the
+#     50-slot window this round: they are 3-SF verified locally, carry
+#     no ledger row yet (the attestation test treats no-row queries as
+#     this-round-new), and form the round-12 window head.
 # ---------------------------------------------------------------------------
 
 _R11_WINDOW = [

@@ -309,6 +309,16 @@ HEADLINE = [
     "q_doc_prefix_dup",
     "q_map_funcs",
     "q_bm25_topk",
+    "q_lateral_topk",
+    "q_month_streaks",
+    "q_nth_value_window",
+    "q_systematic_sample",
+    "q_bitmask_rollup",
+    "q_dedup_incremental",
+    "q_multiset_ops",
+    "q_robust_scaler",
+    "q_rank_dependence_grid",
+    "q_mixture_interleave",
 ]
 
 

@@ -75,6 +75,9 @@ BOUNDED_GROUP_COLS = frozenset(
         # fixed-cardinality by definition)
         "quintile", "decile", "grade", "band_lo", "variant", "q", "qa",
         "qb",
+        # modulo cohort ids (key % K with a literal K — domain is exactly
+        # K values by construction: q_robust_scaler's custkey % 25)
+        "cohort",
         # the catalog's constant pseudo-group for ungrouped running sums
         # (always lit(0); domain size 1 — see with_grouped_running_sum
         # call sites such as q_abc_pareto)
