@@ -21735,18 +21735,32 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise Spark re-runs the full similarity pipeline per side).
     sim is the double fold, bit-identical cross-engine."""
     emb = _t(spark, sf_dir, "embeddings")
-    from .functions.vectors import cosine
+    from .functions.vectors import dot, norm
 
-    a = emb.select(
-        "label", F.col("vec_id").alias("qa"), F.col("embedding").alias("va")
+    # norms fold ONCE per vector here instead of once per PAIR inside
+    # cosine() — 3 array folds per pair drop to 1 (the folds are
+    # interpreted, not codegen'd; measured 11.4 s -> ~4 s at sf0.1).
+    # Values are bit-identical: same left-to-right fold, same operands.
+    withn = emb.select(
+        "label", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    b = emb.select(
+    a = withn.select(
+        "label", F.col("vec_id").alias("qa"),
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = withn.select(
         F.col("label").alias("lb"), F.col("vec_id").alias("qb"),
-        F.col("embedding").alias("vb"),
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
     scored = (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("qa") != F.col("qb")))
-        .select("label", "qa", "qb", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "label", "qa", "qb",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("label", "qa").orderBy(
         F.col("sim").desc(), F.col("qb")
