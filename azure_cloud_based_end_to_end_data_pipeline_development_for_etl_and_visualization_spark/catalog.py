@@ -22630,6 +22630,157 @@ ORACLES["q_mixture_interleave"] = """
 """
 
 
+def q_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_dedup_incremental: the incoming 1/3 slice
+    arrives as a FILE STREAM and is near-dup-checked against the static
+    base corpus — the always-on ingest gate in front of a training
+    store. The whole stream side is STATELESS: signatures compute
+    per-row (array_min over the per-shingle universal hashes — the
+    same modular math as the batch explode+groupBy MIN, value-identical,
+    but with no streaming aggregation and hence no state store), bands
+    explode per-row, and both the band match and the Jaccard verify are
+    stream-static inner joins against the persisted base artifacts
+    (signatures + hashed shingle sets — at scale, the same parquet the
+    nightly batch maintains). Multi-band hits emit duplicate pairs in
+    append mode; the bounded post-sink distinct collapses them. The
+    oracle is the IDENTICAL SQL as q_dedup_incremental — the streaming
+    execution must reproduce the batch pair set bit-for-bit."""
+    import shutil
+
+    from .functions import text as TX
+    from .operators.dedup import hashed_shingle_sets, materialized_signatures
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.filter(
+            TX.hash32(F.col("doc_id").cast("string")) % 3 != 0
+        )
+        base_sigs = materialized_signatures(
+            base, "doc_id", "text",
+            path=_tmp_path("stream_neardup_base_sigs"),
+        )
+        r = 2
+
+        def band_structs():
+            return [
+                F.struct(
+                    F.lit(bi).alias("band_id"),
+                    F.array(
+                        F.col(f"mh{bi * r}"), F.col(f"mh{bi * r + 1}")
+                    ).alias("bucket"),
+                )
+                for bi in range(4)
+            ]
+
+        base_bands = (
+            base_sigs.select(
+                F.col("doc_id").alias("b"),
+                F.explode(F.array(*band_structs())).alias("bb"),
+            )
+            .select(
+                "b",
+                F.col("bb.band_id").alias("band_b"),
+                F.col("bb.bucket").alias("bucket_b"),
+            )
+        )
+        base_sets = hashed_shingle_sets(base, "doc_id", "text").select(
+            F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")
+        )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        inc = stream.filter(
+            TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
+        )
+        toks = inc.select(
+            "doc_id", TX.tokens(F.col("text")).alias("__toks")
+        )
+        sh = toks.select(
+            "doc_id", TX.shingles_of(F.col("__toks"), 3).alias("__sh")
+        ).filter(F.size("__sh") > 0)
+        hashed = sh.select(
+            "doc_id",
+            "__sh",
+            F.transform("__sh", lambda s: TX.hash32(s)).alias("__h"),
+        )
+        def _mh_col(i: int, a: int, b: int):
+            # factory binds (a, b) per hash function — a defaulted-arg
+            # lambda would read as a 3-arg lambda to Spark's
+            # param-introspection and fail to bind
+            return F.array_min(
+                F.transform(
+                    "__h",
+                    lambda h: (F.lit(a) * h + F.lit(b))
+                    % F.lit(TX.MINHASH_PRIME),
+                )
+            ).alias(f"mh{i}")
+
+        sig_cols = [
+            _mh_col(i, a, b)
+            for i, (a, b) in enumerate(TX.MINHASH_COEFFS)
+        ]
+        sigs = hashed.select(
+            "doc_id",
+            F.transform(
+                F.array_distinct("__sh"), lambda s: F.xxhash64(s)
+            ).alias("sh_a"),
+            *sig_cols,
+        )
+        bands = (
+            sigs.select(
+                F.col("doc_id").alias("a"),
+                "sh_a",
+                F.explode(F.array(*band_structs())).alias("bb"),
+            )
+            .select(
+                "a",
+                "sh_a",
+                F.col("bb.band_id").alias("band_a"),
+                F.col("bb.bucket").alias("bucket_a"),
+            )
+        )
+        cand = bands.join(
+            base_bands,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bucket_a") == F.col("bucket_b")),
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+        out = (
+            cand.join(base_sets, "b")
+            .select(
+                "a", "b", (inter.cast("double") / union).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= 0.5)
+        )
+        name = f"engine_stream_neardup_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_neardup_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).distinct().orderBy("a", "b")
+
+
+QUERIES["q_streaming_neardup_ingest"] = q_streaming_neardup_ingest
+# the streaming execution must reproduce the batch incremental pair set
+# bit-for-bit, so the oracle is IDENTICAL to q_dedup_incremental's
+ORACLES["q_streaming_neardup_ingest"] = ORACLES["q_dedup_incremental"]
+
+
 # ---------------------------------------------------------------------------
 # ROUND-11 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
