@@ -210,3 +210,20 @@ def test_multiset_ops_multiplicities(spark, sf_dir):
     got_e = Counter(r.c_nationkey for r in rows if r.op == "except_all")
     assert got_i == {k: v for k, v in want_i.items() if v > 0}
     assert got_e == {k: v for k, v in want_e.items() if v > 0}
+
+
+def test_streaming_neardup_equals_batch_incremental(spark, sf_dir):
+    """The streaming ingest twin must reproduce the batch incremental
+    pair set exactly — same (a, b) pairs, bit-identical jaccard (both
+    share one DuckDB oracle, but this pins the two SPARK executions to
+    each other directly, state-store path included)."""
+    got_s = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in catalog.q_streaming_neardup_ingest(spark, sf_dir).collect()
+    )
+    got_b = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in catalog.q_dedup_incremental(spark, sf_dir).collect()
+    )
+    assert got_s == got_b
+    assert got_s, "expected at least one incremental near-dup pair"
