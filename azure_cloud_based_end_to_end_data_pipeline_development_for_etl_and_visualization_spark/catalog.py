@@ -22863,7 +22863,519 @@ _R11_WINDOW = [
     "q_levene_quantity",
 ]
 
-# ROUND-11 WINDOW reorder (must be the last statement touching QUERIES —
-# every registration above, including late batches, precedes it)
+# ROUND-11 WINDOW reorder (kept for provenance — the ROUND-12 WINDOW at
+# the bottom of this file supersedes it)
 _r11_rest = [n for n in QUERIES if n not in set(_R11_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*_R11_WINDOW, *_r11_rest]}
+
+
+# ---------------------------------------------------------------------------
+# round-12 batch 1: incremental ANN index maintenance + driver-checked
+# recall evaluation + streaming cell routing + z-order-aware compaction
+# (VERDICT r11 items 3, 4, 5)
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the vector twin of
+    q_dedup_incremental: the corpus arrives as a BASE (indexed once:
+    k-means train -> save/load centroid parquet artifact ->
+    build_ivf_index cell layout) plus a NEW BATCH folded in by
+    operators/similarity.append_ivf_index — assigned to the EXISTING
+    centroids and appended cell-wise, with no retrain and no re-scan of
+    the already-indexed base. At 100 TB the corpus grows daily and
+    re-clustering per batch is the scale-killer; this path touches
+    |batch| rows only, and the periodic build_ivf_index rebuild resets
+    centroid drift.
+
+    The full-probe query over the appended index must be bit-identical
+    to exact brute force over the WHOLE corpus (the
+    q_cosine_topk_ivf_exact oracle): centroid staleness can only move
+    vectors between cells, never change full-probe results, so the
+    driver hash proves the append lost/duplicated/mangled nothing.
+    Partial-probe recall drift under stale centroids is enveloped in
+    tests/test_round12.py."""
+    import shutil
+
+    from .operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_topk_ivf,
+        kmeans_centroids,
+        load_centroids,
+        save_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    cents = kmeans_centroids(base, n_centroids=8, n_iters=2)
+    cpath = _tmp_path("ivf_append_cents")
+    save_centroids(spark, cents, cpath)
+    cents = load_centroids(spark, cpath)
+    ipath = _tmp_path("ivf_append_index")
+    shutil.rmtree(ipath, ignore_errors=True)
+    build_ivf_index(base, cents, ipath)
+    index = append_ivf_index(batch, cents, ipath)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(
+        emb, queries, k=10, n_probe=8, centroids=cents, index=index
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["q_ivf_index_append"] = q_ivf_index_append
+# full probe over the appended index == exact brute force over the whole
+# corpus, so the oracle is IDENTICAL to q_cosine_topk_ivf_exact's (the
+# q_cosine_topk_ivf_indexed precedent)
+ORACLES["q_ivf_index_append"] = ORACLES["q_cosine_topk_ivf_exact"]
+
+
+def q_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop CLOSED: repeated incremental appends
+    fragment the cell-partitioned index (at least one file per cell per
+    batch — a year of daily appends is 365 files per cell), so the
+    routine that keeps q_ivf_index_append viable at 100 TB is per-cell
+    compaction — plans/compact.compact_parquet_dir pointed at each
+    ``cell=`` hive directory (the partition-subdirectory routine from
+    that module's docstring), bin-packing the small files back without
+    touching the partition layout the query path joins on. Exercised
+    end-to-end here: base build -> two appends (three file generations
+    per cell) -> per-cell compaction -> full-probe query over the
+    compacted index, which must remain bit-identical to exact brute
+    force (the q_cosine_topk_ivf_exact oracle) — the driver hash proves
+    the whole append+compact maintenance cycle preserved every vector.
+    File-count collapse is pinned in tests/test_round12.py."""
+    import shutil
+
+    from .operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_topk_ivf,
+        kmeans_centroids,
+    )
+    from .plans.compact import compact_parquet_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = kmeans_centroids(base, n_centroids=8, n_iters=2)
+    ipath = _tmp_path("ivf_compact_index")
+    shutil.rmtree(ipath, ignore_errors=True)
+    build_ivf_index(base, cents, ipath)
+    append_ivf_index(emb.filter(F.col("vec_id") % 3 == 1), cents, ipath)
+    append_ivf_index(emb.filter(F.col("vec_id") % 3 == 2), cents, ipath)
+    for d in sorted(os.listdir(ipath)):
+        if d.startswith("cell="):
+            compact_parquet_dir(spark, os.path.join(ipath, d), target_mb=128)
+    index = spark.read.parquet(ipath)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(
+        emb, queries, k=10, n_probe=8, centroids=cents, index=index
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["q_ivf_index_compact"] = q_ivf_index_compact
+ORACLES["q_ivf_index_compact"] = ORACLES["q_cosine_topk_ivf_exact"]
+
+
+#: q_ivf_recall_eval operating point: seeded-constant centroids compiled
+#: into BOTH plans as literals (the q_cosine_topk_lsh closure precedent),
+#: so cell assignment, probe list, candidate set and ranking are
+#: bit-reproducible cross-engine.
+_IVF_EVAL_SEED = 21
+_IVF_EVAL_CELLS = 16
+_IVF_EVAL_PROBE = 4
+_IVF_EVAL_K = 10
+
+
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation promoted to a driver-checked row (r11
+    VERDICT item 4): per query, the overlap@10 of IVF-at-partial-probe
+    (4 of 16 cells) against the exact brute-force top-10, plus the
+    implied recall fraction. The centroids are SEEDED numpy constants
+    embedded in both the Spark plan and the DuckDB oracle as literals,
+    so the oracle recomputes cell assignment, the per-query probe list,
+    the candidate join, both rankings and the per-query overlap count
+    EXACTLY — the bench's recall claim becomes a hash-checked catalog
+    row instead of a bench-only number. (The production path trains
+    data-dependent centroids — kmeans_centroids — whose recall the
+    bench's ann section measures; this entry pins the MEASUREMENT
+    MACHINERY itself.) Overlap joins are id-equality joins on two
+    bounded top-k relations; nothing here is all-pairs."""
+    from .operators.similarity import _hyperplanes, cosine_topk, cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # limit() makes the query-batch bound STRUCTURAL (the broadcast-hint
+    # audit's requirement — exactly 10 ids match, so it drops no rows)
+    queries = emb.filter(F.col("vec_id") < 10).limit(10)
+    cents = _hyperplanes(_IVF_EVAL_CELLS, 64, seed=_IVF_EVAL_SEED)
+    approx = cosine_topk_ivf(
+        emb, queries, k=_IVF_EVAL_K, n_probe=_IVF_EVAL_PROBE, centroids=cents
+    )
+    exact = cosine_topk(emb, queries, k=_IVF_EVAL_K)
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    overlap = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(_IVF_EVAL_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _dk_ivf_recall_sql(
+    n_cells: int = _IVF_EVAL_CELLS,
+    dim: int = 64,
+    n_probe: int = _IVF_EVAL_PROBE,
+    k: int = _IVF_EVAL_K,
+    seed: int = _IVF_EVAL_SEED,
+) -> str:
+    """DuckDB twin of q_ivf_recall_eval. The centroid dots ride the same
+    sequential left-fold as _DK_COSINE (list_sum == Spark's aggregate
+    fold, proven by the q_cosine_topk oracle); argmax-cell is
+    first-position-of-max on bit-identical doubles in both engines; the
+    probe list tie-breaks (dot desc, cell asc) exactly like Spark's
+    struct sort on (-dot, index)."""
+    from .operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(n_cells, dim, seed=seed)
+
+    def dot(c) -> str:
+        lits = "[" + ",".join(repr(float(x)) for x in c) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" j -> embedding[j]::double * ({lits})[j]))"
+        )
+
+    dots_arr = "[" + ", ".join(dot(c) for c in cents) + "]"
+    return f"""
+        with d as (
+            select vec_id, embedding, {dots_arr} as dots from embeddings
+        ),
+        cb as (
+            select vec_id, embedding,
+                   (list_position(dots, list_max(dots)) - 1) as cell
+            from d
+        ),
+        probes as (
+            select query_id, q_vec, cell from (
+                select d.vec_id as query_id, d.embedding as q_vec,
+                       u.i - 1 as cell,
+                       row_number() over (
+                           partition by d.vec_id
+                           order by list_extract(d.dots, u.i) desc, u.i
+                       ) as pr
+                from d cross join generate_series(1, {n_cells}) as u(i)
+                where d.vec_id < 10
+            ) where pr <= {n_probe}
+        ),
+        approx as (
+            select query_id, neighbor_id from (
+                select p.query_id, c.vec_id as neighbor_id,
+                       row_number() over (
+                           partition by p.query_id
+                           order by {_dk_cosine('p.q_vec', 'c.embedding')}
+                                        desc,
+                                    c.vec_id
+                       ) as rank
+                from probes p join cb c on c.cell = p.cell
+                where c.vec_id != p.query_id
+            ) where rank <= {k}
+        ),
+        exact as (
+            select query_id, neighbor_id from (
+                select q.vec_id as query_id, c.vec_id as neighbor_id,
+                       row_number() over (
+                           partition by q.vec_id
+                           order by {_dk_cosine('q.embedding', 'c.embedding')}
+                                        desc,
+                                    c.vec_id
+                       ) as rank
+                from embeddings q, embeddings c
+                where q.vec_id < 10 and c.vec_id != q.vec_id
+            ) where rank <= {k}
+        ),
+        o as (
+            select a.query_id, count(*) as n_overlap
+            from approx a join exact e
+              on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+            group by a.query_id
+        )
+        select q.vec_id as query_id,
+               coalesce(o.n_overlap, 0)::bigint as n_overlap,
+               coalesce(o.n_overlap, 0)::double / {float(k)!r} as recall_at_k
+        from embeddings q
+        left join o on o.query_id = q.vec_id
+        where q.vec_id < 10
+        order by query_id
+    """
+
+
+QUERIES["q_ivf_recall_eval"] = q_ivf_recall_eval
+ORACLES["q_ivf_recall_eval"] = _dk_ivf_recall_sql()
+
+
+#: q_streaming_ivf_assign routing table: seeded-constant centroids (the
+#: same closure trick) so the in-stream cell router is oracle-checkable.
+_IVF_ROUTE_SEED = 33
+_IVF_ROUTE_CELLS = 8
+
+
+def q_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of IVF index ingestion: embedding batches arrive
+    as a FILE STREAM and are routed to their IVF cell in-stream — the
+    always-on front of q_ivf_index_append (route in-stream, append
+    cell-partitioned files, rebuild centroids offline). The router is
+    STATELESS: the argmax-cell is a plan-literal centroid-dot array
+    (JVM expression, per-row, no state store, no shuffle), so the
+    stream scales to any ingest rate; downstream, the cell id is
+    exactly the partition key the index append writes by. The oracle
+    recomputes every assignment from the same literal centroids, so the
+    streaming execution is hash-checked row-for-row (the
+    q_streaming_neardup_ingest check class). The post-sink distinct
+    collapses micro-batch replay duplicates and is bounded by the
+    corpus id space."""
+    import shutil
+
+    from .operators.similarity import _centroid_dots, _hyperplanes
+
+    cents = _hyperplanes(_IVF_ROUTE_CELLS, 64, seed=_IVF_ROUTE_SEED)
+    emb_schema = _t(spark, sf_dir, "embeddings").schema
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    dots = _centroid_dots("embedding", cents)
+    assigned = stream.select(
+        "vec_id",
+        (F.array_position(dots, F.array_max(dots)) - 1)
+        .cast("long")
+        .alias("cell"),
+    )
+    name = f"engine_stream_ivf_{_RUN_TAG}"
+    ckpt = _tmp_path("stream_ivf_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).distinct().orderBy("vec_id")
+
+
+def _dk_ivf_assign_sql(
+    n_cells: int = _IVF_ROUTE_CELLS, dim: int = 64, seed: int = _IVF_ROUTE_SEED
+) -> str:
+    from .operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(n_cells, dim, seed=seed)
+
+    def dot(c) -> str:
+        lits = "[" + ",".join(repr(float(x)) for x in c) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" j -> embedding[j]::double * ({lits})[j]))"
+        )
+
+    dots_arr = "[" + ", ".join(dot(c) for c in cents) + "]"
+    return f"""
+        with d as (
+            select vec_id, {dots_arr} as dots from embeddings
+        )
+        select vec_id,
+               (list_position(dots, list_max(dots)) - 1)::bigint as cell
+        from d order by vec_id
+    """
+
+
+QUERIES["q_streaming_ivf_assign"] = q_streaming_ivf_assign
+ORACLES["q_streaming_ivf_assign"] = _dk_ivf_assign_sql()
+
+
+def q_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-aware incremental compaction end-to-end (r11 VERDICT item
+    5; plans/compact.zorder_compact_dir composing plans/layout.zorder_key
+    with the atomic-swap protocol): the lineitem projection is
+    deliberately fragmented into 24 task-sized files, compacted with
+    RE-CLUSTERING on the Morton key of (l_partkey, l_suppkey) — both
+    range-normalized to the 8-bit domain, file id = the analytic
+    ``zkey >> 10`` tile written as a hive partition — then read BACK
+    through the compacted directory. The result is the per-FILE
+    data-skipping ledger: row count, min/max of the normalized suppkey
+    dimension, the quantity sum, and the skippable flag for the same
+    ~10% supplier-band probe as q_zorder_pruning_stats. The DuckDB
+    oracle recomputes every per-file stat analytically from the source
+    table, so the driver hash proves BOTH that compaction preserved
+    every row/value (the q_compact_files check) AND that the min/max
+    skip profile of the maintained layout matches the
+    q_zorder_pruning_stats z-order profile — i.e. data-skipping
+    survives maintenance, the exact property plain bin-packing
+    compaction destroys. (sum over integral doubles is exact at any
+    aggregation order — l_quantity is integer-valued, bounded far below
+    2^53.) Scale: compaction reads/shuffles/writes only the directory
+    it is pointed at; the probe side is two map-side-combined
+    aggregates."""
+    import shutil
+
+    from .plans.compact import zorder_compact_dir
+
+    src = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = _tmp_path("zcompact_lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    src.repartition(24).write.mode("overwrite").parquet(path)
+    zorder_compact_dir(
+        spark, path, ["l_partkey", "l_suppkey"], bits=8, file_shift=10
+    )
+    back = spark.read.parquet(path)
+    m = back.agg(F.max("l_suppkey").alias("ym"))
+    scaled = back.crossJoin(F.broadcast(m)).select(
+        F.col("zfile").cast("int").alias("zfile"),
+        F.expr("(l_suppkey * 256) div (ym + 1)").alias("zy"),
+        "l_quantity",
+    )
+    per_file = scaled.groupBy("zfile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zy").alias("min_zy"),
+        F.max("zy").alias("max_zy"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+    lo, hi = 102, 127  # the scaled ~10% supplier band (q_zorder_pruning_stats)
+    return per_file.select(
+        "zfile",
+        "n_rows",
+        "min_zy",
+        "max_zy",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        ((F.col("max_zy") < lo) | (F.col("min_zy") > hi))
+        .cast("long")
+        .alias("skippable"),
+    ).orderBy("zfile")
+
+
+QUERIES["q_compact_zorder"] = q_compact_zorder
+ORACLES["q_compact_zorder"] = f"""
+    with m as (
+        select max(l_partkey) as xm, max(l_suppkey) as ym from lineitem
+    ),
+    zxy as (
+        select (l_partkey * 256) // (xm + 1) as zx,
+               (l_suppkey * 256) // (ym + 1) as zy,
+               l_quantity
+        from lineitem cross join m
+    ),
+    tiles as (
+        select (({_Z8_DUCK})::bigint >> 10) as zfile, zy, l_quantity
+        from zxy
+    )
+    select zfile::int as zfile,
+           count(*)::bigint as n_rows,
+           min(zy)::bigint as min_zy,
+           max(zy)::bigint as max_zy,
+           sum(l_quantity)::double as sum_qty,
+           (case when max(zy) < 102 or min(zy) > 127 then 1 else 0
+            end)::bigint as skippable
+    from tiles group by zfile order by zfile
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROUND-12 WINDOW: the driver's correctness gate reads the FIRST 50 entries
+# of QUERIES, so registry order is load-bearing (this block supersedes the
+# ROUND-11 WINDOW reorder above, kept for provenance). Composition (pinned
+# by tests/test_entry_contract.test_driver_window_composition):
+#   slots 1-7: the 7 never-driver-attested queries, in the ledger's own
+#     order (tools/attestation.py --unattested at round-12 start — r11
+#     VERDICT item 1; all 7 were judge-verified green at sf0.01 last
+#     session, so this is attestation bookkeeping, not correctness risk).
+#     q_bm25_topk is the window's one rows-only slot — deliberate: the
+#     driver's weaker rows-only check is still its first-ever driver row.
+#   slots 8-12: the round-12 additions (incremental IVF append, recall
+#     eval, streaming cell routing, z-order compaction, per-cell index
+#     compaction — VERDICT items 3/4/5), 3-SF oracle-verified before
+#     registration.
+#   slots 13-50: freshness rotation — the 38 STALEST oracle-twinned
+#     greens by most-recent-attestation round (computed from the ledger,
+#     never hand-curated): all 32 last attested in round 1, plus the
+#     first 6 of the round-4 cohort in name order.
+# ---------------------------------------------------------------------------
+
+_R12_WINDOW = [
+    # -- 1-7: never-driver-attested head (attestation ledger order) -----
+    "q_bm25_topk",
+    "q_dedup_incremental",
+    "q_multiset_ops",
+    "q_robust_scaler",
+    "q_rank_dependence_grid",
+    "q_mixture_interleave",
+    "q_streaming_neardup_ingest",
+    # -- 8-12: round-12 additions ---------------------------------------
+    "q_ivf_index_append",
+    "q_ivf_recall_eval",
+    "q_streaming_ivf_assign",
+    "q_compact_zorder",
+    "q_ivf_index_compact",
+    # -- 13-50: stalest-attestation freshness rotation (round-1 cohort,
+    #    then the round-4 cohort head, name order within cohort) --------
+    "q_date_parts",
+    "q_distinct",
+    "q_empty_relation",
+    "q_except",
+    "q_exists_subquery",
+    "q_filter_isnotnull",
+    "q_filter_isnull",
+    "q_full_outer_join",
+    "q_groupby_agg",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_in_subquery",
+    "q_intersect",
+    "q_join_project_disambiguate",
+    "q_left_anti",
+    "q_left_semi",
+    "q_max_global",
+    "q_null_safe_join",
+    "q_orderby_limit",
+    "q_pivot",
+    "q_project",
+    "q_rollup",
+    "q_scan_parquet",
+    "q_split_getitem",
+    "q_sql_analytics",
+    "q_sql_over_path",
+    "q_stats_moments",
+    "q_topk_per_group",
+    "q_union_all",
+    "q_union_missing_cols",
+    "q_weighted_avg",
+    "q_window_frame",
+    "q_array_funcs",
+    "q_cosine_topk_ivf_exact",
+    "q_curation_pipeline",
+    "q_dedup_keep_best",
+    "q_dedup_simhash",
+    "q_doc_fingerprint",
+]
+
+# ROUND-12 WINDOW reorder (must be the last statement touching QUERIES —
+# every registration above, including late batches, precedes it)
+_r12_rest = [n for n in QUERIES if n not in set(_R12_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R12_WINDOW, *_r12_rest]}

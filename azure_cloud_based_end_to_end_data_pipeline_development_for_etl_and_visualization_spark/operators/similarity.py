@@ -335,6 +335,41 @@ def build_ivf_index(
     return corpus.sparkSession.read.parquet(path)
 
 
+def append_ivf_index(
+    new_batch: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the new batch to
+    the EXISTING (persisted) centroids and APPEND its cell files under
+    the index directory — no retrain, no re-scan of the already-indexed
+    corpus. This is the vector twin of the incremental dedup ingest
+    (operators/dedup.materialized_signatures + the asymmetric banding
+    join): a 100 TB corpus grows daily, and re-clustering per batch is
+    the scale-killer, while this append touches |batch| rows only and
+    the nightly/weekly ``kmeans_centroids`` + :func:`build_ivf_index`
+    rebuild resets centroid drift.
+
+    Correctness envelope: cell placement affects PERFORMANCE only —
+    at full probe (n_probe == n_centroids) results stay bit-identical
+    to exact brute force no matter how stale the centroids are (the
+    q_ivf_index_append driver hash), while partial-probe recall under
+    drifted centroids is pinned to an envelope in
+    tests/test_round12.py. Returns the read-back DataFrame over the
+    whole appended index (cell-partitioned scan source, same shape as
+    :func:`build_ivf_index`)."""
+    dots = _centroid_dots(vec_col, centroids)
+    assigned = new_batch.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return new_batch.sparkSession.read.parquet(path)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

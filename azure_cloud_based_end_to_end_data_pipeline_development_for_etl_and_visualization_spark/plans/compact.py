@@ -72,3 +72,73 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return data_file_count(path)
+
+
+def zorder_compact_dir(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    file_shift: int = 10,
+    file_col: str = "zfile",
+) -> int:
+    """Z-order-aware compaction: rewrite the parquet directory at
+    ``path`` re-clustered on the Morton key of ``cols`` so the per-file
+    min/max data-skipping stats that :mod:`..plans.layout` established
+    SURVIVE routine maintenance — plain bin-packing compaction
+    (:func:`compact_parquet_dir`) destroys multi-dimensional clustering,
+    which silently turns every stats-pruned probe back into a full scan.
+    This is the portable composition Delta Lake ships as
+    ``OPTIMIZE ... ZORDER BY`` applied to fresh-partition upkeep.
+
+    Layout determinism: each ``cols`` member is range-normalized to a
+    ``bits``-bit domain by its own max (attached via a broadcast 1-row
+    cross join — the q_zorder_pruning_stats discipline; raw Morton over
+    unequal key widths degenerates to a single-column sort), the keys
+    are bit-interleaved (:func:`..plans.layout.zorder_key`), and the
+    file assignment is the ANALYTIC ``zkey >> file_shift`` written as a
+    ``file_col`` hive partition — one file per tile directory (hash
+    repartition on the tile id puts each tile in exactly one task), so
+    the resulting layout is a pure function of the data, not of sampled
+    range-partition boundaries, and a DuckDB oracle can recompute every
+    per-file stat exactly. Rows inside each tile are sorted by the full
+    Morton key for row-group-level skipping on top of file-level.
+
+    Same atomic side-directory swap as :func:`compact_parquet_dir`:
+    readers see the old layout until the rename. Scale: one read + one
+    hash shuffle + one write of ONLY the directory it is pointed at —
+    point it at fresh hive partitions, never the whole 100 TB table.
+    Returns the new data-file count."""
+    from pyspark.sql import functions as F
+
+    from .layout import zorder_key
+
+    df = spark.read.parquet(path)
+    maxes = df.agg(
+        *[F.max(c).alias(f"__max_{i}") for i, c in enumerate(cols)]
+    )
+    scale = 1 << bits
+    scaled = [
+        F.expr(f"({c} * {scale}) div (__max_{i} + 1)")
+        for i, c in enumerate(cols)
+    ]
+    keyed = (
+        df.crossJoin(F.broadcast(maxes))
+        .withColumn("__zkey", zorder_key(scaled, bits))
+        .drop(*[f"__max_{i}" for i in range(len(cols))])
+        .withColumn(
+            file_col, F.shiftright(F.col("__zkey"), file_shift).cast("int")
+        )
+    )
+    out = (
+        keyed.repartition(file_col)
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    tmp = f"{path}.__zcompact_{uuid.uuid4().hex}"
+    out.write.mode("overwrite").partitionBy(file_col).parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return data_file_count(path)

@@ -60,4 +60,21 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence WindowExec's blanket "No Partition Defined" warning (r11
+    # VERDICT item 8): every intentional unpartitioned window in this
+    # codebase runs over a structurally BOUNDED input (LIMIT heads,
+    # day/bin/decile domains, partition-count-sized offset tables), a
+    # property tools/hint_audit.audit_windows proves per optimized plan
+    # and pytest enforces — so the per-run log line is pure noise that
+    # each new reader otherwise re-litigates. Logger-level only: plans
+    # are unchanged, and a NEW unpartitioned window over fact-scaling
+    # input still fails the mechanized sweep loudly.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments keep the warning; purely cosmetic
     return spark

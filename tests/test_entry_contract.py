@@ -70,54 +70,78 @@ def test_rows_only_queries_are_the_documented_set():
 
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-11 window —
-    the ledger reports zero never-attested pre-round-11 queries, so
-    slots 1-39 are the 39 oracle-twinned round-11 additions (the
-    attestation head computed by tools/attestation.py --unattested; the
-    rows-only q_bm25_topk is pinned in tests/test_round11.py), and
-    slots 40-50 re-enter every ORACLE-TWINNED query whose plan or
-    expression changed this round (PPJoin+ prunes, banded_id_pairs
-    floor-division buckets, similarity query-batch guards, nullif
-    divisor guards). The additions head fills the window exactly this
-    round, so the oldest-attestation freshness rotation pauses — the
-    pin still guards against an accidental reorder silently starving
-    the gate (that is precisely what happened in round 1)."""
+    checks the FIRST 50 entries of queries(). Pin the round-12 window:
+    slots 1-7 are the never-driver-attested queries in the attestation
+    ledger's own order (tools/attestation.py --unattested at round-12
+    start — the r11 batch-9 tail plus the rows-only q_bm25_topk, the
+    window's ONE rows-only slot, deliberate: the driver's weaker
+    rows-only check is still its first-ever driver row); slots 8-12 are
+    the round-12 additions; slots 13-50 are the 38 STALEST oracle-twinned
+    greens by most-recent-attestation round (all 32 of the round-1
+    cohort + the first 6 of the round-4 cohort, name order within
+    cohort). The pin guards against an accidental reorder silently
+    starving the gate (that is precisely what happened in round 1)."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
-    # the round-11 window is fully oracle-twinned — zero rows-only slots
-    assert [n for n in window if n not in oracles] == []
-    round11_additions = [
-        "q_cramers_v", "q_mann_kendall", "q_bowley_skew",
-        "q_grouped_mode", "q_order_count_dispersion",
-        "q_proportion_ztest", "q_split_neardup_leaks",
-        "q_length_quality_grid", "q_kendall_w", "q_minmax_scale_ppm",
-        "q_cohens_d", "q_wilson_ci", "q_chars_per_token_by_source",
-        "q_quantile_normalization", "q_gini_split_quality",
-        "q_custdist", "q_small_qty_revenue", "q_large_volume_customers",
-        "q_disjunctive_revenue", "q_idle_high_balance",
-        "q_waiting_suppliers", "q_volume_shipping", "q_market_share",
-        "q_odds_ratio", "q_durbin_watson",
-        "q_gamma_concordance", "q_cochran_q", "q_dup_ngram_coverage",
-        "q_partial_corr", "q_edit_distance_dedup",
-        "q_mutual_knn_pairs", "q_cross_lang_neardup", "q_doc_prefix_dup",
-        "q_map_funcs",
-        "q_lateral_topk", "q_month_streaks", "q_nth_value_window",
-        "q_systematic_sample", "q_bitmask_rollup",
+    # exactly one rows-only slot: q_bm25_topk's first-ever driver row
+    assert [n for n in window if n not in oracles] == ["q_bm25_topk"]
+    unattested_head = [
+        "q_bm25_topk", "q_dedup_incremental", "q_multiset_ops",
+        "q_robust_scaler", "q_rank_dependence_grid",
+        "q_mixture_interleave", "q_streaming_neardup_ingest",
     ]
-    assert window[:39] == round11_additions
-    plan_change_reattest = [
-        "q_prefix_filter_join", "q_ngram_jaccard", "q_dedup_yield_curve",
-        "q_tfidf_cosine_pairs", "q_candidate_jaccard_hist",
-        "q_cosine_topk", "q_mips_topk", "q_knn_label_vote",
-        "q_hard_negatives", "q_mcnemar_test", "q_levene_quantity",
+    assert window[:7] == unattested_head
+    round12_additions = [
+        "q_ivf_index_append", "q_ivf_recall_eval",
+        "q_streaming_ivf_assign", "q_compact_zorder",
+        "q_ivf_index_compact",
     ]
-    assert window[39:50] == plan_change_reattest
-    # the r9 window head follows the r11 one (the r10 reorder statement
-    # was superseded; the module-order baseline under the r11 reorder is
-    # the r9 ordering) — every entry there is driver-green and stays
-    # addressable
-    assert list(qs)[50:53] == ["q_grouped_median", "q_cohens_kappa",
-                               "q_chi2_contingency"]
+    assert window[7:12] == round12_additions
+    stalest_rotation = [
+        # round-1 cohort (32, name order)
+        "q_date_parts", "q_distinct", "q_empty_relation", "q_except",
+        "q_exists_subquery", "q_filter_isnotnull", "q_filter_isnull",
+        "q_full_outer_join", "q_groupby_agg", "q_grouping_sets",
+        "q_histogram", "q_in_subquery", "q_intersect",
+        "q_join_project_disambiguate", "q_left_anti", "q_left_semi",
+        "q_max_global", "q_null_safe_join", "q_orderby_limit", "q_pivot",
+        "q_project", "q_rollup", "q_scan_parquet", "q_split_getitem",
+        "q_sql_analytics", "q_sql_over_path", "q_stats_moments",
+        "q_topk_per_group", "q_union_all", "q_union_missing_cols",
+        "q_weighted_avg", "q_window_frame",
+        # round-4 cohort head (6, name order)
+        "q_array_funcs", "q_cosine_topk_ivf_exact", "q_curation_pipeline",
+        "q_dedup_keep_best", "q_dedup_simhash", "q_doc_fingerprint",
+    ]
+    assert window[12:50] == stalest_rotation
+    # the r11 window head follows the r12 one (the module-order baseline
+    # under the r12 reorder is the r11 ordering, minus the slots the r12
+    # window pulled forward) — every entry there is driver-green and
+    # stays addressable
+    assert list(qs)[50:53] == ["q_cramers_v", "q_mann_kendall",
+                               "q_bowley_skew"]
+
+
+def test_window_rotation_is_ledger_computed():
+    """The stalest-greens fill (slots 13-50) must be COMPUTED from the
+    ledger, not hand-curated: re-derive it here exactly as the window
+    was built — oracle-twinned, attested, sorted by (most recent green
+    round, name) — and require the window tail to be its 38-prefix.
+    The derivation is pinned to the ledger AS OF round-12 composition
+    (rounds <= 11): the driver writes CORRECTNESS_r12.json before the
+    judge's pytest run, and the freshly-attested rows must not shift
+    this round's already-shipped window."""
+    from tools.attestation import load_ledger
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    ledger = load_ledger()
+    stalest = sorted(
+        (max(r for r in v["rounds_green"] if r <= 11), n)
+        for n, v in ledger.items()
+        if n in oracles and any(r <= 11 for r in v["rounds_green"])
+    )
+    expected = [n for _, n in stalest[:38]]
+    assert list(qs)[12:50] == expected
 
 
 def test_window_head_matches_attestation_ledger():

@@ -17,6 +17,9 @@ Usage::
     python tools/attestation.py            # human-readable summary
     python tools/attestation.py --json     # machine-readable ledger
     python tools/attestation.py --unattested   # rotation candidates only
+    python tools/attestation.py --stalest [N]  # N stalest oracle-twinned
+                                               # greens (window fill, r12
+                                               # rotation discipline)
 
 The catalog is read from __spark_entry__.queries() (import only — no
 SparkSession is started).
@@ -110,6 +113,23 @@ def main() -> int:
     if mode == "--unattested":
         for n in unattested:
             print(n)
+        return 0
+    if mode == "--stalest":
+        # window-fill order: oracle-twinned, driver-attested, sorted by
+        # (most recent green round, name) — the r12 rotation discipline,
+        # pinned by tests/test_entry_contract.py::
+        # test_window_rotation_is_ledger_computed
+        import __spark_entry__ as e
+
+        n_out = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+        oracles = e.oracle_sql()
+        stalest = sorted(
+            (max(v["rounds_green"]), n)
+            for n, v in ledger.items()
+            if n in oracles and n in names and v["rounds_green"]
+        )
+        for rnd, n in stalest[:n_out]:
+            print(f"{rnd}\t{n}")
         return 0
 
     print(f"catalog queries:        {len(names)}")

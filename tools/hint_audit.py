@@ -293,7 +293,14 @@ def audit_windows(df) -> list[str]:
     two-phase rank operators), which :func:`subtree_is_bounded` proves
     structurally; anything else is a scale regression and gets flagged.
     This mechanizes what was previously a hand-audit (r9 VERDICT item 3),
-    mirroring the broadcast-hint sweep."""
+    mirroring the broadcast-hint sweep.
+
+    Because this sweep proves every intentional site bounded,
+    ``session.get_spark`` silences WindowExec's blanket runtime
+    "No Partition Defined" warning at the logger (r11 VERDICT item 8) —
+    the warning carried no information this audit doesn't enforce more
+    strongly, and a NEW unpartitioned window over fact-scaling input
+    still fails here loudly."""
     violations: list[str] = []
 
     def walk(node) -> None:
