@@ -308,6 +308,55 @@ def test_zorder_compact_files_skip_on_second_dimension(spark, fragmented_lineite
     assert skippable / n >= 0.7, f"skip fraction collapsed: {skippable}/{n}"
 
 
+# ---------------------------------------------------------------------------
+# plan-shape pins (the 100 TB contract for the round-12 entries)
+# ---------------------------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_recall_eval_has_no_unbounded_cartesian(spark, sf_dir):
+    """The IVF candidate space must come from the cell equi-join, never
+    an all-pairs product; the only nested-loop allowed is the exact
+    rung's broadcast of the LIMIT-bounded query batch."""
+    plan = _plan_of(catalog.q_ivf_recall_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_ivf_assign_router_is_map_only(spark, sf_dir):
+    """The cell router the stream executes is a pure per-row projection:
+    scan -> argmax-over-literal-dots, no shuffle, no Python, no state —
+    asserted on the batch twin of the same expression (the streaming
+    plan adds only the sink)."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        _centroid_dots,
+        _hyperplanes,
+    )
+
+    cents = _hyperplanes(8, 64, seed=33)
+    dots = _centroid_dots("embedding", cents)
+    router = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        (F.array_position(dots, F.array_max(dots)) - 1)
+        .cast("long")
+        .alias("cell"),
+    )
+    plan = _plan_of(router)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compact_zorder_probe_prunes_and_preaggregates(spark, sf_dir):
+    """The read-back ledger probe must prune the untouched columns from
+    the compacted scan and aggregate map-side before its exchange."""
+    plan = _plan_of(catalog.q_compact_zorder(spark, sf_dir))
+    assert "l_orderkey" not in plan  # stored but never read by the probe
+    assert "l_linenumber" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+
+
 def test_zorder_compact_rejects_wide_keys():
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.layout import (
         zorder_key,
