@@ -357,6 +357,31 @@ def test_compact_zorder_probe_prunes_and_preaggregates(spark, sf_dir):
     assert "partial_count" in plan or "partial_min" in plan
 
 
+def test_indexed_ivf_scan_dynamically_prunes_cells(spark, sf_dir):
+    """At partial probe, the cell-partitioned index scan must read ONLY
+    the probed cell directories: Catalyst's dynamic partition pruning
+    injects the probe list (a broadcast subquery on the tiny query
+    side) as a PartitionFilter on the index FileScan. This is the
+    100 TB property of the indexed path — the corpus fraction touched
+    is n_probe/n_centroids in FILES, not just in compare count — and a
+    refactor that breaks the equi-join-on-partition-column shape (e.g.
+    probing via a non-partition derived column) would silently turn
+    every query back into a full index scan while staying correct."""
+    path = _tmp("dpp_ivf")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = kmeans_centroids(emb, n_centroids=8, n_iters=1)
+        index = build_ivf_index(emb, cents, path)
+        queries = emb.filter(F.col("vec_id") < 5).limit(5)
+        df = cosine_topk_ivf(
+            emb, queries, k=10, n_probe=2, centroids=cents, index=index
+        )
+        plan = _plan_of(df)
+        assert "dynamicpruningexpression(cell" in plan, plan[:2000]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_zorder_compact_rejects_wide_keys():
     from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.plans.layout import (
         zorder_key,
