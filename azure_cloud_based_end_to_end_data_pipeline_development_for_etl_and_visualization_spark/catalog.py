@@ -4680,27 +4680,43 @@ def q_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_semantic_dedup operating point: seeded-constant centroids compiled
+#: into BOTH plans as literals (the q_ivf_recall_eval closure trick, r12
+#: VERDICT item 2) — graduates this entry from rows-only to a full
+#: cross-engine hash. The API's iterative k-means training keeps its own
+#: coverage in tests/test_similarity.py.
+_SEMDEDUP_SEED = 45
+_SEMDEDUP_CELLS = 16
+_SEMDEDUP_THRESHOLD = 0.93
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embeddings table
-    (operators/similarity.semantic_dedup; Abbas et al. 2023): k-means
-    clusters the space, near-dup pairs are searched ONLY within each
-    cluster (equi-join on the cell id — the pair space is
-    cluster-bounded, never all-pairs), and each qualifying pair keeps
-    its more-central member (centroid cosine, id tiebreak). The
-    embedding-space sibling of the MinHash/SimHash text dedup ladder —
-    catches paraphrases lexical fingerprints miss. Rows-only (iterative
-    k-means, q_dedup_clusters precedent); determinism and the planted
-    near-dup drop behavior are pinned in tests/test_similarity.py."""
-    from .operators.similarity import semantic_dedup
+    (operators/similarity.semantic_dedup; Abbas et al. 2023): cluster
+    the embedding space, search near-dup pairs ONLY within each cluster
+    (equi-join on the cell id — the pair space is cluster-bounded,
+    never all-pairs), and keep each qualifying pair's more-central
+    member (centroid cosine, id tiebreak). The embedding-space sibling
+    of the MinHash/SimHash text dedup ladder — catches paraphrases
+    lexical fingerprints miss.
+
+    Centroids here are SEEDED plan literals so the DuckDB oracle
+    recomputes cell assignment, centroid cosines, the within-cell pair
+    scan, the loser set and the surviving rows bit-for-bit — the
+    kept/dropped VERDICTS are driver-hash-checked, not judgment. (The
+    production path trains data-dependent centroids via kmeans_centroids
+    — better cells, same machinery — pinned in tests/test_similarity.py;
+    centroid placement changes WHICH pairs meet inside a cell, i.e.
+    recall, never the keep-rule semantics this entry proves.)"""
+    from .operators.similarity import _hyperplanes, semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb,
         "vec_id",
         "embedding",
-        threshold=0.93,
-        n_centroids=16,
-        n_iters=2,
+        threshold=_SEMDEDUP_THRESHOLD,
+        centroids=_hyperplanes(_SEMDEDUP_CELLS, 64, seed=_SEMDEDUP_SEED),
         materialize_path=_tmp_path("semdedup_cells"),
     ).orderBy("vec_id")
 
@@ -23379,3 +23395,527 @@ _R12_WINDOW = [
 # every registration above, including late batches, precedes it)
 _r12_rest = [n for n in QUERIES if n not in set(_R12_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*_R12_WINDOW, *_r12_rest]}
+
+
+# ---------------------------------------------------------------------------
+# ROUND 13: rows-only graduations (seeded plan-literal closures) + the
+# substring-duplication rung + signature-artifact compaction
+# ---------------------------------------------------------------------------
+
+def _dk_dlit(x: float) -> str:
+    """DOUBLE literal for DuckDB: a bare decimal like ``0.20544601410287402``
+    lexes as DECIMAL(19,18) — 18 fractional digits, which rounds the last
+    ulp away before the double conversion. Scientific notation lexes as
+    DOUBLE directly, correctly rounded from the full repr — bit-identical
+    to the Python/Spark literal."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+#: 64-dim fold-dot against a literal vector / squared norm — the DuckDB
+#: mirrors of operators/similarity._lit_dot_sql and functions/vectors.norm
+#: (list_sum == Spark's aggregate left fold, proven by the q_cosine_topk
+#: oracle family).
+def _dk_lit_dot(vec: str, c, dim: int = 64, off: int = 0) -> str:
+    lits = "[" + ",".join(_dk_dlit(x) for x in c) + "]"
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> {vec}[{off} + j]::double * ({lits})[j]))"
+    )
+
+
+def _dk_norm2(vec: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> {vec}[j]::double * {vec}[j]::double))"
+    )
+
+
+def _dk_semantic_dedup_sql(
+    n_cells: int = _SEMDEDUP_CELLS,
+    dim: int = 64,
+    threshold: float = _SEMDEDUP_THRESHOLD,
+    seed: int = _SEMDEDUP_SEED,
+) -> str:
+    """DuckDB twin of q_semantic_dedup (its r13 graduation from
+    rows-only): the seeded centroids compile into BOTH plans as
+    literals, so cell argmax, centroid cosine, the within-cell pair
+    scan, the loser rule ((cc, id) total order) and the surviving rows
+    reproduce bit-for-bit. Centroid norms are computed ONCE in Python
+    (np.linalg.norm, exactly as semantic_dedup builds its norms_lit)
+    and embedded in both plans — literal parity, not recomputation."""
+    import numpy as np
+
+    from .operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(n_cells, dim, seed=seed)
+    cnorms = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
+    dots_arr = "[" + ", ".join(_dk_lit_dot("embedding", c, dim) for c in cents) + "]"
+    cnorm_lits = "[" + ",".join(_dk_dlit(x) for x in cnorms) + "]"
+    return f"""
+        with d as (
+            select vec_id, embedding, {dots_arr} as dots from embeddings
+        ),
+        a as (
+            select vec_id, embedding,
+                   (list_position(dots, list_max(dots)) - 1)::bigint as cell,
+                   list_max(dots) / (
+                       ({cnorm_lits})[(list_position(dots, list_max(dots))
+                                       - 1) + 1]
+                       * sqrt({_dk_norm2('embedding', dim)})
+                   ) as centroid_cos
+            from d
+        ),
+        losers as (
+            select distinct
+                   case when x.centroid_cos < y.centroid_cos
+                          or (x.centroid_cos = y.centroid_cos
+                              and x.vec_id > y.vec_id)
+                        then x.vec_id else y.vec_id end as vec_id
+            from a x join a y on y.cell = x.cell and x.vec_id < y.vec_id
+            where {_dk_cosine('x.embedding', 'y.embedding')}
+                      >= {_dk_dlit(threshold)}
+        )
+        select a.vec_id, a.cell, a.centroid_cos
+        from a left join losers l on l.vec_id = a.vec_id
+        where l.vec_id is null
+        order by a.vec_id
+    """
+
+
+ORACLES["q_semantic_dedup"] = _dk_semantic_dedup_sql()
+
+
+#: q_pq_topk_lit / q_ivfpq_topk_lit operating points: seeded-constant
+#: codebooks (and coarse centroids) compiled into BOTH plans, so encode
+#: argmax, the ADC lookup-table values (driver-side engine-neutral left
+#: folds since r13 — operators/similarity._fold_dot), the gather fold,
+#: ranking and ties reproduce bit-for-bit cross-engine. The TRAINED
+#: entries (q_pq_topk / q_ivfpq_topk) keep the k-means production config
+#: rows-only with recall pytest — training is iterative, scoring is not.
+_PQ_LIT_SEED = 46
+_PQ_LIT_SUB = 4
+_PQ_LIT_CENTROIDS = 8
+_IVFPQ_LIT_SEED = 47
+_IVFPQ_LIT_CELLS = 8
+_IVFPQ_LIT_PROBE = 3
+
+
+def q_pq_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with SEEDED plan-literal codebooks
+    — the scoring-machinery graduation of q_pq_topk (r12 VERDICT item
+    3): encode (per-subspace squared-L2 argmax over codeword literals),
+    the per-query lookup tables (driver-side left folds), the gather
+    fold, the cosine surrogate and the (sim desc, id) ranking are ALL
+    reproduced by the DuckDB oracle and driver-hash-checked. Raw ADC
+    (rerank=None), self-matches kept — exactly pq_topk's contract."""
+    from .operators.similarity import pq_topk, seeded_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = seeded_codebooks(
+        _PQ_LIT_SUB, _PQ_LIT_CENTROIDS, 64 // _PQ_LIT_SUB, seed=_PQ_LIT_SEED
+    )
+    queries = emb.filter(F.col("vec_id") < 5).limit(5)
+    return pq_topk(emb, queries, books, k=10, rerank=None).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _dk_pq_codes_cte(
+    books, dim: int, rel: str = "embeddings", id_as: str = "neighbor_id"
+) -> str:
+    """CTE text computing per-subspace PQ codes for every vector of
+    ``rel`` — the DuckDB mirror of operators/similarity.pq_encode: for
+    each subspace, argmax over (sub-dot - half-codeword-norm) literals;
+    the half norms are np.dot exactly as _pq_scores_sql embeds them."""
+    import numpy as np
+
+    n_sub, _n_c, sub_dim = books.shape
+    score_cols = []
+    for s in range(n_sub):
+        arr = "[" + ", ".join(
+            f"({_dk_lit_dot('embedding', c, sub_dim, off=s * sub_dim)}"
+            f" - {_dk_dlit(0.5 * np.dot(c, c))})"
+            for c in books[s]
+        ) + "]"
+        score_cols.append(f"{arr} as sc{s}")
+    code_cols = ", ".join(
+        f"(list_position(sc{s}, list_max(sc{s})) - 1) as code{s}"
+        for s in range(n_sub)
+    )
+    return f"""
+        scores as (
+            select vec_id, {', '.join(score_cols)} from {rel}
+        ),
+        codes as (
+            select vec_id as {id_as}, {code_cols} from scores
+        )"""
+
+
+def _dk_pq_sim_expr(books) -> str:
+    """sim = (left-fold dlut gather) / (qnorm * sqrt(left-fold nlut
+    gather)) — dlut picks recompute the query-side sub-dots (list_sum ==
+    the Python _fold_dot), nlut picks are _fold_dot(c, c) literals."""
+    from .operators.similarity import _fold_dot
+
+    n_sub, n_c, _sub_dim = books.shape
+    nl = "[" + ",".join(
+        _dk_dlit(_fold_dot(c, c)) for s in range(n_sub) for c in books[s]
+    ) + "]"
+    num = " + ".join(f"q.dl[{s * n_c} + c.code{s} + 1]" for s in range(n_sub))
+    den = " + ".join(f"({nl})[{s * n_c} + c.code{s} + 1]" for s in range(n_sub))
+    return f"({num}) / (q.qnorm * sqrt({den}))"
+
+
+def _dk_pq_query_cte(books, dim: int, where: str = "vec_id < 5") -> str:
+    n_sub, _n_c, sub_dim = books.shape
+    dl = "[" + ", ".join(
+        _dk_lit_dot("embedding", c, sub_dim, off=s * sub_dim)
+        for s in range(n_sub)
+        for c in books[s]
+    ) + "]"
+    return f"""
+        q as (
+            select vec_id as query_id, embedding,
+                   sqrt({_dk_norm2('embedding', dim)}) as qnorm,
+                   {dl} as dl
+            from embeddings where {where}
+        )"""
+
+
+def _dk_pq_topk_lit_sql(k: int = 10) -> str:
+    from .operators.similarity import seeded_codebooks
+
+    books = seeded_codebooks(
+        _PQ_LIT_SUB, _PQ_LIT_CENTROIDS, 64 // _PQ_LIT_SUB, seed=_PQ_LIT_SEED
+    )
+    return f"""
+        with {_dk_pq_codes_cte(books, 64)},
+        {_dk_pq_query_cte(books, 64)}
+        select query_id, neighbor_id, rank, sim from (
+            select q.query_id, c.neighbor_id,
+                   row_number() over (
+                       partition by q.query_id
+                       order by {_dk_pq_sim_expr(books)} desc, c.neighbor_id
+                   ) as rank,
+                   {_dk_pq_sim_expr(books)} as sim
+            from codes c cross join q
+        ) where rank <= {k}
+        order by query_id, rank
+    """
+
+
+QUERIES["q_pq_topk_lit"] = q_pq_topk_lit
+ORACLES["q_pq_topk_lit"] = _dk_pq_topk_lit_sql()
+
+
+def q_ivfpq_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN with SEEDED coarse centroids AND codebooks —
+    the q_ivfpq_topk machinery graduation: coarse cell argmax (corpus
+    side), the per-query probe list (driver-side fold dots under the
+    (dot desc, cell asc) total order), cell-join candidate pruning, ADC
+    scoring and ranking all reproduce in the DuckDB oracle. Partial
+    probe (3 of 8 cells), raw ADC, self-matches excluded — exactly
+    cosine_topk_ivfpq's contract."""
+    from .operators.similarity import (
+        _hyperplanes,
+        cosine_topk_ivfpq,
+        seeded_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = seeded_codebooks(
+        _PQ_LIT_SUB, _PQ_LIT_CENTROIDS, 64 // _PQ_LIT_SUB, seed=_PQ_LIT_SEED
+    )
+    cents = _hyperplanes(_IVFPQ_LIT_CELLS, 64, seed=_IVFPQ_LIT_SEED)
+    queries = emb.filter(F.col("vec_id") < 5).limit(5)
+    return cosine_topk_ivfpq(
+        emb,
+        queries,
+        books,
+        k=10,
+        n_probe=_IVFPQ_LIT_PROBE,
+        centroids=cents,
+        rerank=None,
+    ).orderBy("query_id", "rank")
+
+
+def _dk_ivfpq_topk_lit_sql(k: int = 10) -> str:
+    from .operators.similarity import _hyperplanes, seeded_codebooks
+
+    books = seeded_codebooks(
+        _PQ_LIT_SUB, _PQ_LIT_CENTROIDS, 64 // _PQ_LIT_SUB, seed=_PQ_LIT_SEED
+    )
+    cents = _hyperplanes(_IVFPQ_LIT_CELLS, 64, seed=_IVFPQ_LIT_SEED)
+    cdots = "[" + ", ".join(_dk_lit_dot("embedding", c, 64) for c in cents) + "]"
+    return f"""
+        with {_dk_pq_codes_cte(books, 64)},
+        cellc as (
+            select vec_id,
+                   (list_position(cd, list_max(cd)) - 1) as cell
+            from (select vec_id, {cdots} as cd from embeddings)
+        ),
+        cb as (
+            select c.neighbor_id, c.code0, c.code1, c.code2, c.code3,
+                   cc.cell
+            from codes c join cellc cc on cc.vec_id = c.neighbor_id
+        ),
+        {_dk_pq_query_cte(books, 64)},
+        probes as (
+            select query_id, cell from (
+                select e.vec_id as query_id, u.i - 1 as cell,
+                       row_number() over (
+                           partition by e.vec_id
+                           order by list_extract(e.cd, u.i) desc, u.i
+                       ) as pr
+                from (select vec_id, {cdots} as cd
+                      from embeddings where vec_id < 5) e
+                cross join generate_series(1, {_IVFPQ_LIT_CELLS}) as u(i)
+            ) where pr <= {_IVFPQ_LIT_PROBE}
+        )
+        select query_id, neighbor_id, rank, sim from (
+            select q.query_id, c.neighbor_id,
+                   row_number() over (
+                       partition by q.query_id
+                       order by {_dk_pq_sim_expr(books)} desc, c.neighbor_id
+                   ) as rank,
+                   {_dk_pq_sim_expr(books)} as sim
+            from probes p
+            join cb c on c.cell = p.cell
+            join q on q.query_id = p.query_id
+            where c.neighbor_id != p.query_id
+        ) where rank <= {k}
+        order by query_id, rank
+    """
+
+
+QUERIES["q_ivfpq_topk_lit"] = q_ivfpq_topk_lit
+ORACLES["q_ivfpq_topk_lit"] = _dk_ivfpq_topk_lit_sql()
+
+
+#: Planted boilerplate for q_substring_dup: a fixed 19-token sentence
+#: appended to every doc_id % 41 == 5 document IN-QUERY (the q_pii_redact
+#: planting discipline — both engines apply the same deterministic
+#: corruption, so known-length shared spans exist at every SF).
+_SUBSTR_BOILER = (
+    "subscribe to our newsletter for the latest updates and exclusive"
+    " offers delivered straight to your inbox every week"
+)
+_SUBSTR_L = 12
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication detector (operators/dedup.
+    substring_dup_spans) — the suffix-array dedup rung of Lee et al.
+    2022, the one document-level fingerprints can't see: maximal token
+    spans covered by EXACTLY-duplicated >= 12-token substrings anywhere
+    in the corpus (cross-document or within-document). Distributed as
+    anchor L-grams -> duplicated-gram marking (count window on the gram
+    key) -> per-doc interval union (lag + running sum islands) — never
+    all-pairs, never a suffix sort. A fixed boilerplate sentence is
+    planted into every 41st document in-query, so known shared spans
+    exist at every SF on top of the corpus's natural dups; the oracle
+    recomputes grams, marks, islands and span arithmetic exactly.
+    q_dup_ngram_coverage reports the MASS this rung would remove;
+    this entry reports the SPANS, ready for cut-and-splice removal."""
+    from .operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 41 == 5,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dup_spans(
+        planted, "doc_id", "text", min_tokens=_SUBSTR_L
+    ).orderBy("doc_id", "span_start")
+
+
+def _dk_substring_dup_sql(L: int = _SUBSTR_L) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+    return f"""
+        with dp as (
+            select doc_id,
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        t as (select doc_id, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {gram}}}
+                       )) as u
+                from t
+            )
+        ),
+        ds as (
+            select doc_id, pos from (
+                select doc_id, pos,
+                       count(*) over (partition by gram) as n_occ
+                from g
+            ) where n_occ >= 2
+        ),
+        fl as (
+            select doc_id, pos,
+                   case when lag(pos) over (partition by doc_id order by pos)
+                              is null
+                          or pos - lag(pos) over (partition by doc_id
+                                                  order by pos) > {L}
+                        then 1 else 0 end as brk
+            from ds
+        ),
+        isl as (
+            select doc_id, pos,
+                   sum(brk) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as island
+            from fl
+        )
+        select doc_id,
+               min(pos)::bigint as span_start,
+               (max(pos) + {L - 1})::bigint as span_end,
+               (max(pos) - min(pos) + {L})::bigint as span_tokens,
+               count(*)::bigint as n_dup_grams
+        from isl
+        group by doc_id, island
+        order by doc_id, span_start
+    """
+
+
+QUERIES["q_substring_dup"] = q_substring_dup
+ORACLES["q_substring_dup"] = _dk_substring_dup_sql()
+
+
+def q_signature_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-artifact maintenance loop CLOSED for the dedup index —
+    the text-side mirror of q_ivf_index_compact: incremental near-dup
+    ingest (q_dedup_incremental) appends one signature file generation
+    per batch, fragmenting the persisted MinHash artifact, so the
+    routine that keeps it viable at 100 TB is
+    plans/compact.compact_parquet_dir pointed at the signature
+    directory. Exercised end to end: three id-hash batches append three
+    file generations -> compact -> the LSH banding + Jaccard-verify
+    pipeline runs over the COMPACTED artifact and must emit exactly the
+    pair set a from-scratch rebuild computes (the q_minhash_lsh_pairs
+    oracle) — the driver hash proves compaction lost/duplicated/mangled
+    no signature. File-count collapse is pinned in
+    tests/test_round13.py."""
+    import shutil
+
+    from .functions import text as TX
+    from .operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .plans.compact import compact_parquet_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    spath = _tmp_path("sig_compact_artifact")
+    shutil.rmtree(spath, ignore_errors=True)
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 3
+    for b in range(3):
+        minhash_signatures(
+            docs.filter(bucket == b), "doc_id", "text"
+        ).write.mode("append").parquet(spath)
+    compact_parquet_dir(spark, spath, target_mb=128)
+    sigs = spark.read.parquet(spath)
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    return (
+        jaccard_pairs(docs, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    )
+
+
+QUERIES["q_signature_compact"] = q_signature_compact
+# post-compaction pairs == from-scratch rebuild pairs (the
+# q_ivf_index_append oracle-aliasing precedent)
+ORACLES["q_signature_compact"] = ORACLES["q_minhash_lsh_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# ROUND-13 WINDOW: the driver's correctness gate reads the FIRST 50 entries
+# of QUERIES, so registry order is load-bearing (this block supersedes the
+# ROUND-12 WINDOW reorder above, kept for provenance). Composition (pinned
+# by tests/test_entry_contract.test_driver_window_composition):
+#   slots 1-5: the round-13 additions and graduations — q_semantic_dedup's
+#     FIRST oracle-twinned driver row (graduated from rows-only via seeded
+#     plan-literal centroids, r12 VERDICT item 2), the two PQ scoring-
+#     machinery literal twins (r12 item 3), the substring-duplication rung
+#     (r12 item 4) and the signature-artifact compaction loop (r12 item 5)
+#     — all 3-SF oracle-verified before registration.
+#   slots 6-50: freshness rotation — the 45 STALEST oracle-twinned greens
+#     by most-recent-attestation round as of round 12 (computed from the
+#     ledger: tools/attestation.py --stalest 45 --as-of 12, never
+#     hand-curated): the 21 remaining round-4-cohort entries, then the
+#     first 24 of the round-5 cohort, name order within cohort.
+# ---------------------------------------------------------------------------
+
+_R13_WINDOW = [
+    # -- 1-5: round-13 additions / graduations ---------------------------
+    "q_semantic_dedup",
+    "q_pq_topk_lit",
+    "q_ivfpq_topk_lit",
+    "q_substring_dup",
+    "q_signature_compact",
+    # -- 6-50: stalest-attestation freshness rotation (round-4 cohort
+    #    tail, then the round-5 cohort head, name order within cohort) ---
+    "q_doc_fingerprint_rolling",
+    "q_embed_neardup",
+    "q_json_extract",
+    "q_lag_lead",
+    "q_lang_id",
+    "q_multimodal_digest",
+    "q_multimodal_frames",
+    "q_null_funcs",
+    "q_partitioned_prune",
+    "q_sample_stratified",
+    "q_scan_csv",
+    "q_snapshot_diff",
+    "q_split_assign",
+    "q_string_funcs",
+    "q_text_quality",
+    "q_text_term_freq",
+    "q_text_tokens",
+    "q_token_count_bpe",
+    "q_window_rank",
+    "q_window_sliding",
+    "q_write_roundtrip",
+    "q_asof_join",
+    "q_bigram_counts",
+    "q_bucketed_join",
+    "q_chunk_dedup",
+    "q_cms_heavy_hitters",
+    "q_date_arith",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_embed_quantize",
+    "q_funnel_steps",
+    "q_incremental_rollup",
+    "q_json_lines_source",
+    "q_minhash_lsh_pairs",
+    "q_multimodal_chunks",
+    "q_orc_roundtrip",
+    "q_pii_redact",
+    "q_profile_table",
+    "q_range_join",
+    "q_regex_extract",
+    "q_resample_ffill",
+    "q_runtime_filter_join",
+    "q_salted_join",
+    "q_scd2_merge",
+    "q_schema_evolution",
+]
+
+# ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —
+# every registration above, including late batches, precedes it)
+_r13_rest = [n for n in QUERIES if n not in set(_R13_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R13_WINDOW, *_r13_rest]}

@@ -649,3 +649,83 @@ def chunk_dedup(
         F.col("__first")[id_col].alias("first_doc"),
         F.col("__first")["__i"].cast("long").alias("first_chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplication (suffix-array-class, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 12,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Maximal exactly-duplicated token spans of length >= ``min_tokens``
+    per document — the distributed answer to the suffix-array substring
+    dedup of Lee et al. 2022 ('Deduplicating Training Data Makes
+    Language Models Better'), the one dedup rung document-level
+    fingerprints (exact/MinHash/SimHash) cannot see: a boilerplate
+    paragraph pasted into otherwise-distinct documents.
+
+    Semantics (exact, not approximate): a token position is *covered*
+    iff it lies inside some substring of >= ``min_tokens`` tokens that
+    occurs >= 2 times in the corpus (any document, any position —
+    within-document repeats count, as in Lee et al.). A substring of
+    length M >= L occurring twice makes all of its L-token windows
+    duplicated, and a duplicated L-window is itself such a substring —
+    so the covered set EQUALS the union of duplicated L-gram extents,
+    and the spans returned here are its maximal intervals. This is the
+    same span set a suffix array would report, computed with joins:
+
+    - one posexplode of L-token shingles: ``(doc, pos, gram)``;
+    - duplicated-gram marking via a count window partitioned by the
+      gram key (high cardinality — tiny partitions, one shuffle; with
+      ``hash_grams`` the key is ``xxhash64(gram)``, so 8-byte longs
+      shuffle instead of ~6L-char strings — the 100 TB default, at a
+      ~1e-11 collision false-positive rate per Lee-scale corpus);
+    - interval union per document: duplicated starts sort inside a
+      per-``doc`` window (high-cardinality partition); starts whose
+      coverage gaps exceed L break islands (lag + running sum), and
+      each island aggregates to one maximal span.
+
+    Never all-pairs, never a global sort; every stage is a JVM
+    expression. Returns ``(id_col, span_start, span_end, span_tokens,
+    n_dup_grams)`` with 0-based inclusive token offsets."""
+    L = min_tokens
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(TX.shingles_of(F.col("__toks"), L)).alias("pos", "gram"),
+    )
+    key = F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
+    dup_starts = (
+        grams.withColumn(
+            "__n_occ", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
+        .filter(F.col("__n_occ") >= 2)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup_starts.withColumn(
+        "__brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > L),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__brk")
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(L)).cast("long").alias(
+            "span_tokens"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+    ).drop("__island")

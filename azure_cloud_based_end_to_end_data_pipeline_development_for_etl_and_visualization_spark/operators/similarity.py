@@ -160,6 +160,19 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def seeded_codebooks(
+    n_sub: int, n_centroids: int, sub_dim: int, seed: int = 7
+) -> np.ndarray:
+    """Seeded-constant PQ codebooks, shaped like :func:`pq_train` output.
+    Not a substitute for training (random codewords quantize worse) —
+    they exist so the ADC scoring machinery can be compiled into BOTH a
+    Spark plan and a DuckDB oracle as identical literals and
+    hash-checked end to end (the q_ivf_recall_eval closure trick)."""
+    return np.random.default_rng(seed).standard_normal(
+        (n_sub, n_centroids, sub_dim)
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -584,6 +597,26 @@ def quantize_embeddings(
 # -- product quantization (PQ / ADC) ----------------------------------------
 
 
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold dot product over IEEE doubles — the SAME
+    accumulation order as functions.vectors.dot's ``aggregate`` fold and
+    DuckDB's ``list_sum(list_transform(...))``, so driver-side LUT values
+    are bit-identical to what either engine would compute. ``np.dot``
+    is NOT engine-neutral here: BLAS ddot unrolls/pairs the summation,
+    which can differ in the last ulp from the left fold — enough to flip
+    a rank tie and break a cross-engine hash."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _fold_norm(a) -> float:
+    import math
+
+    return math.sqrt(_fold_dot(a, a))
+
+
 def _pq_scores_sql(sub_vec_sql: str, cents: np.ndarray) -> str:
     """SQL text of the squared-L2 assignment score array
     (argmin |x-c|^2 == argmax x.c - |c|^2/2). Generated as ONE string
@@ -831,11 +864,12 @@ def pq_topk(
         for s_i in range(n_sub):
             qs = q[s_i * sub_dim : (s_i + 1) * sub_dim]
             for c in codebooks[s_i]:
-                dlut.append(float(np.dot(qs, c)))
-                nlut.append(float(np.dot(c, c)))
-        lut_rows.append(
-            (int(r[id_col]), float(np.linalg.norm(q)), dlut, nlut)
-        )
+                # _fold_dot (not np.dot): the LUT values must be the
+                # engine-neutral left fold so a DuckDB oracle can
+                # recompute them bit-exactly (q_pq_topk_lit)
+                dlut.append(_fold_dot(qs, c))
+                nlut.append(_fold_dot(c, c))
+        lut_rows.append((int(r[id_col]), _fold_norm(q), dlut, nlut))
     luts = spark.createDataFrame(
         lut_rows, "query_id long, qnorm double, dlut array<double>, nlut array<double>"
     )
@@ -941,17 +975,19 @@ def cosine_topk_ivfpq(
     lut_rows = []
     for r in queries.select(id_col, vec_col).collect():
         q = np.array(r[vec_col], dtype=np.float64)
-        probe = np.argsort(-(cents @ q))[:n_probe]
+        # probe list from engine-neutral fold dots with a TOTAL order
+        # (dot desc, cell asc) — np.argsort over BLAS matvec is neither
+        # bit-stable nor tie-deterministic, which an oracle twin needs
+        cdots = [_fold_dot(cent, q) for cent in cents]
+        probe = sorted(range(len(cents)), key=lambda i: (-cdots[i], i))[:n_probe]
         dlut, nlut = [], []
         for s_i in range(n_sub):
             qs = q[s_i * sub_dim : (s_i + 1) * sub_dim]
             for c in codebooks[s_i]:
-                dlut.append(float(np.dot(qs, c)))
-                nlut.append(float(np.dot(c, c)))
+                dlut.append(_fold_dot(qs, c))
+                nlut.append(_fold_dot(c, c))
         for cell in probe:
-            lut_rows.append(
-                (int(r[id_col]), int(cell), float(np.linalg.norm(q)), dlut, nlut)
-            )
+            lut_rows.append((int(r[id_col]), int(cell), _fold_norm(q), dlut, nlut))
     spark = corpus.sparkSession
     luts = spark.createDataFrame(
         lut_rows,

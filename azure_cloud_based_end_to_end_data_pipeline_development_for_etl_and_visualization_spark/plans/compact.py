@@ -46,6 +46,17 @@ def data_file_count(path: str) -> int:
     return n
 
 
+def _side_dir(path: str, tag: str) -> str:
+    """Dot-prefixed sibling directory for the swap protocol. A crash
+    between the write and the renames used to strand visible
+    ``cell=N.__compact_<hex>`` siblings INSIDE a partitioned table root,
+    breaking partition discovery for every later reader; Spark's file
+    listing ignores dot-prefixed entries, so stranded side dirs are
+    invisible until swept."""
+    parent, base = os.path.split(os.path.abspath(path))
+    return os.path.join(parent, f".{base}.{tag}_{uuid.uuid4().hex}")
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -65,9 +76,9 @@ def compact_parquet_dir(
         )
     else:
         out = df.repartition(n_files)
-    tmp = f"{path}.__compact_{uuid.uuid4().hex}"
+    tmp = _side_dir(path, "__compact")
     out.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex}"
+    old = _side_dir(path, "__old")
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
@@ -92,8 +103,10 @@ def zorder_compact_dir(
     ``OPTIMIZE ... ZORDER BY`` applied to fresh-partition upkeep.
 
     Layout determinism: each ``cols`` member is range-normalized to a
-    ``bits``-bit domain by its own max (attached via a broadcast 1-row
-    cross join — the q_zorder_pruning_stats discipline; raw Morton over
+    ``bits``-bit domain by its own max (collected once as a 1-row scalar
+    aggregate — which also fail-fasts on negative or all-NULL keys, the
+    two inputs Morton interleaving silently corrupts — then compiled in
+    as literals; raw Morton over
     unequal key widths degenerates to a single-column sort), the keys
     are bit-interleaved (:func:`..plans.layout.zorder_key`), and the
     file assignment is the ANALYTIC ``zkey >> file_shift`` written as a
@@ -114,30 +127,45 @@ def zorder_compact_dir(
     from .layout import zorder_key
 
     df = spark.read.parquet(path)
-    maxes = df.agg(
-        *[F.max(c).alias(f"__max_{i}") for i, c in enumerate(cols)]
-    )
+    # scalar-class collect (registered in tools/collect_audit.py): one
+    # row of per-key min/max. The mins exist to FAIL FAST on negative or
+    # all-NULL keys — zorder_key's shiftright/bitwiseAND emits garbage
+    # interleave bits for negative values, and a NULL key would write a
+    # null zfile as __HIVE_DEFAULT_PARTITION__ (silent layout corruption,
+    # unlike zorder_key's own bits*n_cols guard which raises).
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__max_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"__min_{i}"], stats[f"__max_{i}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_compact_dir: column {c!r} is all-NULL or the "
+                f"directory is empty — cannot derive a Morton domain"
+            )
+        if int(lo) < 0:
+            raise ValueError(
+                f"zorder_compact_dir: column {c!r} has negative values "
+                f"(min={lo}); Morton interleaving needs a non-negative "
+                f"integer domain — shift or re-encode the key first"
+            )
     scale = 1 << bits
     scaled = [
-        F.expr(f"({c} * {scale}) div (__max_{i} + 1)")
+        F.expr(f"({c} * {scale}) div {int(stats[f'__max_{i}']) + 1}")
         for i, c in enumerate(cols)
     ]
-    keyed = (
-        df.crossJoin(F.broadcast(maxes))
-        .withColumn("__zkey", zorder_key(scaled, bits))
-        .drop(*[f"__max_{i}" for i in range(len(cols))])
-        .withColumn(
-            file_col, F.shiftright(F.col("__zkey"), file_shift).cast("int")
-        )
+    keyed = df.withColumn("__zkey", zorder_key(scaled, bits)).withColumn(
+        file_col, F.shiftright(F.col("__zkey"), file_shift).cast("int")
     )
     out = (
         keyed.repartition(file_col)
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
-    tmp = f"{path}.__zcompact_{uuid.uuid4().hex}"
+    tmp = _side_dir(path, "__zcompact")
     out.write.mode("overwrite").partitionBy(file_col).parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex}"
+    old = _side_dir(path, "__old")
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -329,6 +329,13 @@ HEADLINE = [
     "q_ivf_recall_eval",
     "q_streaming_ivf_assign",
     "q_compact_zorder",
+    # round-13 additions (appended; earlier entries comparable).
+    # q_signature_compact stays OUT for the q_ivf_index_compact reason:
+    # its wall time is artifact round-trips (3 signature writes +
+    # compact + reread at 500-5000 docs), fixed overheads not plans.
+    "q_pq_topk_lit",
+    "q_ivfpq_topk_lit",
+    "q_substring_dup",
 ]
 
 
@@ -375,7 +382,12 @@ def gated_median(build, repeats: int, warmup: bool = True):
     if med > 0 and spread > SPREAD_GATE * med:
         runs2 = _round()
         med2, spread2 = _st.median(runs2), max(runs2) - min(runs2)
-        if spread2 < spread:
+        # RELATIVE spread decides which round ships: the gate and the
+        # published noisy flag are both relative (spread > 0.3*median),
+        # so a re-run on a uniformly slower host window — larger absolute
+        # spread, steadier relative to ITS median — must still win, and
+        # the noisy label must describe the round actually kept
+        if med2 > 0 and spread2 / med2 < spread / med:
             med, spread = med2, spread2
     return (
         round(med, 3),
@@ -404,7 +416,8 @@ def gated_timed_value(fn, repeats: int):
     val, med, spread = _round()
     if med > 0 and spread > SPREAD_GATE * med:
         val2, med2, spread2 = _round()
-        if spread2 < spread:
+        # relative-spread comparison, same reasoning as gated_median
+        if med2 > 0 and spread2 / med2 < spread / med:
             val, med, spread = val2, med2, spread2
     return (
         val,
@@ -939,6 +952,42 @@ def bench_layout_pruning(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def normalized_vs_prev(
+    prev: dict, timings: dict, anchor_sec: float, sf
+) -> dict:
+    """Canary-normalized round-over-round delta (r12 VERDICT item 6): the
+    judge divided headline deltas by the anchor ratio BY HAND every
+    round — mechanize it. ``prev`` is BENCH_full_prev.json, the
+    COMMITTED prior-round capture (copy BENCH_full_latest.json over it
+    when a round's driver capture is accepted; BENCH_full_latest itself
+    is overwritten by every local run and must not be the reference).
+    A query regresses when its timing, divided by the host-speed anchor
+    ratio, exceeds 1.3x the prior round's — same-sf captures only, and
+    sub-300ms priors are skipped (pure jitter at that size). Read rule
+    documented in SCALING.md "Normalized regressions"."""
+    prev_anchor = (prev.get("canary") or {}).get("anchor_sec")
+    if not prev_anchor or anchor_sec <= 0 or prev.get("sf") != sf:
+        return {"available": False}
+    anchor_ratio = round(anchor_sec / prev_anchor, 3)
+    regressions = []
+    for name, cur in timings.items():
+        was = (prev.get("queries") or {}).get(name)
+        if was is None or was < 0.3:
+            continue
+        r = round((cur / anchor_ratio) / was, 3)
+        if r > 1.3:
+            regressions.append(
+                {"query": name, "prev_sec": was, "cur_sec": cur,
+                 "normalized_ratio": r}
+            )
+    regressions.sort(key=lambda d: -d["normalized_ratio"])
+    return {
+        "available": True,
+        "anchor_ratio_vs_prev": anchor_ratio,
+        "normalized_regressions": regressions,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -996,6 +1045,18 @@ def main() -> None:
     )
     canary["anchor_sec"] = min(samples)
 
+    norm = {"available": False}
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full_prev.json")) as f:
+            prev = json.load(f)
+        norm = normalized_vs_prev(
+            prev, timings, canary["anchor_sec"],
+            float(sf) if sf.replace(".", "").isdigit() else sf,
+        )
+    except (OSError, ValueError, KeyError):
+        pass  # no committed prior capture: first round with this scheme
+
     skew = bench_skew(spark, sf_dir, repeats)
     ann = bench_ann(spark, sf_dir, repeats)
     incr = bench_incremental_refresh(spark, sf_dir, repeats)
@@ -1008,6 +1069,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "canary": canary,
+        "vs_prev": norm,
         "skew_join": skew,
         "ann": ann,
         "incremental_refresh": incr,
@@ -1040,6 +1102,11 @@ def main() -> None:
                     "repeats": repeats,
                     "canary_drift": canary.get("drift_factor"),
                     "canary_anchor_sec": canary.get("anchor_sec"),
+                    "anchor_ratio_vs_prev": norm.get("anchor_ratio_vs_prev"),
+                    "normalized_regressions": [
+                        d["query"]
+                        for d in norm.get("normalized_regressions", [])
+                    ],
                     "skew_ratio": skew.get("ratio_plain_over_salted"),
                     "incr_ratio": incr.get("ratio_full_over_delta"),
                     # files-kept is the PRIMARY pruning metric (the

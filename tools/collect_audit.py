@@ -59,6 +59,12 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         "domain-bounded: price-cent histogram (bounded value domain), "
         "median read off the driver-sized histogram",
     ),
+    ("plans/compact.py", "zorder_compact_dir"): (
+        1,
+        "scalar: 1-row per-key min/max aggregate — validates the Morton "
+        "domain (fail-fast on negative/NULL keys) and compiles the maxes "
+        "in as literals",
+    ),
     ("catalog.py", "q_streaming_left_interval"): (
         1,
         "scalar: 1-row max(ts) high-water mark for the stream horizon",
