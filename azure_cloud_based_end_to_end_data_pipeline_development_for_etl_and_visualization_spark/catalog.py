@@ -23841,22 +23841,123 @@ QUERIES["q_signature_compact"] = q_signature_compact
 ORACLES["q_signature_compact"] = ORACLES["q_minhash_lsh_pairs"]
 
 
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-and-splice substring-dedup SCRUB (operators/dedup.
+    substring_scrub) — the removal half of the Lee et al. rung whose
+    detection half is q_substring_dup: every maximal token span covered
+    by an exactly-duplicated >= 12-token substring is excised from every
+    document (all occurrences — the RefinedWeb/Dolma practice: spans
+    duplicated at this length are boilerplate; keeping one canonical
+    copy would require a corpus-global occurrence order, i.e. a total
+    sort). Same planted boilerplate as q_substring_dup, so the scrub
+    provably removes it at every SF; the oracle recomputes dup starts,
+    covered positions, the spliced text (ordered string_agg == sorted
+    struct rebuild) and the kept/removed token counts exactly.
+    Downstream of this entry a pipeline re-runs exact dedup: scrubbed
+    near-identical docs often COLLAPSE to equal texts."""
+    from .operators.dedup import substring_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 41 == 5,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_scrub(
+        planted, "doc_id", "text", min_tokens=_SUBSTR_L
+    ).orderBy("doc_id")
+
+
+def _dk_substring_scrub_sql(L: int = _SUBSTR_L) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+    return f"""
+        with dp as (
+            select doc_id,
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        t as (select doc_id, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {gram}}}
+                       )) as u
+                from t
+            )
+        ),
+        ds as (
+            select doc_id, pos from (
+                select doc_id, pos,
+                       count(*) over (partition by gram) as n_occ
+                from g
+            ) where n_occ >= 2
+        ),
+        cov as (
+            select distinct doc_id,
+                   unnest(generate_series(pos, pos + {L - 1})) as pos
+            from ds
+        ),
+        pt as (
+            select doc_id, u.pos, u.tok from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(w)),
+                           i -> {{'pos': i - 1, 'tok': w[i]}}
+                       )) as u
+                from t
+            )
+        ),
+        kept as (
+            select pt.doc_id, pt.pos, pt.tok
+            from pt anti join cov using (doc_id, pos)
+        ),
+        reb as (
+            select doc_id,
+                   string_agg(tok, ' ' order by pos) as clean_text,
+                   count(*)::bigint as n_tokens_kept
+            from kept group by doc_id
+        ),
+        tot as (select doc_id, len(w)::bigint as n_total from t)
+        select tot.doc_id,
+               coalesce(reb.clean_text, '') as clean_text,
+               coalesce(reb.n_tokens_kept, 0)::bigint as n_tokens_kept,
+               (tot.n_total - coalesce(reb.n_tokens_kept, 0))::bigint
+                   as n_tokens_removed
+        from tot left join reb using (doc_id)
+        order by doc_id
+    """
+
+
+QUERIES["q_substring_scrub"] = q_substring_scrub
+ORACLES["q_substring_scrub"] = _dk_substring_scrub_sql()
+
+
+
 # ---------------------------------------------------------------------------
 # ROUND-13 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-12 WINDOW reorder above, kept for provenance). Composition (pinned
 # by tests/test_entry_contract.test_driver_window_composition):
-#   slots 1-5: the round-13 additions and graduations — q_semantic_dedup's
+#   slots 1-6: the round-13 additions and graduations — q_semantic_dedup's
 #     FIRST oracle-twinned driver row (graduated from rows-only via seeded
 #     plan-literal centroids, r12 VERDICT item 2), the two PQ scoring-
 #     machinery literal twins (r12 item 3), the substring-duplication rung
 #     (r12 item 4) and the signature-artifact compaction loop (r12 item 5)
+#     plus the scrub half of the substring rung (q_substring_scrub)
 #     — all 3-SF oracle-verified before registration.
-#   slots 6-50: freshness rotation — the 45 STALEST oracle-twinned greens
+#   slots 7-50: freshness rotation — the 44 STALEST oracle-twinned greens
 #     by most-recent-attestation round as of round 12 (computed from the
-#     ledger: tools/attestation.py --stalest 45 --as-of 12, never
+#     ledger: tools/attestation.py --stalest 44 --as-of 12, never
 #     hand-curated): the 21 remaining round-4-cohort entries, then the
-#     first 24 of the round-5 cohort, name order within cohort.
+#     first 23 of the round-5 cohort, name order within cohort.
 # ---------------------------------------------------------------------------
 
 _R13_WINDOW = [
@@ -23865,8 +23966,9 @@ _R13_WINDOW = [
     "q_pq_topk_lit",
     "q_ivfpq_topk_lit",
     "q_substring_dup",
+    "q_substring_scrub",
     "q_signature_compact",
-    # -- 6-50: stalest-attestation freshness rotation (round-4 cohort
+    # -- 7-50: stalest-attestation freshness rotation (round-4 cohort
     #    tail, then the round-5 cohort head, name order within cohort) ---
     "q_doc_fingerprint_rolling",
     "q_embed_neardup",
@@ -23912,7 +24014,6 @@ _R13_WINDOW = [
     "q_runtime_filter_join",
     "q_salted_join",
     "q_scd2_merge",
-    "q_schema_evolution",
 ]
 
 # ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —

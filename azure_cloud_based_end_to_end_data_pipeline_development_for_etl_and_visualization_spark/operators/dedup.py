@@ -729,3 +729,84 @@ def substring_dup_spans(
         ),
         F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
     ).drop("__island")
+
+
+def substring_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 12,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Cut-and-splice removal of every duplicated >= ``min_tokens``-token
+    span — the ACTION following :func:`substring_dup_spans`' detection,
+    i.e. the full Lee et al. 2022 substring-dedup rung end to end.
+    Practical-pipeline semantics (RefinedWeb/Dolma-style): ALL covered
+    occurrences are excised, including the first — duplicated spans at
+    this length are boilerplate, and keeping one canonical copy would
+    make the output depend on a corpus-global occurrence order (a total
+    sort this engine avoids everywhere).
+
+    Job shape: the duplicated-start relation is computed exactly as in
+    :func:`substring_dup_spans` (one gram shuffle, ``hash_grams`` for
+    8-byte keys at scale); covered positions then explode from each
+    start's ``sequence(pos, pos+L-1)`` (bounded Lx blowup of dup starts
+    only, not of the corpus), dedup inside the same per-doc shuffle, and
+    the kept tokens reassemble ORDER-SAFELY via sort of (pos, token)
+    structs inside each doc group — never a global sort. Documents with
+    nothing removed pass through verbatim (token-normalized docs: the
+    splice rebuilds from the same whitespace tokenization both engines
+    share). Returns ``(id_col, clean_text, n_tokens_kept,
+    n_tokens_removed)``."""
+    L = min_tokens
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(TX.shingles_of(F.col("__toks"), L)).alias("pos", "gram"),
+    )
+    key = F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
+    dup_starts = (
+        grams.withColumn(
+            "__n_occ", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
+        .filter(F.col("__n_occ") >= 2)
+        .select(id_col, "pos")
+    )
+    covered = dup_starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+        ).alias("pos"),
+    ).distinct()
+    pos_toks = toks.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("pos", "tok")
+    )
+    kept = pos_toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    totals = pos_toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

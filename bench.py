@@ -336,6 +336,7 @@ HEADLINE = [
     "q_pq_topk_lit",
     "q_ivfpq_topk_lit",
     "q_substring_dup",
+    "q_substring_scrub",
 ]
 
 

@@ -376,3 +376,56 @@ def test_normalized_vs_prev_math_and_guards():
     assert bench.normalized_vs_prev({"sf": 0.1}, timings, 1.0, 0.1) == {
         "available": False
     }
+
+
+# ---------------------------------------------------------------------------
+# substring scrub (q_substring_scrub / substring_scrub)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_scrub_removes_planted_span_and_passes_through_rest(spark):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.dedup import (
+        substring_scrub,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    a_unique = " ".join(f"a{i}" for i in range(7))
+    b_unique = " ".join(f"b{i}" for i in range(6))
+    clean = " ".join(f"u{i}" for i in range(15))
+    rows = [
+        (1, f"{a_unique} {shared}"),
+        (2, f"{shared} {b_unique}"),
+        (3, clean),
+    ]
+    out = {
+        r.doc_id: r
+        for r in substring_scrub(
+            _docs(spark, rows), "doc_id", "text", min_tokens=12
+        ).collect()
+    }
+    # the shared 20-token run vanishes from BOTH docs (all occurrences)
+    assert out[1].clean_text == a_unique
+    assert out[1].n_tokens_removed == 20 and out[1].n_tokens_kept == 7
+    assert out[2].clean_text == b_unique
+    assert out[2].n_tokens_removed == 20 and out[2].n_tokens_kept == 6
+    # a dup-free doc passes through verbatim (token-normalized)
+    assert out[3].clean_text == clean
+    assert out[3].n_tokens_removed == 0 and out[3].n_tokens_kept == 15
+
+
+def test_substring_scrub_fully_covered_doc_empties(spark):
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.dedup import (
+        substring_scrub,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(1, shared), (2, shared), (3, "solo " + " ".join(f"v{i}" for i in range(12)))]
+    out = {
+        r.doc_id: r
+        for r in substring_scrub(
+            _docs(spark, rows), "doc_id", "text", min_tokens=12
+        ).collect()
+    }
+    assert out[1].clean_text == "" and out[1].n_tokens_kept == 0
+    assert out[2].clean_text == "" and out[2].n_tokens_kept == 0
+    assert out[3].n_tokens_removed == 0
