@@ -216,3 +216,25 @@ def test_coverage_md_lists_every_query():
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [k for k in entry_mod.queries() if k not in coverage]
     assert not missing, f"COVERAGE.md missing {len(missing)} queries: {missing}"
+
+
+def test_rows_only_ledger_documents_every_rows_only_entry():
+    """COVERAGE.md's 'Rows-only ledger' table (r12 VERDICT item 3) must
+    stay in sync with the registry: every rows-only query gets a row in
+    THAT section (not just a mention elsewhere), and nothing graduated
+    lingers in it."""
+    coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
+    start = coverage.index("## Rows-only ledger")
+    end = coverage.index("## Scale utilities")
+    section = coverage[start:end]
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    missing = [n for n in rows_only if f"`{n}`" not in section]
+    assert not missing, f"ledger missing {missing}"
+    # graduated entries must not keep ledger rows (the section may MENTION
+    # them as graduation precedents, but not carry a `q_...` table row
+    # that starts a line)
+    import re
+    listed = set(re.findall(r"^\| `(q_\w+)` \|", section, re.M))
+    stale = listed - rows_only
+    assert not stale, f"ledger lists oracle-twinned entries: {stale}"

@@ -429,3 +429,81 @@ def test_substring_scrub_fully_covered_doc_empties(spark):
     assert out[1].clean_text == "" and out[1].n_tokens_kept == 0
     assert out[2].clean_text == "" and out[2].n_tokens_kept == 0
     assert out[3].n_tokens_removed == 0
+
+
+def test_pq_adc_matches_pure_python_rederivation(spark):
+    """Shared-wrong-formula guard for the q_pq_topk_lit graduation: the
+    cross-engine hash proves Spark == DuckDB, not that either computes
+    ADC correctly. Re-derive the full pipeline — encode argmax over
+    (sub-dot - half-norm), LUT folds, gather, cosine surrogate, (sim
+    desc, id) ranking — in plain Python and require pq_topk's output to
+    match exactly (ids/ranks) and to 0 ulp (sims, both sides fold-built
+    from identical doubles)."""
+    import math
+
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    n_sub, n_c, sub_dim, dim, k = 2, 4, 8, 16, 3
+    books = seeded_codebooks(n_sub, n_c, sub_dim, seed=29)
+    rows = [
+        (i, rng.standard_normal(dim).astype("float32").tolist())
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_topk(
+        df, df.filter(F.col("vec_id") < 2), books, k=k, rerank=None
+    ).collect()
+
+    # pure-Python re-derivation
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    halfn = {
+        (s, c): float(0.5 * np.dot(books[s][c], books[s][c]))
+        for s in range(n_sub)
+        for c in range(n_c)
+    }
+
+    def enc(v):
+        codes = []
+        for s in range(n_sub):
+            sub = v[s * sub_dim : (s + 1) * sub_dim]
+            scores = [
+                _fold_dot(sub, books[s][c]) - halfn[(s, c)] for c in range(n_c)
+            ]
+            codes.append(scores.index(max(scores)))
+        return codes
+
+    expected = {}
+    for q in (0, 1):
+        qv = vecs[q]
+        dlut = [
+            _fold_dot(qv[s * sub_dim : (s + 1) * sub_dim], books[s][c])
+            for s in range(n_sub)
+            for c in range(n_c)
+        ]
+        nlut = [
+            _fold_dot(books[s][c], books[s][c])
+            for s in range(n_sub)
+            for c in range(n_c)
+        ]
+        qn = _fold_norm(qv)
+        scored = []
+        for nid, nv in vecs.items():
+            codes = enc(nv)
+            num = 0.0
+            den = 0.0
+            for s in range(n_sub):
+                num += dlut[s * n_c + codes[s]]
+                den += nlut[s * n_c + codes[s]]
+            scored.append((nid, num / (qn * math.sqrt(den))))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, sim) in enumerate(scored[:k], start=1):
+            expected[(q, nid)] = (rank, sim)
+
+    assert len(got) == 2 * k
+    for r in got:
+        exp_rank, exp_sim = expected[(r.query_id, r.neighbor_id)]
+        assert r.rank == exp_rank, (r, exp_rank)
+        assert r.sim == exp_sim, (r, exp_sim)
