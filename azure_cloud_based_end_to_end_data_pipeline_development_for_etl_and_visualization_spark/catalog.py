@@ -23941,23 +23941,126 @@ ORACLES["q_substring_scrub"] = _dk_substring_scrub_sql()
 
 
 
+def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup — the q_dedup_incremental production
+    shape for the substring rung (operators/dedup.
+    substring_dup_spans_incremental): the BASE corpus contributes only
+    its persisted gram-count artifact (operators/dedup.gram_counts —
+    vocabulary-bounded (gram, n_occ) rows, merged by summation per
+    ingest batch, never re-derived from base text), and only the
+    INCOMING batch (deterministic 1/3 id-hash split) is tokenized. A
+    gram duplicates iff batch count + base count reaches 2 — provably
+    the full-recompute semantics restricted to incoming documents,
+    which is exactly what the oracle recomputes from scratch. Same
+    plant as q_substring_dup, so cross-split shared spans exist at
+    every SF."""
+    from .functions import text as TX
+    from .operators.dedup import gram_counts, substring_dup_spans_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 41 == 5,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    is_inc = TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
+    cpath = _tmp_path("substring_inc_gram_counts")
+    gram_counts(
+        planted.filter(~is_inc), "doc_id", "text", min_tokens=_SUBSTR_L
+    ).write.mode("overwrite").parquet(cpath)
+    base_counts = spark.read.parquet(cpath)
+    return substring_dup_spans_incremental(
+        planted.filter(is_inc),
+        base_counts,
+        "doc_id",
+        "text",
+        min_tokens=_SUBSTR_L,
+    ).orderBy("doc_id", "span_start")
+
+
+def _dk_substring_incremental_sql(L: int = _SUBSTR_L) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+    return f"""
+        with dp as (
+            select doc_id,
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        t as (select doc_id, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {gram}}}
+                       )) as u
+                from t
+            )
+        ),
+        ds as (
+            select doc_id, pos from (
+                select doc_id, pos,
+                       count(*) over (partition by gram) as n_occ
+                from g
+            )
+            where n_occ >= 2
+              and ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 3 = 0
+        ),
+        fl as (
+            select doc_id, pos,
+                   case when lag(pos) over (partition by doc_id order by pos)
+                              is null
+                          or pos - lag(pos) over (partition by doc_id
+                                                  order by pos) > {L}
+                        then 1 else 0 end as brk
+            from ds
+        ),
+        isl as (
+            select doc_id, pos,
+                   sum(brk) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as island
+            from fl
+        )
+        select doc_id,
+               min(pos)::bigint as span_start,
+               (max(pos) + {L - 1})::bigint as span_end,
+               (max(pos) - min(pos) + {L})::bigint as span_tokens,
+               count(*)::bigint as n_dup_grams
+        from isl
+        group by doc_id, island
+        order by doc_id, span_start
+    """
+
+
+QUERIES["q_substring_incremental"] = q_substring_incremental
+ORACLES["q_substring_incremental"] = _dk_substring_incremental_sql()
+
+
+
 # ---------------------------------------------------------------------------
 # ROUND-13 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-12 WINDOW reorder above, kept for provenance). Composition (pinned
 # by tests/test_entry_contract.test_driver_window_composition):
-#   slots 1-6: the round-13 additions and graduations — q_semantic_dedup's
+#   slots 1-7: the round-13 additions and graduations — q_semantic_dedup's
 #     FIRST oracle-twinned driver row (graduated from rows-only via seeded
 #     plan-literal centroids, r12 VERDICT item 2), the two PQ scoring-
 #     machinery literal twins (r12 item 3), the substring-duplication rung
 #     (r12 item 4) and the signature-artifact compaction loop (r12 item 5)
-#     plus the scrub half of the substring rung (q_substring_scrub)
+#     plus the scrub and incremental halves of the substring rung
+#     (q_substring_scrub, q_substring_incremental)
 #     — all 3-SF oracle-verified before registration.
-#   slots 7-50: freshness rotation — the 44 STALEST oracle-twinned greens
+#   slots 8-50: freshness rotation — the 43 STALEST oracle-twinned greens
 #     by most-recent-attestation round as of round 12 (computed from the
-#     ledger: tools/attestation.py --stalest 44 --as-of 12, never
+#     ledger: tools/attestation.py --stalest 43 --as-of 12, never
 #     hand-curated): the 21 remaining round-4-cohort entries, then the
-#     first 23 of the round-5 cohort, name order within cohort.
+#     first 22 of the round-5 cohort, name order within cohort.
 # ---------------------------------------------------------------------------
 
 _R13_WINDOW = [
@@ -23967,8 +24070,9 @@ _R13_WINDOW = [
     "q_ivfpq_topk_lit",
     "q_substring_dup",
     "q_substring_scrub",
+    "q_substring_incremental",
     "q_signature_compact",
-    # -- 7-50: stalest-attestation freshness rotation (round-4 cohort
+    # -- 8-50: stalest-attestation freshness rotation (round-4 cohort
     #    tail, then the round-5 cohort head, name order within cohort) ---
     "q_doc_fingerprint_rolling",
     "q_embed_neardup",
@@ -24013,7 +24117,6 @@ _R13_WINDOW = [
     "q_resample_ffill",
     "q_runtime_filter_join",
     "q_salted_join",
-    "q_scd2_merge",
 ]
 
 # ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —

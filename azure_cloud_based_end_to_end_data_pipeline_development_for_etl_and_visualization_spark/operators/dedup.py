@@ -810,3 +810,93 @@ def substring_scrub(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def gram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 12,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Corpus L-gram occurrence counts ``(gram, n_occ)`` — the persisted
+    artifact behind INCREMENTAL substring dedup (the substring sibling
+    of :func:`materialized_signatures`): computed once per corpus
+    snapshot, merged (summed) per ingest batch, never re-derived from
+    base text. Map-side-combined count on the gram key."""
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select(
+        F.explode(TX.shingles_of(F.col("__toks"), min_tokens)).alias("gram")
+    )
+    if hash_grams:
+        grams = grams.select(F.xxhash64(F.col("gram")).alias("gram"))
+    return grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+
+
+def substring_dup_spans_incremental(
+    incoming: DataFrame,
+    base_counts: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 12,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Incremental :func:`substring_dup_spans`: duplicated spans of the
+    INCOMING batch against (base corpus + the batch itself), where the
+    base contributes only its persisted :func:`gram_counts` artifact —
+    the q_dedup_incremental production shape, one rung down. At 100 TB
+    the corpus arrives daily; re-sharding every historical document per
+    batch is the scale-killer, so the base side is gram-count rows
+    (vocabulary-bounded, mergeable by summation) and only ``incoming``
+    is tokenized. A gram duplicates iff its batch count plus its base
+    count reaches 2 — exactly the full-recompute semantics, which is
+    what the oracle checks. Same output shape as
+    :func:`substring_dup_spans`."""
+    L = min_tokens
+    toks = incoming.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(TX.shingles_of(F.col("__toks"), L)).alias("pos", "gram"),
+    )
+    if hash_grams:
+        grams = grams.select(
+            id_col, "pos", F.xxhash64(F.col("gram")).alias("gram")
+        )
+    inc_counted = grams.withColumn(
+        "__n_inc", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    joined = inc_counted.join(
+        base_counts.select(
+            F.col("gram"), F.col("n_occ").alias("__n_base")
+        ),
+        "gram",
+        "left",
+    )
+    dup_starts = joined.filter(
+        F.col("__n_inc") + F.coalesce(F.col("__n_base"), F.lit(0)) >= 2
+    ).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup_starts.withColumn(
+        "__brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > L),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__brk")
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(L)).cast("long").alias(
+            "span_tokens"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+    ).drop("__island")

@@ -337,6 +337,7 @@ HEADLINE = [
     "q_ivfpq_topk_lit",
     "q_substring_dup",
     "q_substring_scrub",
+    "q_substring_incremental",
 ]
 
 

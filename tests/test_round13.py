@@ -507,3 +507,55 @@ def test_pq_adc_matches_pure_python_rederivation(spark):
         exp_rank, exp_sim = expected[(r.query_id, r.neighbor_id)]
         assert r.rank == exp_rank, (r, exp_rank)
         assert r.sim == exp_sim, (r, exp_sim)
+
+
+# ---------------------------------------------------------------------------
+# incremental substring dedup (q_substring_incremental)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_incremental_equals_full_recompute_on_incoming(spark, sf_dir):
+    """The artifact path (base gram counts + batch-only tokenize) must
+    produce exactly the full-recompute spans restricted to incoming
+    docs — the semantics the oracle hash-checks, pinned here on the raw
+    (unplanted) corpus too."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.functions import (
+        text as TX,
+    )
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.dedup import (
+        gram_counts,
+        substring_dup_spans_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_inc = TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
+    base_counts = gram_counts(docs.filter(~is_inc), "doc_id", "text")
+    inc = substring_dup_spans_incremental(
+        docs.filter(is_inc), base_counts, "doc_id", "text"
+    )
+    full = substring_dup_spans(docs, "doc_id", "text")
+    expected = full.join(
+        docs.filter(is_inc).select("doc_id"), "doc_id", "left_semi"
+    )
+    assert_df_equal(inc, expected)
+
+
+def test_gram_counts_merge_by_summation(spark, sf_dir):
+    """The artifact's ingest contract: per-batch gram counts merged by
+    SUMMATION equal the counts over the unioned corpus — so daily
+    batches fold into the persisted artifact without any re-scan."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.dedup import (
+        gram_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        gram_counts(a, "doc_id", "text")
+        .unionByName(gram_counts(b, "doc_id", "text"))
+        .groupBy("gram")
+        .agg(F.sum("n_occ").cast("long").alias("n_occ"))
+    )
+    whole = gram_counts(docs, "doc_id", "text")
+    assert_df_equal(merged, whole)
