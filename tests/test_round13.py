@@ -559,3 +559,28 @@ def test_gram_counts_merge_by_summation(spark, sf_dir):
     )
     whole = gram_counts(docs, "doc_id", "text")
     assert_df_equal(merged, whole)
+
+
+def test_normalized_vs_prev_burst_detector():
+    """Clustered regressions (consecutive headline positions — a load
+    burst) flag burst_suspected; scattered ones don't."""
+    import bench
+
+    order = [f"q{i}" for i in range(40)]
+    prev = {
+        "sf": 0.1,
+        "canary": {"anchor_sec": 1.0},
+        "queries": {n: 1.0 for n in order},
+    }
+    # burst: positions 10-14 all regress
+    timings = {n: 1.0 for n in order}
+    for i in range(10, 15):
+        timings[f"q{i}"] = 2.0
+    out = bench.normalized_vs_prev(prev, timings, 1.0, 0.1, order=order)
+    assert out["burst_suspected"] is True
+    # scattered: positions 3, 17, 31 regress
+    timings = {n: 1.0 for n in order}
+    for i in (3, 17, 31):
+        timings[f"q{i}"] = 2.0
+    out = bench.normalized_vs_prev(prev, timings, 1.0, 0.1, order=order)
+    assert out["burst_suspected"] is False
