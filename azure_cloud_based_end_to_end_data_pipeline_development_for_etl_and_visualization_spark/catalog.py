@@ -24043,24 +24043,199 @@ ORACLES["q_substring_incremental"] = _dk_substring_incremental_sql()
 
 
 
+def q_streaming_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_substring_incremental — the always-on
+    substring-dedup gate in front of a training store: the incoming 1/3
+    slice arrives as a FILE STREAM, tokenizes and shingles PER ROW
+    (stateless — no streaming aggregation, no state store), and each
+    L-gram start probes the persisted base gram-count artifact
+    (operators/dedup.gram_counts — the same parquet the nightly batch
+    maintains) via a stream-static inner join. Matched starts land in
+    append mode; the bounded post-sink step assembles them into maximal
+    spans (lag + running-sum islands over dup starts ONLY — the
+    q_streaming_neardup_ingest bounded-post-sink precedent).
+
+    STREAM-GATE SEMANTICS, deliberately narrower than the batch twin:
+    a span is flagged iff duplicated AGAINST THE BASE. Incoming-vs-
+    incoming cross-document dups (and pure within-document repeats that
+    never touched the base) are deferred to the nightly
+    q_substring_incremental batch — exactly how the streaming near-dup
+    gate defers base-rebuild work. The oracle recomputes this relation
+    from scratch, so the streaming execution must reproduce it
+    bit-for-bit."""
+    import shutil
+
+    from .functions import text as TX
+    from .operators.dedup import gram_counts
+
+    L = _SUBSTR_L
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+
+        def planted(df):
+            return df.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 41 == 5,
+                    F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+
+        is_inc = TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
+        cpath = _tmp_path("stream_substr_gram_counts")
+        gram_counts(
+            planted(docs.filter(~is_inc)), "doc_id", "text", min_tokens=L
+        ).write.mode("overwrite").parquet(cpath)
+        base_counts = spark.read.parquet(cpath).select("gram")
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        inc = planted(stream.filter(is_inc))
+        toks = inc.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
+        starts = toks.select(
+            "doc_id",
+            F.posexplode(TX.shingles_of(F.col("__toks"), L)).alias(
+                "pos", "gram"
+            ),
+        ).join(base_counts, "gram").select("doc_id", "pos")
+
+        name = f"engine_stream_substr_{_RUN_TAG}"
+        ckpt = _tmp_path("stream_substr_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            starts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    ds = spark.table(name)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = ds.withColumn(
+        "__brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > L),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__brk")
+    return (
+        islands.groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(L)).cast("long").alias(
+                "span_tokens"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .drop("__island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _dk_streaming_substring_sql(L: int = _SUBSTR_L) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+    return f"""
+        with dp as (
+            select doc_id,
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        split as (
+            select doc_id,
+                   ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 3
+                       = 0 as is_inc
+            from dp
+        ),
+        t as (select doc_id, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {gram}}}
+                       )) as u
+                from t
+            )
+        ),
+        bg as (
+            select distinct g.gram
+            from g join split s on s.doc_id = g.doc_id and not s.is_inc
+        ),
+        ds as (
+            select g.doc_id, g.pos
+            from g
+            join split s on s.doc_id = g.doc_id and s.is_inc
+            join bg on bg.gram = g.gram
+        ),
+        fl as (
+            select doc_id, pos,
+                   case when lag(pos) over (partition by doc_id order by pos)
+                              is null
+                          or pos - lag(pos) over (partition by doc_id
+                                                  order by pos) > {L}
+                        then 1 else 0 end as brk
+            from ds
+        ),
+        isl as (
+            select doc_id, pos,
+                   sum(brk) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as island
+            from fl
+        )
+        select doc_id,
+               min(pos)::bigint as span_start,
+               (max(pos) + {L - 1})::bigint as span_end,
+               (max(pos) - min(pos) + {L})::bigint as span_tokens,
+               count(*)::bigint as n_dup_grams
+        from isl
+        group by doc_id, island
+        order by doc_id, span_start
+    """
+
+
+QUERIES["q_streaming_substring_ingest"] = q_streaming_substring_ingest
+ORACLES["q_streaming_substring_ingest"] = _dk_streaming_substring_sql()
+
+
+
 # ---------------------------------------------------------------------------
 # ROUND-13 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-12 WINDOW reorder above, kept for provenance). Composition (pinned
 # by tests/test_entry_contract.test_driver_window_composition):
-#   slots 1-7: the round-13 additions and graduations — q_semantic_dedup's
+#   slots 1-8: the round-13 additions and graduations — q_semantic_dedup's
 #     FIRST oracle-twinned driver row (graduated from rows-only via seeded
 #     plan-literal centroids, r12 VERDICT item 2), the two PQ scoring-
 #     machinery literal twins (r12 item 3), the substring-duplication rung
 #     (r12 item 4) and the signature-artifact compaction loop (r12 item 5)
-#     plus the scrub and incremental halves of the substring rung
-#     (q_substring_scrub, q_substring_incremental)
+#     plus the scrub, incremental and streaming members of the substring
+#     rung (q_substring_scrub, q_substring_incremental,
+#     q_streaming_substring_ingest)
 #     — all 3-SF oracle-verified before registration.
-#   slots 8-50: freshness rotation — the 43 STALEST oracle-twinned greens
+#   slots 9-50: freshness rotation — the 42 STALEST oracle-twinned greens
 #     by most-recent-attestation round as of round 12 (computed from the
-#     ledger: tools/attestation.py --stalest 43 --as-of 12, never
+#     ledger: tools/attestation.py --stalest 42 --as-of 12, never
 #     hand-curated): the 21 remaining round-4-cohort entries, then the
-#     first 22 of the round-5 cohort, name order within cohort.
+#     first 21 of the round-5 cohort, name order within cohort.
 # ---------------------------------------------------------------------------
 
 _R13_WINDOW = [
@@ -24071,8 +24246,9 @@ _R13_WINDOW = [
     "q_substring_dup",
     "q_substring_scrub",
     "q_substring_incremental",
+    "q_streaming_substring_ingest",
     "q_signature_compact",
-    # -- 8-50: stalest-attestation freshness rotation (round-4 cohort
+    # -- 9-50: stalest-attestation freshness rotation (round-4 cohort
     #    tail, then the round-5 cohort head, name order within cohort) ---
     "q_doc_fingerprint_rolling",
     "q_embed_neardup",
@@ -24116,7 +24292,6 @@ _R13_WINDOW = [
     "q_regex_extract",
     "q_resample_ffill",
     "q_runtime_filter_join",
-    "q_salted_join",
 ]
 
 # ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —
