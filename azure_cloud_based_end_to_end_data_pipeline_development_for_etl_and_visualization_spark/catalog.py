@@ -24217,25 +24217,130 @@ ORACLES["q_streaming_substring_ingest"] = _dk_streaming_substring_sql()
 
 
 
+def q_substring_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_substring_dup with AUDIT EVIDENCE (witness=True): every
+    reported span carries witness_doc/witness_pos — the minimal other
+    occurrence site of the span's leading gram, so a reviewer (or a
+    takedown pipeline) can jump straight to what the span duplicates
+    instead of re-searching the corpus. Sites encode as
+    doc_id * 2^20 + pos integers, making the per-gram min/second-min
+    plain integer window aggregates — engine-neutral ordering, no
+    struct-comparison semantics to reconcile — and the witness
+    attribution is fully reproduced by the oracle. Witness covers the
+    LEADING gram only: under coverage semantics the whole span need not
+    occur contiguously at the witness site (documented in the
+    operator)."""
+    from .operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 41 == 5,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dup_spans(
+        planted, "doc_id", "text", min_tokens=_SUBSTR_L, witness=True
+    ).orderBy("doc_id", "span_start")
+
+
+def _dk_substring_witness_sql(L: int = _SUBSTR_L) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+    enc = 1 << 20
+    return f"""
+        with dp as (
+            select doc_id,
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        t as (select doc_id, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram,
+                   doc_id * {enc} + u.pos as me
+            from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {gram}}}
+                       )) as u
+                from t
+            )
+        ),
+        s1 as (
+            select doc_id, pos, me,
+                   count(*) over (partition by gram) as n_occ,
+                   min(me) over (partition by gram) as m1,
+                   gram
+            from g
+        ),
+        s2 as (
+            select doc_id, pos, me, n_occ, m1,
+                   min(case when me != m1 then me end)
+                       over (partition by gram) as m2
+            from s1
+        ),
+        ds as (
+            select doc_id, pos,
+                   case when me = m1 then m2 else m1 end as wit
+            from s2 where n_occ >= 2
+        ),
+        fl as (
+            select doc_id, pos, wit,
+                   case when lag(pos) over (partition by doc_id order by pos)
+                              is null
+                          or pos - lag(pos) over (partition by doc_id
+                                                  order by pos) > {L}
+                        then 1 else 0 end as brk
+            from ds
+        ),
+        isl as (
+            select doc_id, pos, wit,
+                   sum(brk) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as island
+            from fl
+        )
+        select doc_id,
+               min(pos)::bigint as span_start,
+               (max(pos) + {L - 1})::bigint as span_end,
+               (max(pos) - min(pos) + {L})::bigint as span_tokens,
+               count(*)::bigint as n_dup_grams,
+               (arg_min(wit, pos) // {enc})::bigint as witness_doc,
+               (arg_min(wit, pos) % {enc})::bigint as witness_pos
+        from isl
+        group by doc_id, island
+        order by doc_id, span_start
+    """
+
+
+QUERIES["q_substring_dup_witness"] = q_substring_dup_witness
+ORACLES["q_substring_dup_witness"] = _dk_substring_witness_sql()
+
+
+
 # ---------------------------------------------------------------------------
 # ROUND-13 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-12 WINDOW reorder above, kept for provenance). Composition (pinned
 # by tests/test_entry_contract.test_driver_window_composition):
-#   slots 1-8: the round-13 additions and graduations — q_semantic_dedup's
+#   slots 1-9: the round-13 additions and graduations — q_semantic_dedup's
 #     FIRST oracle-twinned driver row (graduated from rows-only via seeded
 #     plan-literal centroids, r12 VERDICT item 2), the two PQ scoring-
 #     machinery literal twins (r12 item 3), the substring-duplication rung
 #     (r12 item 4) and the signature-artifact compaction loop (r12 item 5)
-#     plus the scrub, incremental and streaming members of the substring
-#     rung (q_substring_scrub, q_substring_incremental,
-#     q_streaming_substring_ingest)
+#     plus the scrub, incremental, streaming and witness members of the
+#     substring rung (q_substring_scrub, q_substring_incremental,
+#     q_streaming_substring_ingest, q_substring_dup_witness)
 #     — all 3-SF oracle-verified before registration.
-#   slots 9-50: freshness rotation — the 42 STALEST oracle-twinned greens
+#   slots 10-50: freshness rotation — the 41 STALEST oracle-twinned greens
 #     by most-recent-attestation round as of round 12 (computed from the
-#     ledger: tools/attestation.py --stalest 42 --as-of 12, never
+#     ledger: tools/attestation.py --stalest 41 --as-of 12, never
 #     hand-curated): the 21 remaining round-4-cohort entries, then the
-#     first 21 of the round-5 cohort, name order within cohort.
+#     first 20 of the round-5 cohort, name order within cohort.
 # ---------------------------------------------------------------------------
 
 _R13_WINDOW = [
@@ -24247,8 +24352,9 @@ _R13_WINDOW = [
     "q_substring_scrub",
     "q_substring_incremental",
     "q_streaming_substring_ingest",
+    "q_substring_dup_witness",
     "q_signature_compact",
-    # -- 9-50: stalest-attestation freshness rotation (round-4 cohort
+    # -- 10-50: stalest-attestation freshness rotation (round-4 cohort
     #    tail, then the round-5 cohort head, name order within cohort) ---
     "q_doc_fingerprint_rolling",
     "q_embed_neardup",
@@ -24291,7 +24397,6 @@ _R13_WINDOW = [
     "q_range_join",
     "q_regex_extract",
     "q_resample_ffill",
-    "q_runtime_filter_join",
 ]
 
 # ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —

@@ -662,6 +662,7 @@ def substring_dup_spans(
     text_col: str,
     min_tokens: int = 12,
     hash_grams: bool = False,
+    witness: bool = False,
 ) -> DataFrame:
     """Maximal exactly-duplicated token spans of length >= ``min_tokens``
     per document — the distributed answer to the suffix-array substring
@@ -693,7 +694,18 @@ def substring_dup_spans(
 
     Never all-pairs, never a global sort; every stage is a JVM
     expression. Returns ``(id_col, span_start, span_end, span_tokens,
-    n_dup_grams)`` with 0-based inclusive token offsets."""
+    n_dup_grams)`` with 0-based inclusive token offsets.
+
+    ``witness=True`` adds audit evidence: ``witness_doc``/``witness_pos``
+    locate ANOTHER occurrence of the span's LEADING gram (the minimal
+    (doc, pos) site other than the span's own — deterministic), so every
+    reported span carries a checkable pointer to what it duplicates.
+    Sites encode as ``doc_id * 2^20 + pos`` single integers (documents
+    are token-bounded far below 2^20), so the min/second-min per gram
+    are plain integer window aggregates — engine-neutral ordering, no
+    struct-comparison semantics. Witness covers the leading gram only:
+    under the coverage semantics the full span need not occur
+    contiguously at the witness site."""
     L = min_tokens
     toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
     grams = toks.select(
@@ -701,13 +713,36 @@ def substring_dup_spans(
         F.posexplode(TX.shingles_of(F.col("__toks"), L)).alias("pos", "gram"),
     )
     key = F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
-    dup_starts = (
-        grams.withColumn(
-            "__n_occ", F.count(F.lit(1)).over(Window.partitionBy(key))
+    wg = Window.partitionBy(key)
+    if witness:
+        me = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+        s1 = (
+            grams.withColumn("__me", me)
+            .withColumn("__n_occ", F.count(F.lit(1)).over(wg))
+            .withColumn("__m1", F.min("__me").over(wg))
         )
-        .filter(F.col("__n_occ") >= 2)
-        .select(id_col, "pos")
-    )
+        s2 = s1.withColumn(
+            "__m2",
+            F.min(
+                F.when(F.col("__me") != F.col("__m1"), F.col("__me"))
+            ).over(wg),
+        )
+        dup_starts = (
+            s2.filter(F.col("__n_occ") >= 2)
+            .withColumn(
+                "__wit",
+                F.when(
+                    F.col("__me") == F.col("__m1"), F.col("__m2")
+                ).otherwise(F.col("__m1")),
+            )
+            .select(id_col, "pos", "__wit")
+        )
+    else:
+        dup_starts = (
+            grams.withColumn("__n_occ", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__n_occ") >= 2)
+            .select(id_col, "pos")
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup_starts.withColumn(
         "__brk",
@@ -721,14 +756,36 @@ def substring_dup_spans(
         "__island",
         F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).drop("__brk")
-    return islands.groupBy(id_col, "__island").agg(
+    aggs = [
         F.min("pos").cast("long").alias("span_start"),
         (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
         (F.max("pos") - F.min("pos") + F.lit(L)).cast("long").alias(
             "span_tokens"
         ),
         F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
-    ).drop("__island")
+    ]
+    if witness:
+        # witness of the span's LEADING gram: __wit at min pos (pos is
+        # unique per doc, so the struct-min is deterministic)
+        aggs.append(F.min(F.struct(F.col("pos"), F.col("__wit"))).alias("__w"))
+    out = grams_agg = islands.groupBy(id_col, "__island").agg(*aggs).drop(
+        "__island"
+    )
+    if witness:
+        out = grams_agg.select(
+            id_col,
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_dup_grams",
+            F.floor(F.col("__w.__wit") / F.lit(1 << 20))
+            .cast("long")
+            .alias("witness_doc"),
+            (F.col("__w.__wit") % F.lit(1 << 20)).cast("long").alias(
+                "witness_pos"
+            ),
+        )
+    return out
 
 
 def substring_scrub(

@@ -338,6 +338,7 @@ HEADLINE = [
     "q_substring_dup",
     "q_substring_scrub",
     "q_substring_incremental",
+    "q_substring_dup_witness",
 ]
 
 

@@ -584,3 +584,26 @@ def test_normalized_vs_prev_burst_detector():
         timings[f"q{i}"] = 2.0
     out = bench.normalized_vs_prev(prev, timings, 1.0, 0.1, order=order)
     assert out["burst_suspected"] is False
+
+
+def test_substring_dup_witness_points_at_other_occurrence(spark):
+    """Witness geometry: two docs share a 12-token block; each span's
+    witness must point at the OTHER doc's copy (the minimal other
+    site), never at itself."""
+    block = " ".join(f"wb{i}" for i in range(12))
+    rows = [
+        (1, block),
+        (2, f"z0 z1 z2 {block}"),
+        (3, " ".join(f"q{i}" for i in range(25))),
+    ]
+    out = {
+        r.doc_id: r
+        for r in substring_dup_spans(
+            _docs(spark, rows), "doc_id", "text", min_tokens=12, witness=True
+        ).collect()
+    }
+    # doc 1's copy at pos 0 is the global min site -> its witness is doc 2
+    assert (out[1].witness_doc, out[1].witness_pos) == (2, 3)
+    # doc 2's copy witnesses the global min (doc 1, pos 0)
+    assert (out[2].witness_doc, out[2].witness_pos) == (1, 0)
+    assert 3 not in out
