@@ -24322,25 +24322,132 @@ ORACLES["q_substring_dup_witness"] = _dk_substring_witness_sql()
 
 
 
+def q_substring_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source substring-dedup economics readout — the budget number
+    the rung exists to produce (the q_dedup_token_savings analogue one
+    level down): for each source, how many tokens the cut-and-splice
+    scrub removes and the exact removal ppm. q_dup_ngram_coverage
+    counts duplicated GRAMS; this counts the TOKENS the scrub actually
+    excises (maximal-interval union, so overlapping grams are not
+    double-counted). Exact integer ppm via div — tokens ~1e13 at 100 TB
+    keep n*1e6 inside long. Same plant as the rung's other members."""
+    from .operators.dedup import substring_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 41 == 5,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = substring_scrub(
+        planted, "doc_id", "text", min_tokens=_SUBSTR_L
+    )
+    return (
+        scrubbed.join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens_kept").cast("long").alias("tokens_kept"),
+            F.sum("n_tokens_removed").cast("long").alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_kept",
+            "tokens_removed",
+            F.expr(
+                "tokens_removed * 1000000 div (tokens_kept + tokens_removed)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dk_substring_savings_sql(L: int = _SUBSTR_L) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+    return f"""
+        with dp as (
+            select doc_id, source,
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        t as (select doc_id, source, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {gram}}}
+                       )) as u
+                from t
+            )
+        ),
+        ds as (
+            select doc_id, pos from (
+                select doc_id, pos,
+                       count(*) over (partition by gram) as n_occ
+                from g
+            ) where n_occ >= 2
+        ),
+        cov as (
+            select distinct doc_id,
+                   unnest(generate_series(pos, pos + {L - 1})) as pos
+            from ds
+        ),
+        per_doc as (
+            select t.doc_id, t.source,
+                   len(t.w)::bigint as n_total,
+                   coalesce(c.n_cov, 0)::bigint as n_removed
+            from t
+            left join (
+                select doc_id, count(*)::bigint as n_cov
+                from cov group by doc_id
+            ) c using (doc_id)
+        )
+        select source,
+               count(*)::bigint as n_docs,
+               sum(n_total - n_removed)::bigint as tokens_kept,
+               sum(n_removed)::bigint as tokens_removed,
+               (sum(n_removed)::bigint * 1000000)
+                   // sum(n_total)::bigint as removed_ppm
+        from per_doc
+        group by source
+        order by source
+    """
+
+
+QUERIES["q_substring_savings_by_source"] = q_substring_savings_by_source
+ORACLES["q_substring_savings_by_source"] = _dk_substring_savings_sql()
+
+
+
 # ---------------------------------------------------------------------------
 # ROUND-13 WINDOW: the driver's correctness gate reads the FIRST 50 entries
 # of QUERIES, so registry order is load-bearing (this block supersedes the
 # ROUND-12 WINDOW reorder above, kept for provenance). Composition (pinned
 # by tests/test_entry_contract.test_driver_window_composition):
-#   slots 1-9: the round-13 additions and graduations — q_semantic_dedup's
+#   slots 1-10: the round-13 additions and graduations — q_semantic_dedup's
 #     FIRST oracle-twinned driver row (graduated from rows-only via seeded
 #     plan-literal centroids, r12 VERDICT item 2), the two PQ scoring-
 #     machinery literal twins (r12 item 3), the substring-duplication rung
 #     (r12 item 4) and the signature-artifact compaction loop (r12 item 5)
-#     plus the scrub, incremental, streaming and witness members of the
-#     substring rung (q_substring_scrub, q_substring_incremental,
-#     q_streaming_substring_ingest, q_substring_dup_witness)
+#     plus the scrub, incremental, streaming, witness and savings members
+#     of the substring rung (q_substring_scrub, q_substring_incremental,
+#     q_streaming_substring_ingest, q_substring_dup_witness,
+#     q_substring_savings_by_source)
 #     — all 3-SF oracle-verified before registration.
-#   slots 10-50: freshness rotation — the 41 STALEST oracle-twinned greens
+#   slots 11-50: freshness rotation — the 40 STALEST oracle-twinned greens
 #     by most-recent-attestation round as of round 12 (computed from the
-#     ledger: tools/attestation.py --stalest 41 --as-of 12, never
+#     ledger: tools/attestation.py --stalest 40 --as-of 12, never
 #     hand-curated): the 21 remaining round-4-cohort entries, then the
-#     first 20 of the round-5 cohort, name order within cohort.
+#     first 19 of the round-5 cohort, name order within cohort.
 # ---------------------------------------------------------------------------
 
 _R13_WINDOW = [
@@ -24353,8 +24460,9 @@ _R13_WINDOW = [
     "q_substring_incremental",
     "q_streaming_substring_ingest",
     "q_substring_dup_witness",
+    "q_substring_savings_by_source",
     "q_signature_compact",
-    # -- 10-50: stalest-attestation freshness rotation (round-4 cohort
+    # -- 11-50: stalest-attestation freshness rotation (round-4 cohort
     #    tail, then the round-5 cohort head, name order within cohort) ---
     "q_doc_fingerprint_rolling",
     "q_embed_neardup",
@@ -24396,7 +24504,6 @@ _R13_WINDOW = [
     "q_profile_table",
     "q_range_join",
     "q_regex_extract",
-    "q_resample_ffill",
 ]
 
 # ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —

@@ -339,6 +339,7 @@ HEADLINE = [
     "q_substring_scrub",
     "q_substring_incremental",
     "q_substring_dup_witness",
+    "q_substring_savings_by_source",
 ]
 
 
