@@ -23589,17 +23589,24 @@ def _dk_pq_topk_lit_sql(k: int = 10) -> str:
     books = seeded_codebooks(
         _PQ_LIT_SUB, _PQ_LIT_CENTROIDS, 64 // _PQ_LIT_SUB, seed=_PQ_LIT_SEED
     )
+    # sim is computed ONCE in the inner subquery and ranked via its
+    # alias — the expression embeds n_sub x n_centroids double literals,
+    # so interpolating it twice doubled the SQL payload for nothing
     return f"""
         with {_dk_pq_codes_cte(books, 64)},
-        {_dk_pq_query_cte(books, 64)}
-        select query_id, neighbor_id, rank, sim from (
+        {_dk_pq_query_cte(books, 64)},
+        scored_q as (
             select q.query_id, c.neighbor_id,
-                   row_number() over (
-                       partition by q.query_id
-                       order by {_dk_pq_sim_expr(books)} desc, c.neighbor_id
-                   ) as rank,
                    {_dk_pq_sim_expr(books)} as sim
             from codes c cross join q
+        )
+        select query_id, neighbor_id, rank, sim from (
+            select query_id, neighbor_id, sim,
+                   row_number() over (
+                       partition by query_id
+                       order by sim desc, neighbor_id
+                   ) as rank
+            from scored_q
         ) where rank <= {k}
         order by query_id, rank
     """
@@ -23656,7 +23663,7 @@ def _dk_ivfpq_topk_lit_sql(k: int = 10) -> str:
             from (select vec_id, {cdots} as cd from embeddings)
         ),
         cb as (
-            select c.neighbor_id, c.code0, c.code1, c.code2, c.code3,
+            select c.neighbor_id, {', '.join(f'c.code{s}' for s in range(books.shape[0]))},
                    cc.cell
             from codes c join cellc cc on cc.vec_id = c.neighbor_id
         ),
@@ -23672,18 +23679,22 @@ def _dk_ivfpq_topk_lit_sql(k: int = 10) -> str:
                       from embeddings where vec_id < 5) e
                 cross join generate_series(1, {_IVFPQ_LIT_CELLS}) as u(i)
             ) where pr <= {_IVFPQ_LIT_PROBE}
-        )
-        select query_id, neighbor_id, rank, sim from (
+        ),
+        scored_q as (
             select q.query_id, c.neighbor_id,
-                   row_number() over (
-                       partition by q.query_id
-                       order by {_dk_pq_sim_expr(books)} desc, c.neighbor_id
-                   ) as rank,
                    {_dk_pq_sim_expr(books)} as sim
             from probes p
             join cb c on c.cell = p.cell
             join q on q.query_id = p.query_id
             where c.neighbor_id != p.query_id
+        )
+        select query_id, neighbor_id, rank, sim from (
+            select query_id, neighbor_id, sim,
+                   row_number() over (
+                       partition by query_id
+                       order by sim desc, neighbor_id
+                   ) as rank
+            from scored_q
         ) where rank <= {k}
         order by query_id, rank
     """
@@ -23693,7 +23704,7 @@ QUERIES["q_ivfpq_topk_lit"] = q_ivfpq_topk_lit
 ORACLES["q_ivfpq_topk_lit"] = _dk_ivfpq_topk_lit_sql()
 
 
-#: Planted boilerplate for q_substring_dup: a fixed 19-token sentence
+#: Planted boilerplate for q_substring_dup: a fixed 18-token sentence
 #: appended to every doc_id % 41 == 5 document IN-QUERY (the q_pii_redact
 #: planting discipline — both engines apply the same deterministic
 #: corruption, so known-length shared spans exist at every SF).
@@ -23702,6 +23713,91 @@ _SUBSTR_BOILER = (
     " offers delivered straight to your inbox every week"
 )
 _SUBSTR_L = 12
+
+
+def _substr_planted(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """The substring rung's shared plant: the boilerplate appended to
+    every doc_id % 41 == 5 document. ONE definition for all six rung
+    entries (and mirrored by the oracles' dp CTE) — the cross-entry
+    'same plant' contract is load-bearing, so it must not be possible
+    to edit one copy and miss another."""
+    return docs.select(
+        "doc_id",
+        *extra_cols,
+        F.when(
+            F.col("doc_id") % 41 == 5,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+# -- shared DuckDB CTE builders for the substring rung (one definition of
+#    the gram pipeline and the island assembly; six oracles compose them,
+#    the _DK_LSH_PAIR_CTES discipline) -------------------------------------
+
+
+def _dk_substr_gram(L: int) -> str:
+    """'w[i] || ... || w[i+L-1]' gram concatenation text."""
+    return " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
+
+
+def _dk_substr_head(L: int, cols: str = "doc_id", me: bool = False) -> str:
+    """dp/t/g CTE chain: the plant (mirror of _substr_planted), the
+    tokenization, and the positioned L-gram explode. ``cols`` carries
+    extra projection columns (e.g. source); ``me`` adds the integer
+    site encoding the witness oracle needs."""
+    me_col = f",\n                   doc_id * {1 << 20} + u.pos as me" if me else ""
+    return f"""dp as (
+            select {cols},
+                   case when doc_id % 41 = 5
+                        then text || ' {_SUBSTR_BOILER}'
+                        else text end as text
+            from documents
+        ),
+        t as (select {cols}, {_DK_TOKENS} as w from dp),
+        g as (
+            select doc_id, u.pos, u.gram{me_col} from (
+                select doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
+                           i -> {{'pos': i - 1, 'gram': {_dk_substr_gram(L)}}}
+                       )) as u
+                from t
+            )
+        )"""
+
+
+def _dk_substr_spans_tail(L: int, carry: str = "", extra_agg: str = "") -> str:
+    """fl/isl island chain over a ``ds`` CTE of duplicated starts, plus
+    the maximal-span select. ``carry`` threads extra ds columns through
+    the windows (witness); ``extra_agg`` appends output aggregates."""
+    c = f", {carry}" if carry else ""
+    return f"""fl as (
+            select doc_id, pos{c},
+                   case when lag(pos) over (partition by doc_id order by pos)
+                              is null
+                          or pos - lag(pos) over (partition by doc_id
+                                                  order by pos) > {L}
+                        then 1 else 0 end as brk
+            from ds
+        ),
+        isl as (
+            select doc_id, pos{c},
+                   sum(brk) over (partition by doc_id order by pos
+                                  rows unbounded preceding) as island
+            from fl
+        )
+        select doc_id,
+               min(pos)::bigint as span_start,
+               (max(pos) + {L - 1})::bigint as span_end,
+               (max(pos) - min(pos) + {L})::bigint as span_tokens,
+               count(*)::bigint as n_dup_grams{extra_agg}
+        from isl
+        group by doc_id, island
+        order by doc_id, span_start"""
+
 
 
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23721,41 +23817,15 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import substring_dup_spans
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 41 == 5,
-            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    planted = _substr_planted(docs)
     return substring_dup_spans(
         planted, "doc_id", "text", min_tokens=_SUBSTR_L
     ).orderBy("doc_id", "span_start")
 
 
 def _dk_substring_dup_sql(L: int = _SUBSTR_L) -> str:
-    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
     return f"""
-        with dp as (
-            select doc_id,
-                   case when doc_id % 41 = 5
-                        then text || ' {_SUBSTR_BOILER}'
-                        else text end as text
-            from documents
-        ),
-        t as (select doc_id, {_DK_TOKENS} as w from dp),
-        g as (
-            select doc_id, u.pos, u.gram from (
-                select doc_id,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
-                           i -> {{'pos': i - 1, 'gram': {gram}}}
-                       )) as u
-                from t
-            )
-        ),
+        with {_dk_substr_head(L)},
         ds as (
             select doc_id, pos from (
                 select doc_id, pos,
@@ -23763,29 +23833,7 @@ def _dk_substring_dup_sql(L: int = _SUBSTR_L) -> str:
                 from g
             ) where n_occ >= 2
         ),
-        fl as (
-            select doc_id, pos,
-                   case when lag(pos) over (partition by doc_id order by pos)
-                              is null
-                          or pos - lag(pos) over (partition by doc_id
-                                                  order by pos) > {L}
-                        then 1 else 0 end as brk
-            from ds
-        ),
-        isl as (
-            select doc_id, pos,
-                   sum(brk) over (partition by doc_id order by pos
-                                  rows unbounded preceding) as island
-            from fl
-        )
-        select doc_id,
-               min(pos)::bigint as span_start,
-               (max(pos) + {L - 1})::bigint as span_end,
-               (max(pos) - min(pos) + {L})::bigint as span_tokens,
-               count(*)::bigint as n_dup_grams
-        from isl
-        group by doc_id, island
-        order by doc_id, span_start
+        {_dk_substr_spans_tail(L)}
     """
 
 
@@ -23858,41 +23906,15 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import substring_scrub
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 41 == 5,
-            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    planted = _substr_planted(docs)
     return substring_scrub(
         planted, "doc_id", "text", min_tokens=_SUBSTR_L
     ).orderBy("doc_id")
 
 
 def _dk_substring_scrub_sql(L: int = _SUBSTR_L) -> str:
-    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
     return f"""
-        with dp as (
-            select doc_id,
-                   case when doc_id % 41 = 5
-                        then text || ' {_SUBSTR_BOILER}'
-                        else text end as text
-            from documents
-        ),
-        t as (select doc_id, {_DK_TOKENS} as w from dp),
-        g as (
-            select doc_id, u.pos, u.gram from (
-                select doc_id,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
-                           i -> {{'pos': i - 1, 'gram': {gram}}}
-                       )) as u
-                from t
-            )
-        ),
+        with {_dk_substr_head(L)},
         ds as (
             select doc_id, pos from (
                 select doc_id, pos,
@@ -23958,15 +23980,7 @@ def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import gram_counts, substring_dup_spans_incremental
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 41 == 5,
-            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    planted = _substr_planted(docs)
     is_inc = TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
     cpath = _tmp_path("substring_inc_gram_counts")
     gram_counts(
@@ -23983,26 +23997,8 @@ def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dk_substring_incremental_sql(L: int = _SUBSTR_L) -> str:
-    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
     return f"""
-        with dp as (
-            select doc_id,
-                   case when doc_id % 41 = 5
-                        then text || ' {_SUBSTR_BOILER}'
-                        else text end as text
-            from documents
-        ),
-        t as (select doc_id, {_DK_TOKENS} as w from dp),
-        g as (
-            select doc_id, u.pos, u.gram from (
-                select doc_id,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
-                           i -> {{'pos': i - 1, 'gram': {gram}}}
-                       )) as u
-                from t
-            )
-        ),
+        with {_dk_substr_head(L)},
         ds as (
             select doc_id, pos from (
                 select doc_id, pos,
@@ -24012,29 +24008,7 @@ def _dk_substring_incremental_sql(L: int = _SUBSTR_L) -> str:
             where n_occ >= 2
               and ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 3 = 0
         ),
-        fl as (
-            select doc_id, pos,
-                   case when lag(pos) over (partition by doc_id order by pos)
-                              is null
-                          or pos - lag(pos) over (partition by doc_id
-                                                  order by pos) > {L}
-                        then 1 else 0 end as brk
-            from ds
-        ),
-        isl as (
-            select doc_id, pos,
-                   sum(brk) over (partition by doc_id order by pos
-                                  rows unbounded preceding) as island
-            from fl
-        )
-        select doc_id,
-               min(pos)::bigint as span_start,
-               (max(pos) + {L - 1})::bigint as span_end,
-               (max(pos) - min(pos) + {L})::bigint as span_tokens,
-               count(*)::bigint as n_dup_grams
-        from isl
-        group by doc_id, island
-        order by doc_id, span_start
+        {_dk_substr_spans_tail(L)}
     """
 
 
@@ -24074,16 +24048,7 @@ def q_streaming_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = _t(spark, sf_dir, "documents")
 
-        def planted(df):
-            return df.select(
-                "doc_id",
-                F.when(
-                    F.col("doc_id") % 41 == 5,
-                    F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
-                )
-                .otherwise(F.col("text"))
-                .alias("text"),
-            )
+        planted = _substr_planted
 
         is_inc = TX.hash32(F.col("doc_id").cast("string")) % 3 == 0
         cpath = _tmp_path("stream_substr_gram_counts")
@@ -24150,31 +24115,13 @@ def q_streaming_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dk_streaming_substring_sql(L: int = _SUBSTR_L) -> str:
-    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
     return f"""
-        with dp as (
-            select doc_id,
-                   case when doc_id % 41 = 5
-                        then text || ' {_SUBSTR_BOILER}'
-                        else text end as text
-            from documents
-        ),
+        with {_dk_substr_head(L)},
         split as (
             select doc_id,
                    ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 3
                        = 0 as is_inc
             from dp
-        ),
-        t as (select doc_id, {_DK_TOKENS} as w from dp),
-        g as (
-            select doc_id, u.pos, u.gram from (
-                select doc_id,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
-                           i -> {{'pos': i - 1, 'gram': {gram}}}
-                       )) as u
-                from t
-            )
         ),
         bg as (
             select distinct g.gram
@@ -24186,29 +24133,7 @@ def _dk_streaming_substring_sql(L: int = _SUBSTR_L) -> str:
             join split s on s.doc_id = g.doc_id and s.is_inc
             join bg on bg.gram = g.gram
         ),
-        fl as (
-            select doc_id, pos,
-                   case when lag(pos) over (partition by doc_id order by pos)
-                              is null
-                          or pos - lag(pos) over (partition by doc_id
-                                                  order by pos) > {L}
-                        then 1 else 0 end as brk
-            from ds
-        ),
-        isl as (
-            select doc_id, pos,
-                   sum(brk) over (partition by doc_id order by pos
-                                  rows unbounded preceding) as island
-            from fl
-        )
-        select doc_id,
-               min(pos)::bigint as span_start,
-               (max(pos) + {L - 1})::bigint as span_end,
-               (max(pos) - min(pos) + {L})::bigint as span_tokens,
-               count(*)::bigint as n_dup_grams
-        from isl
-        group by doc_id, island
-        order by doc_id, span_start
+        {_dk_substr_spans_tail(L)}
     """
 
 
@@ -24233,44 +24158,20 @@ def q_substring_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import substring_dup_spans
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 41 == 5,
-            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    planted = _substr_planted(docs)
     return substring_dup_spans(
         planted, "doc_id", "text", min_tokens=_SUBSTR_L, witness=True
     ).orderBy("doc_id", "span_start")
 
 
 def _dk_substring_witness_sql(L: int = _SUBSTR_L) -> str:
-    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
-    enc = 1 << 20
+    enc = 1048576
+    extra = (
+        f",\n               (arg_min(wit, pos) // {enc})::bigint as witness_doc"
+        f",\n               (arg_min(wit, pos) % {enc})::bigint as witness_pos"
+    )
     return f"""
-        with dp as (
-            select doc_id,
-                   case when doc_id % 41 = 5
-                        then text || ' {_SUBSTR_BOILER}'
-                        else text end as text
-            from documents
-        ),
-        t as (select doc_id, {_DK_TOKENS} as w from dp),
-        g as (
-            select doc_id, u.pos, u.gram,
-                   doc_id * {enc} + u.pos as me
-            from (
-                select doc_id,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
-                           i -> {{'pos': i - 1, 'gram': {gram}}}
-                       )) as u
-                from t
-            )
-        ),
+        with {_dk_substr_head(L, me=True)},
         s1 as (
             select doc_id, pos, me,
                    count(*) over (partition by gram) as n_occ,
@@ -24289,31 +24190,7 @@ def _dk_substring_witness_sql(L: int = _SUBSTR_L) -> str:
                    case when me = m1 then m2 else m1 end as wit
             from s2 where n_occ >= 2
         ),
-        fl as (
-            select doc_id, pos, wit,
-                   case when lag(pos) over (partition by doc_id order by pos)
-                              is null
-                          or pos - lag(pos) over (partition by doc_id
-                                                  order by pos) > {L}
-                        then 1 else 0 end as brk
-            from ds
-        ),
-        isl as (
-            select doc_id, pos, wit,
-                   sum(brk) over (partition by doc_id order by pos
-                                  rows unbounded preceding) as island
-            from fl
-        )
-        select doc_id,
-               min(pos)::bigint as span_start,
-               (max(pos) + {L - 1})::bigint as span_end,
-               (max(pos) - min(pos) + {L})::bigint as span_tokens,
-               count(*)::bigint as n_dup_grams,
-               (arg_min(wit, pos) // {enc})::bigint as witness_doc,
-               (arg_min(wit, pos) % {enc})::bigint as witness_pos
-        from isl
-        group by doc_id, island
-        order by doc_id, span_start
+        {_dk_substr_spans_tail(L, carry="wit", extra_agg=extra)}
     """
 
 
@@ -24334,16 +24211,7 @@ def q_substring_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.dedup import substring_scrub
 
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 41 == 5,
-            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    planted = _substr_planted(docs, "source")
     scrubbed = substring_scrub(
         planted, "doc_id", "text", min_tokens=_SUBSTR_L
     )
@@ -24369,26 +24237,8 @@ def q_substring_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _dk_substring_savings_sql(L: int = _SUBSTR_L) -> str:
-    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(L))
     return f"""
-        with dp as (
-            select doc_id, source,
-                   case when doc_id % 41 = 5
-                        then text || ' {_SUBSTR_BOILER}'
-                        else text end as text
-            from documents
-        ),
-        t as (select doc_id, source, {_DK_TOKENS} as w from dp),
-        g as (
-            select doc_id, u.pos, u.gram from (
-                select doc_id,
-                       unnest(list_transform(
-                           generate_series(1, greatest(len(w) - {L - 1}, 0)),
-                           i -> {{'pos': i - 1, 'gram': {gram}}}
-                       )) as u
-                from t
-            )
-        ),
+        with {_dk_substr_head(L, cols="doc_id, source")},
         ds as (
             select doc_id, pos from (
                 select doc_id, pos,

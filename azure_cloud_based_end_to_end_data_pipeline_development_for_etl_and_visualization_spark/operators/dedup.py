@@ -715,7 +715,21 @@ def substring_dup_spans(
     key = F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
     wg = Window.partitionBy(key)
     if witness:
-        me = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+        # the encoding bound is CHECKED, not assumed: assert_true throws
+        # per-row on a >= 2^20 token position (which would collide doc
+        # D pos 2^20 with doc D+1 pos 0 and silently corrupt witness
+        # attribution); coalesce keeps the guard inside the live
+        # expression tree so Catalyst cannot prune it
+        me = F.coalesce(
+            F.assert_true(
+                F.col("pos") < F.lit(1 << 20),
+                F.lit(
+                    "substring_dup_spans: token position >= 2^20 — widen "
+                    "the witness encoding shift"
+                ),
+            ).cast("long"),
+            F.col(id_col) * F.lit(1 << 20) + F.col("pos"),
+        )
         s1 = (
             grams.withColumn("__me", me)
             .withColumn("__n_occ", F.count(F.lit(1)).over(wg))
@@ -814,9 +828,17 @@ def substring_scrub(
     nothing removed pass through verbatim (token-normalized docs: the
     splice rebuilds from the same whitespace tokenization both engines
     share). Returns ``(id_col, clean_text, n_tokens_kept,
-    n_tokens_removed)``."""
+    n_tokens_removed)``.
+
+    NULL text coalesces to the empty string BEFORE tokenization: the
+    posexplode-based reassembly would otherwise silently DROP the
+    document from the output (no token rows -> no totals row), while
+    every other per-doc surface keeps it."""
     L = min_tokens
-    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    toks = df.select(
+        F.col(id_col),
+        TX.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
     grams = toks.select(
         F.col(id_col),
         F.posexplode(TX.shingles_of(F.col("__toks"), L)).alias("pos", "gram"),

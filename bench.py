@@ -1112,6 +1112,9 @@ def normalized_vs_prev(
         pos = sorted(
             idx[d["query"]] for d in regressions if d["query"] in idx
         )
+    else:
+        pos = []
+    if pos:
         in_burst: set = set()
         run = [pos[0]]
         for a, b in zip(pos, pos[1:]):

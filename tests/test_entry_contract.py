@@ -107,7 +107,7 @@ def test_driver_window_composition():
         "q_split_assign", "q_string_funcs", "q_text_quality",
         "q_text_term_freq", "q_text_tokens", "q_token_count_bpe",
         "q_window_rank", "q_window_sliding", "q_write_roundtrip",
-        # round-5 cohort head (24, name order)
+        # round-5 cohort head (19, name order)
         "q_asof_join", "q_bigram_counts", "q_bucketed_join",
         "q_chunk_dedup", "q_cms_heavy_hitters", "q_date_arith",
         "q_dedup_exact", "q_dedup_minhash", "q_embed_quantize",

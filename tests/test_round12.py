@@ -373,21 +373,24 @@ def test_indexed_ivf_scan_dynamically_prunes_cells(spark, sf_dir):
         cents = kmeans_centroids(emb, n_centroids=8, n_iters=1)
         index = build_ivf_index(emb, cents, path)
         queries = emb.filter(F.col("vec_id") < 5).limit(5)
-        # the assertion only holds when DPP is on — pin the config here
-        # instead of inheriting it, so an unrelated session-default change
-        # can't fail this test without a real plan regression
-        assert (
-            spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
-            == "true"
-        )
-        df = cosine_topk_ivf(
-            emb, queries, k=10, n_probe=2, centroids=cents, index=index
-        )
-        # case-insensitive, prefix-only match: the exact
-        # 'dynamicpruningexpression(cell...' rendering is a Spark
-        # plan-format detail that varies across versions
-        plan = _plan_of(df).lower()
-        assert "dynamicpruning" in plan, plan[:2000]
+        # the assertion only holds when DPP is on — SET the config for
+        # this test (restored below) instead of inheriting it, so an
+        # unrelated session-default change can't fail this test without
+        # a real plan regression
+        dpp_key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        prev_dpp = spark.conf.get(dpp_key)
+        spark.conf.set(dpp_key, "true")
+        try:
+            df = cosine_topk_ivf(
+                emb, queries, k=10, n_probe=2, centroids=cents, index=index
+            )
+            # case-insensitive, prefix-only match: the exact
+            # 'dynamicpruningexpression(cell...' rendering is a Spark
+            # plan-format detail that varies across versions
+            plan = _plan_of(df).lower()
+            assert "dynamicpruning" in plan, plan[:2000]
+        finally:
+            spark.conf.set(dpp_key, prev_dpp)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -607,3 +607,23 @@ def test_substring_dup_witness_points_at_other_occurrence(spark):
     # doc 2's copy witnesses the global min (doc 1, pos 0)
     assert (out[2].witness_doc, out[2].witness_pos) == (1, 0)
     assert 3 not in out
+
+
+def test_substring_scrub_keeps_null_text_docs(spark):
+    """A NULL-text document must not silently vanish from the scrub
+    output (the posexplode reassembly would drop it without the
+    coalesce guard); it passes through with empty clean_text."""
+    from azure_cloud_based_end_to_end_data_pipeline_development_for_etl_and_visualization_spark.operators.dedup import (
+        substring_scrub,
+    )
+
+    rows = [(1, None), (2, " ".join(f"n{i}" for i in range(15)))]
+    out = {
+        r.doc_id: r
+        for r in substring_scrub(
+            _docs(spark, rows), "doc_id", "text", min_tokens=12
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens_removed == 0
+    assert out[2].n_tokens_removed == 0 and out[2].n_tokens_kept == 15
