@@ -24212,8 +24212,12 @@ def q_substring_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _t(spark, sf_dir, "documents")
     planted = _substr_planted(docs, "source")
+    # counts-only scrub: the savings rollup never reads the rebuilt
+    # text, so the reassembly (token explode + anti join + sorted-struct
+    # rebuild) would be pure waste — measured as 2 of this entry's 4
+    # scans and 5 of its 9 exchanges before the fast path existed
     scrubbed = substring_scrub(
-        planted, "doc_id", "text", min_tokens=_SUBSTR_L
+        planted, "doc_id", "text", min_tokens=_SUBSTR_L, rebuild_text=False
     )
     return (
         scrubbed.join(planted.select("doc_id", "source"), "doc_id")

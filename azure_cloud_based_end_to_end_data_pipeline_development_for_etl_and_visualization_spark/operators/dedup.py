@@ -808,6 +808,7 @@ def substring_scrub(
     text_col: str,
     min_tokens: int = 12,
     hash_grams: bool = False,
+    rebuild_text: bool = True,
 ) -> DataFrame:
     """Cut-and-splice removal of every duplicated >= ``min_tokens``-token
     span — the ACTION following :func:`substring_dup_spans`' detection,
@@ -857,6 +858,31 @@ def substring_scrub(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
         ).alias("pos"),
     ).distinct()
+    # totals come from the token ARRAY SIZE — a map-only projection;
+    # counting the exploded token rows cost a second full scan + shuffle
+    # (and silently dropped docs whose explode emitted nothing)
+    totals = toks.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("__n_total")
+    )
+    if not rebuild_text:
+        # counts-only fast path (q_substring_savings_by_source): the
+        # removed-token count is just the covered-position count — no
+        # token explode, no anti join, no text reassembly
+        cov_counts = covered.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__n_removed")
+        )
+        return totals.join(cov_counts, id_col, "left").select(
+            id_col,
+            (
+                F.col("__n_total")
+                - F.coalesce(F.col("__n_removed"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.coalesce(F.col("__n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     pos_toks = toks.select(
         F.col(id_col), F.posexplode(F.col("__toks")).alias("pos", "tok")
     )
@@ -872,9 +898,6 @@ def substring_scrub(
             " ",
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
-    )
-    totals = pos_toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__n_total")
     )
     return (
         totals.join(rebuilt, id_col, "left")
