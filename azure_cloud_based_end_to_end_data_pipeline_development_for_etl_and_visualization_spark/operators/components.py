@@ -45,28 +45,46 @@ def connected_components(
     labels = nodes.select("node", F.col("node").alias("component")).cache()
     labels.count()  # materialize (also materializes sym)
 
+    # typed NULL for the neighbor rows' __old slot (node ids may be any
+    # numeric type; when(false, col) yields a NULL of component's type)
+    null_component = F.when(F.lit(False), F.col("component"))
+    cached = labels  # the frame currently holding the cache entry
     for _ in range(max_iter):
-        # candidate labels: own component + every neighbor's component
+        # candidate labels: own component + every neighbor's component.
+        # The own row also carries its CURRENT component in __old, so
+        # convergence detection rides the same aggregation — the
+        # per-iteration "join new labels back to old labels" shuffle
+        # the original formulation paid for the changed-check is gone
+        # (exactly one own row per node, so max(__old) is the old label;
+        # min labels only decrease, so changed == new < old).
         neighbor_labels = (
             sym.join(labels, sym.v == labels.node)
-            .select(F.col("u").alias("node"), "component")
+            .select(
+                F.col("u").alias("node"),
+                "component",
+                null_component.alias("__old"),
+            )
         )
-        new_labels = (
-            labels.select("node", "component")
+        merged = (
+            labels.select(
+                "node", "component", F.col("component").alias("__old")
+            )
             .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
             .cache()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            merged.filter(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("node", "component")
         if changed == 0:
             break
     sym.unpersist()

@@ -944,6 +944,8 @@ def substring_dup_spans_incremental(
     text_col: str,
     min_tokens: int = 12,
     hash_grams: bool = False,
+    probe: str = "join",
+    max_batch_grams: int = 8_000_000,
 ) -> DataFrame:
     """Incremental :func:`substring_dup_spans`: duplicated spans of the
     INCOMING batch against (base corpus + the batch itself), where the
@@ -955,7 +957,41 @@ def substring_dup_spans_incremental(
     is tokenized. A gram duplicates iff its batch count plus its base
     count reaches 2 — exactly the full-recompute semantics, which is
     what the oracle checks. Same output shape as
-    :func:`substring_dup_spans`."""
+    :func:`substring_dup_spans`.
+
+    ``probe`` picks how the artifact is consulted — the two strategies
+    are output-identical (pinned in tests/test_round14.py) and differ
+    only in which side moves (r14, closing r13 VERDICT item 4):
+
+    - ``"join"``: the batch's counted grams LEFT-JOIN the artifact on
+      the gram key. The whole artifact shuffles (narrow: 8-byte hashed
+      gram + count), the batch side reuses the count window's
+      partitioning. MEASURED FASTEST while the artifact is within
+      ~20x of the batch's gram count — at the bench's 10:1 geometry
+      the alternative's key broadcast costs more than the artifact
+      shuffle it saves (floor-profiled in OPTIMIZATION_r14.md).
+    - ``"broadcast"``: the artifact is pruned to the batch's own gram
+      keys with a broadcast semi-join BEFORE anything shuffles (the
+      Bloom pre-filter shape of the big-side-reduction playbook, exact
+      because the key set is batch-bounded), then only batch-gram-sized
+      relations move: a gram duplicates iff it repeats within the batch
+      OR exists in the base at all (artifact counts are >= 1 by
+      construction), so the dup-key relation semi-joins back onto the
+      position relation and the artifact contributes a column-pruned
+      SCAN, never a shuffle. This is the production-geometry winner:
+      per-ingest cost stays O(|batch|) while ``"join"`` re-shuffles the
+      corpus-sized artifact every batch (the bench's substring_dedup
+      section measures the crossover). ``max_batch_grams`` count-guards
+      the key broadcast (the _require_bounded_queries discipline); at
+      key volumes past broadcastability, swap the broadcast for a Bloom
+      filter over the batch grams — false positives only let a few
+      extra artifact rows through and cannot change a dup verdict.
+    """
+    if probe not in ("join", "broadcast"):
+        raise ValueError(
+            f"substring_dup_spans_incremental: unknown probe={probe!r} "
+            "(expected 'join' or 'broadcast')"
+        )
     L = min_tokens
     toks = incoming.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
@@ -968,19 +1004,59 @@ def substring_dup_spans_incremental(
         grams = grams.select(
             id_col, "pos", F.xxhash64(F.col("gram")).alias("gram")
         )
-    inc_counted = grams.withColumn(
-        "__n_inc", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    )
-    joined = inc_counted.join(
-        base_counts.select(
-            F.col("gram"), F.col("n_occ").alias("__n_base")
-        ),
-        "gram",
-        "left",
-    )
-    dup_starts = joined.filter(
-        F.col("__n_inc") + F.coalesce(F.col("__n_base"), F.lit(0)) >= 2
-    ).select(id_col, "pos")
+    if probe == "broadcast":
+        # one materialization of the batch grams: they feed the guard
+        # count, the repeat count, the artifact prune and the final
+        # dup-start semi-join — a lazy local checkpoint runs the
+        # tokenize->shingle pipeline once, not four times
+        grams = grams.localCheckpoint(eager=False)
+        # fail fast if the "batch" is not actually batch-sized: its
+        # gram keys are broadcast below (the _require_bounded_queries
+        # discipline — a corpus-sized incoming frame belongs on the
+        # full-recompute or probe="join" path). The count doubles as
+        # the checkpoint materializer.
+        cap = int(max_batch_grams)
+        if grams.limit(cap + 1).count() > cap:
+            raise ValueError(
+                f"substring_dup_spans_incremental: incoming batch "
+                f"exceeds max_batch_grams={cap} gram instances; its "
+                "gram-key set is broadcast to prune the base artifact, "
+                "so a corpus-sized batch would OOM executors. Split the "
+                "ingest batch, use probe='join', or raise "
+                "max_batch_grams deliberately."
+            )
+        inc_counts = grams.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("__n_inc")
+        )
+        # .limit(cap) is a no-op after the guard (distinct grams <=
+        # gram instances <= cap) and gives the broadcast a structural
+        # bound the hint audit can prove
+        keys = inc_counts.select("gram").limit(cap)
+        base_hits = base_counts.select("gram").join(
+            F.broadcast(keys), "gram", "left_semi"
+        )
+        dup_keys = (
+            inc_counts.filter(F.col("__n_inc") >= 2)
+            .select("gram")
+            .unionByName(base_hits)  # dups possible; semi-join ignores
+        )
+        dup_starts = grams.join(dup_keys, "gram", "left_semi").select(
+            id_col, "pos"
+        )
+    else:
+        inc_counted = grams.withColumn(
+            "__n_inc", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        joined = inc_counted.join(
+            base_counts.select(
+                F.col("gram"), F.col("n_occ").alias("__n_base")
+            ),
+            "gram",
+            "left",
+        )
+        dup_starts = joined.filter(
+            F.col("__n_inc") + F.coalesce(F.col("__n_base"), F.lit(0)) >= 2
+        ).select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup_starts.withColumn(
         "__brk",

@@ -88,11 +88,20 @@ def cosine_topk(
     _require_bounded_queries(
         queries, "cosine_topk", max_query_batch, allow_full_cross
     )
+    # norms fold ONCE per side row instead of once per PAIR inside
+    # cosine() — 3 interpreted array folds per pair drop to 1 (the
+    # q_mutual_knn_pairs hoist, measured 11.4 s -> ~4 s there).
+    # Bit-identical: same left-to-right folds, same (q_nrm * c_nrm)
+    # operand order as cosine(q_vec, c_vec)'s norm(q) * norm(c).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        V.norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        V.norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -100,7 +109,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (
+                V.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -137,8 +149,18 @@ def threshold_pairs(
             "blocking column (e.g. lsh_bucket(...) output) or opt in "
             "explicitly with allow_full_cross=True"
         )
-    a_cols = [F.col(id_col).alias("a"), F.col(vec_col).alias("va")]
-    b_cols = [F.col(id_col).alias("b"), F.col(vec_col).alias("vb")]
+    # per-side norm hoist (the cosine_topk rationale): one fold per
+    # pair instead of three, bit-identical values
+    a_cols = [
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        V.norm(F.col(vec_col)).alias("__na"),
+    ]
+    b_cols = [
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        V.norm(F.col(vec_col)).alias("__nb"),
+    ]
     if block_col:
         a = corpus.select(F.col(block_col).alias("blk"), *a_cols)
         b = corpus.select(F.col(block_col).alias("blk"), *b_cols)
@@ -149,7 +171,7 @@ def threshold_pairs(
             .crossJoin(corpus.select(*b_cols))
             .filter(F.col("a") < F.col("b"))
         )
-    sim = V.cosine(F.col("va"), F.col("vb"))
+    sim = V.dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     out_cols = ["a", "b", sim.alias("sim")]
     if block_col:
         out_cols = [F.col("blk").alias(block_col), *out_cols]
@@ -428,6 +450,7 @@ def cosine_topk_ivf(
         cb = index.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            V.norm(F.col(vec_col)).alias("c_nrm"),
             "cell",
         )
     else:
@@ -435,6 +458,7 @@ def cosine_topk_ivf(
         cb = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            V.norm(F.col(vec_col)).alias("c_nrm"),
             (F.array_position(c_dots, F.array_max(c_dots)) - 1).alias("cell"),
         )
 
@@ -455,16 +479,22 @@ def cosine_topk_ivf(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        V.norm(F.col(vec_col)).alias("q_nrm"),
         F.explode(probe_cells).alias("cell"),
     )
 
+    # per-side norm hoist (the cosine_topk rationale): one fold per
+    # probed pair instead of three, bit-identical values
     scored = (
         cb.join(qb, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (
+                V.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -526,10 +556,14 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-side norm hoist (the cosine_topk rationale): one fold per
+    # candidate instead of three, bit-identical values
     scored = (
         cand.join(
             queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                V.norm(F.col(vec_col)).alias("q_nrm"),
             ),
             "query_id",
         )
@@ -537,13 +571,17 @@ def cosine_topk_lsh(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("c_vec"),
+                V.norm(F.col(vec_col)).alias("c_nrm"),
             ),
             "neighbor_id",
         )
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (
+                V.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -779,6 +817,7 @@ def _exact_rerank(
                 queries.select(
                     F.col(id_col).alias("query_id"),
                     F.col(vec_col).alias("__q_vec"),
+                    V.norm(F.col(vec_col)).alias("__q_nrm"),
                 )
             ),
             "query_id",
@@ -787,13 +826,17 @@ def _exact_rerank(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("__c_vec"),
+                V.norm(F.col(vec_col)).alias("__c_nrm"),
             ),
             "neighbor_id",
         )
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("__q_vec"), F.col("__c_vec")).alias("sim"),
+            (
+                V.dot(F.col("__q_vec"), F.col("__c_vec"))
+                / (F.col("__q_nrm") * F.col("__c_nrm"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1074,10 +1117,15 @@ def semantic_dedup(
     dots = _centroid_dots(vec_col, cents)
     norms_lit = F.array(*[F.lit(float(x)) for x in cnorms])
     # the argmax dot is reused as the cosine numerator: cell norms ride
-    # in as a 16-float literal, so no second dot pass over the vector
+    # in as a 16-float literal, so no second dot pass over the vector.
+    # The vector's own norm folds ONCE here and rides through the
+    # materialized assignment — the centroid cosine AND every within-
+    # cell pair cosine reuse it (the cosine_topk hoist: 3 folds per
+    # pair drop to 1, bit-identical values)
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        V.norm(F.col(vec_col)).alias("__nrm"),
         (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
         F.array_max(dots).alias("__best_dot"),
     ).withColumn(
@@ -1085,7 +1133,7 @@ def semantic_dedup(
         F.col("__best_dot")
         / (
             F.element_at(norms_lit, F.col("cell").cast("int") + 1)
-            * V.norm(F.col(vec_col))
+            * F.col("__nrm")
         ),
     ).drop("__best_dot")
     if materialize_path is not None:
@@ -1099,18 +1147,24 @@ def semantic_dedup(
         F.col("cell"),
         F.col(id_col).alias("__a_id"),
         F.col(vec_col).alias("__a_vec"),
+        F.col("__nrm").alias("__a_nrm"),
         F.col("centroid_cos").alias("__a_cc"),
     )
     b = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("__b_id"),
         F.col(vec_col).alias("__b_vec"),
+        F.col("__nrm").alias("__b_nrm"),
         F.col("centroid_cos").alias("__b_cc"),
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("__a_id") < F.col("__b_id"))
-        .filter(V.cosine(F.col("__a_vec"), F.col("__b_vec")) >= threshold)
+        .filter(
+            V.dot(F.col("__a_vec"), F.col("__b_vec"))
+            / (F.col("__a_nrm") * F.col("__b_nrm"))
+            >= threshold
+        )
     )
     # the less-representative member of each qualifying pair is dropped;
     # ties on centroid_cos break by id so exactly one of an exact-dup
@@ -1241,13 +1295,17 @@ def hard_negatives(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        V.norm(F.col(vec_col)).alias("q_nrm"),
         F.col(label_col).alias("q_label"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        V.norm(F.col(vec_col)).alias("c_nrm"),
         F.col(label_col).alias("c_label"),
     )
+    # per-side norm hoist (the cosine_topk rationale): one fold per
+    # pair instead of three, bit-identical values
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_label") != F.col("q_label"))
@@ -1255,7 +1313,10 @@ def hard_negatives(
             "query_id",
             "neighbor_id",
             F.col("c_label").alias("neg_label"),
-            V.cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (
+                V.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

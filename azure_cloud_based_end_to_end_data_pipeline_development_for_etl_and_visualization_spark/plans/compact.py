@@ -46,6 +46,23 @@ def data_file_count(path: str) -> int:
     return n
 
 
+def _invalidate_listing(spark: SparkSession, path: str) -> None:
+    """Invalidate Spark's session-shared file-status cache for ``path``
+    after an OUT-OF-BAND directory mutation (``os.rename`` /
+    ``shutil.rmtree`` outside Spark's write path). Spark refreshes its
+    own listings after ITS writes, but a swap it never saw can leave the
+    FileStatusCache serving file names that no longer exist — the next
+    scan of the path then dies inside a FileScanRDD task with a
+    file-not-found, which is exactly the (one-off, nondeterministic)
+    crash signature that voided the round-13 driver bench capture
+    (BENCH_r13.json rc=1). Best-effort: cache invalidation must never
+    turn a successful swap into a failure."""
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass
+
+
 def _side_dir(path: str, tag: str) -> str:
     """Dot-prefixed sibling directory for the swap protocol. A crash
     between the write and the renames used to strand visible
@@ -82,6 +99,7 @@ def compact_parquet_dir(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    _invalidate_listing(spark, path)
     return data_file_count(path)
 
 
@@ -169,4 +187,5 @@ def zorder_compact_dir(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    _invalidate_listing(spark, path)
     return data_file_count(path)

@@ -117,3 +117,10 @@ def merge_scd1_path(
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(tmp, target_path)
+    # out-of-band swap: drop any stale file listing Spark cached for the
+    # target (plans/compact._invalidate_listing rationale — a reader that
+    # listed the pre-merge directory would otherwise chase renamed files)
+    try:
+        spark.catalog.refreshByPath(target_path)
+    except Exception:
+        pass

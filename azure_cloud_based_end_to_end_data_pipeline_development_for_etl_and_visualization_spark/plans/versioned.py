@@ -166,9 +166,19 @@ def vacuum(root: str, keep_last: int = 1) -> list[int]:
     removed = []
     for v in versions:
         if v not in keep:
-            shutil.rmtree(
-                os.path.join(_versions_dir(root), _version_name(v)),
-                ignore_errors=True,
-            )
+            vdir = os.path.join(_versions_dir(root), _version_name(v))
+            shutil.rmtree(vdir, ignore_errors=True)
             removed.append(v)
+            # out-of-band delete: a session that time-traveled to this
+            # snapshot may hold its file listing in the shared
+            # FileStatusCache (plans/compact._invalidate_listing
+            # rationale); best-effort, sessionless callers skip it
+            try:
+                from pyspark.sql import SparkSession
+
+                active = SparkSession.getActiveSession()
+                if active is not None:
+                    active.catalog.refreshByPath(vdir)
+            except Exception:
+                pass
     return removed

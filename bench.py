@@ -978,6 +978,82 @@ def bench_substring_dedup(spark, sf_dir: str, repeats: int) -> dict:
         out["ratio_full_over_incremental"] = round(
             out["full_sec"] / out["incremental_sec"], 2
         )
+
+        # Second, production-geometry point (r14, closing r13 VERDICT
+        # item 4): the 10:1 corpus:batch ratio above caps the possible
+        # ratio at ~2.3x REGARDLESS of the probe — floor-profiled: the
+        # batch's own tokenize+window+island work alone is ~45% of the
+        # full recompute, so "incremental beats full 3x" is
+        # geometrically impossible there and the honest fix is to also
+        # measure where production actually sits: a daily batch that is
+        # a SLIVER of the corpus. 4x the corpus, 1/4 the batch (40:1),
+        # same outputs-per-doc semantics; the broadcast probe
+        # (substring_dup_spans_incremental probe="broadcast") prunes
+        # the artifact to the batch's gram keys before anything
+        # shuffles, so per-ingest cost tracks |batch| while the full
+        # recompute and the probe="join" artifact shuffle scale with
+        # the corpus — the crossover the per-doc MinHash artifact
+        # (q_dedup_incremental, 13x-class) already demonstrated, now
+        # measured for the per-gram rung. Both probe strategies are
+        # timed so the crossover itself is in the artifact.
+        n_hi = n_docs * 4
+        corpus_hi = os.path.join(
+            tempfile.gettempdir(),
+            f"bench_substr_hi_{uuid.uuid4().hex}",
+        )
+        cpath_hi = corpus_hi + "_counts"
+        try:
+            spark.range(n_hi).select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 20 == 5,
+                    F.concat(body, F.lit(" " + boiler)),
+                )
+                .otherwise(body)
+                .alias("text"),
+            ).write.mode("overwrite").parquet(corpus_hi)
+            docs_hi = spark.read.parquet(corpus_hi)
+            is_inc_hi = TX.hash32(F.col("doc_id").cast("string")) % 40 == 0
+            t0 = time.time()
+            gram_counts(
+                docs_hi.filter(~is_inc_hi), "doc_id", "text",
+                hash_grams=True,
+            ).write.mode("overwrite").parquet(cpath_hi)
+            out["hi_artifact_build_sec"] = round(time.time() - t0, 3)
+            base_hi = spark.read.parquet(cpath_hi)
+            incoming_hi = docs_hi.filter(is_inc_hi)
+            out["hi_n_docs"] = n_hi
+            out["hi_batch_fraction"] = 0.025
+            variants = {
+                "hi_full": lambda: substring_dup_spans(
+                    docs_hi, "doc_id", "text", hash_grams=True
+                ),
+                "hi_incremental_join": lambda:
+                    substring_dup_spans_incremental(
+                        incoming_hi, base_hi, "doc_id", "text",
+                        hash_grams=True, probe="join",
+                    ),
+                "hi_incremental_broadcast": lambda:
+                    substring_dup_spans_incremental(
+                        incoming_hi, base_hi, "doc_id", "text",
+                        hash_grams=True, probe="broadcast",
+                    ),
+            }
+            for label, build in variants.items():
+                med, spread, noisy = gated_median(build, repeats)
+                out[f"{label}_sec"] = med
+                out[f"{label}_spread"] = spread
+                if noisy:
+                    out[f"{label}_noisy"] = True
+            out["hi_ratio_full_over_broadcast"] = round(
+                out["hi_full_sec"] / out["hi_incremental_broadcast_sec"], 2
+            )
+            out["hi_ratio_full_over_join"] = round(
+                out["hi_full_sec"] / out["hi_incremental_join_sec"], 2
+            )
+        finally:
+            shutil.rmtree(cpath_hi, ignore_errors=True)
+            shutil.rmtree(corpus_hi, ignore_errors=True)
     finally:
         shutil.rmtree(cpath, ignore_errors=True)
         shutil.rmtree(corpus_path, ignore_errors=True)
@@ -1132,20 +1208,38 @@ def normalized_vs_prev(
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+def _exc_brief(ex: BaseException) -> str:
+    """One-line machine-readable error record: type + first 400 chars of
+    the message (executor stacks run to kilobytes; the summary line must
+    stay a readable single JSON line)."""
+    msg = str(ex).strip().splitlines()
+    head = msg[0] if msg else ""
+    return f"{type(ex).__name__}: {head}"[:400]
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+def run_bench(spark, sf_dir: str, sf, repeats: int) -> dict:
+    """Gather every measurement defensively and return the full result
+    dict. Fault tolerance (r13 VERDICT item 1): BENCH_r13 was voided
+    (rc=1, parsed null) because ONE transient FileScanRDD task failure
+    anywhere in the ~45-minute run killed ``main()`` with no try/except
+    around any of the 278 queries or 5 sections. Now a failed query
+    records ``{"err": ...}`` under its name in ``queries`` (numeric
+    timings are untouched — ``value`` stays the sum of successful
+    queries), a failed section becomes ``{"err": ...}``, and the
+    ``errors`` field lists every failure machine-readably, so a partial
+    capture is still a capture."""
+    errors: dict[str, str] = {}
 
     # global warmup: JVM JIT + parquet footer caches, not measured.
     # FOUR runs: the canary's start sample follows immediately, and a
     # shallower warmup leaves enough JIT tail to read as ~2x "drift"
     # (measured at 1 and at 2 warmups) — which would cry wolf on every
     # clean capture.
-    for _ in range(4):
-        materialize(catalog.q_groupby_agg(spark, sf_dir))
+    try:
+        for _ in range(4):
+            materialize(catalog.q_groupby_agg(spark, sf_dir))
+    except Exception as ex:
+        errors["__warmup__"] = _exc_brief(ex)
 
     # Noise canary (r11 VERDICT item 2): one fixed, cheap, plan-pinned
     # query timed at the START / MIDDLE / END of the headline loop.
@@ -1158,61 +1252,83 @@ def main() -> None:
     # ~1.3x the prior round's — divide headline deltas by the anchor
     # ratio before reading them as regressions. q_groupby_agg doubles
     # as the global warmup above, so the first sample is already hot.
-    def _canary_time() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            materialize(catalog.q_groupby_agg(spark, sf_dir))
-            runs.append(time.time() - t0)
-        return round(statistics.median(runs), 3)
+    def _canary_time() -> float | None:
+        try:
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                materialize(catalog.q_groupby_agg(spark, sf_dir))
+                runs.append(time.time() - t0)
+            return round(statistics.median(runs), 3)
+        except Exception as ex:
+            errors["__canary__"] = _exc_brief(ex)
+            return None
 
     canary: dict = {"query": "q_groupby_agg", "start": _canary_time()}
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    queries_out: dict = {}
     for pos, name in enumerate(HEADLINE):
         if pos == len(HEADLINE) // 2:
             canary["middle"] = _canary_time()
         fn = catalog.QUERIES[name]
-        materialize(fn(spark, sf_dir))  # per-query warmup, not measured
-        runs = []
-        for _ in range(repeats):
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+        try:
+            materialize(fn(spark, sf_dir))  # per-query warmup, unmeasured
+            runs = []
+            for _ in range(repeats):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.time() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+            spread[name] = round(max(runs) - min(runs), 3)
+            queries_out[name] = timings[name]
+        except Exception as ex:
+            errors[name] = _exc_brief(ex)
+            queries_out[name] = {"err": _exc_brief(ex)}
     canary["end"] = _canary_time()
-    samples = [canary["start"], canary["middle"], canary["end"]]
+    samples = [
+        canary.get(k)
+        for k in ("start", "middle", "end")
+        if canary.get(k) is not None
+    ]
     canary["drift_factor"] = (
-        round(max(samples) / min(samples), 3) if min(samples) > 0 else None
+        round(max(samples) / min(samples), 3)
+        if samples and min(samples) > 0
+        else None
     )
-    canary["anchor_sec"] = min(samples)
+    canary["anchor_sec"] = min(samples) if samples else None
 
     norm = {"available": False}
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_full_prev.json")) as f:
             prev = json.load(f)
-        norm = normalized_vs_prev(
-            prev, timings, canary["anchor_sec"],
-            float(sf) if sf.replace(".", "").isdigit() else sf,
-            order=list(timings),
-        )
+        if canary["anchor_sec"]:
+            norm = normalized_vs_prev(
+                prev, timings, canary["anchor_sec"], sf, order=list(timings)
+            )
     except (OSError, ValueError, KeyError):
         pass  # no committed prior capture: first round with this scheme
 
-    skew = bench_skew(spark, sf_dir, repeats)
-    ann = bench_ann(spark, sf_dir, repeats)
-    incr = bench_incremental_refresh(spark, sf_dir, repeats)
-    layout = bench_layout_pruning(spark, sf_dir, repeats)
-    substr = bench_substring_dedup(spark, sf_dir, repeats)
+    def _section(label: str, fn) -> dict:
+        try:
+            return fn(spark, sf_dir, repeats)
+        except Exception as ex:
+            errors[label] = _exc_brief(ex)
+            return {"err": _exc_brief(ex)}
 
-    full = {
+    skew = _section("skew_join", bench_skew)
+    ann = _section("ann", bench_ann)
+    incr = _section("incremental_refresh", bench_incremental_refresh)
+    layout = _section("layout_pruning", bench_layout_pruning)
+    substr = _section("substring_dedup", bench_substring_dedup)
+
+    return {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": queries_out,
         "spread": spread,
         "canary": canary,
         "vs_prev": norm,
@@ -1222,67 +1338,98 @@ def main() -> None:
         "layout_pruning": layout,
         "substring_dedup": substr,
         "repeats": repeats,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
+        "errors": errors,
+        "_timings": timings,  # numeric-only view (stripped before dump)
     }
-    print(json.dumps(full))
-    # The driver records only the stdout TAIL — BENCH_r07/r08 both lost
-    # the per-query dict to truncation. Persist the complete result to a
-    # repo file (overwritten per run) so round-over-round per-query
-    # deltas never need a re-run.
+
+
+def build_summary(full: dict) -> dict:
+    """Compact one-line summary from a (possibly partial) full result.
+    Every access is .get(): a section that crashed is an {"err": ...}
+    dict and must not take the summary down with it."""
+    timings = full.get("_timings") or {}
+    canary = full.get("canary") or {}
+    norm = full.get("vs_prev") or {}
+    skew = full.get("skew_join") or {}
+    incr = full.get("incremental_refresh") or {}
+    substr = full.get("substring_dedup") or {}
+    layout = full.get("layout_pruning") or {}
+    ann = full.get("ann") or {}
+    return {
+        "headline_total_sec": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
+        "sf": full.get("sf"),
+        "repeats": full.get("repeats"),
+        "errors": full.get("errors") or {},
+        "canary_drift": canary.get("drift_factor"),
+        "canary_anchor_sec": canary.get("anchor_sec"),
+        "anchor_ratio_vs_prev": norm.get("anchor_ratio_vs_prev"),
+        "normalized_regressions": [
+            d["query"] for d in norm.get("normalized_regressions", [])
+        ],
+        "regressions_burst_suspected": norm.get("burst_suspected"),
+        "skew_ratio": skew.get("ratio_plain_over_salted"),
+        "incr_ratio": incr.get("ratio_full_over_delta"),
+        "substr_ratio": substr.get("ratio_full_over_incremental"),
+        # files-kept is the PRIMARY pruning metric (the
+        # implied IO reduction on object storage); the time
+        # ratio is secondary — at ~70 ms probes it is noise
+        # (r7: driver 1.58 vs judge 1.08 on identical code)
+        "prune_files_kept": {
+            lbl: f"{layout.get(f'{lbl}_files_kept')}"
+            f"/{layout.get(f'{lbl}_files_total')}"
+            for lbl in ("zorder", "linear")
+        },
+        "prune_time_ratio_secondary": layout.get("ratio_linear_over_zorder"),
+        "ann": {
+            k: ann[k]
+            for k in ("exact", "best_approx", "crossover")
+            if k in ann
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # the summary line must print LAST on EVERY path (r13 VERDICT item
+    # 1): even a session-construction failure still emits one parseable
+    # line with the error, never a bare stack as the whole capture
+    summary: dict = {
+        "headline_total_sec": 0.0,
+        "n_queries": 0,
+        "sf": sf,
+        "repeats": repeats,
+        "errors": {},
+    }
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: stdout still carries everything
-    # compact one-line summary LAST: the driver keeps only the tail of
-    # stdout, and in r6 the full JSON's size pushed the headline number
-    # (printed first) out of the capture — this line always survives.
-    print(
-        json.dumps(
-            {
-                "summary": {
-                    "headline_total_sec": round(sum(timings.values()), 3),
-                    "n_queries": len(timings),
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "repeats": repeats,
-                    "canary_drift": canary.get("drift_factor"),
-                    "canary_anchor_sec": canary.get("anchor_sec"),
-                    "anchor_ratio_vs_prev": norm.get("anchor_ratio_vs_prev"),
-                    "normalized_regressions": [
-                        d["query"]
-                        for d in norm.get("normalized_regressions", [])
-                    ],
-                    "regressions_burst_suspected": norm.get(
-                        "burst_suspected"
-                    ),
-                    "skew_ratio": skew.get("ratio_plain_over_salted"),
-                    "incr_ratio": incr.get("ratio_full_over_delta"),
-                    "substr_ratio": substr.get(
-                        "ratio_full_over_incremental"
-                    ),
-                    # files-kept is the PRIMARY pruning metric (the
-                    # implied IO reduction on object storage); the time
-                    # ratio is secondary — at ~70 ms probes it is noise
-                    # (r7: driver 1.58 vs judge 1.08 on identical code)
-                    "prune_files_kept": {
-                        lbl: f"{layout.get(f'{lbl}_files_kept')}"
-                        f"/{layout.get(f'{lbl}_files_total')}"
-                        for lbl in ("zorder", "linear")
-                    },
-                    "prune_time_ratio_secondary": layout.get(
-                        "ratio_linear_over_zorder"
-                    ),
-                    "ann": {
-                        k: ann[k]
-                        for k in ("exact", "best_approx", "crossover")
-                        if k in ann
-                    },
-                }
-            }
-        )
-    )
+        spark = get_spark("bench")
+        full = run_bench(spark, sf_dir, sf, repeats)
+        summary = build_summary(full)
+        full.pop("_timings", None)
+        print(json.dumps(full))
+        # The driver records only the stdout TAIL — BENCH_r07/r08 both
+        # lost the per-query dict to truncation. Persist the complete
+        # result to a repo file (overwritten per run) so round-over-round
+        # per-query deltas never need a re-run.
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
+    except Exception as ex:
+        summary["errors"]["__fatal__"] = _exc_brief(ex)
+    finally:
+        # compact one-line summary LAST: the driver keeps only the tail
+        # of stdout, and in r6 the full JSON's size pushed the headline
+        # number (printed first) out of the capture — this line always
+        # survives, on success AND on partial failure.
+        print(json.dumps({"summary": summary}))
 
 
 if __name__ == "__main__":
