@@ -45,9 +45,14 @@ def triangle_stats(
     ``n_triangles``, and ``clustering_coeff = 3*T/W`` (the only double,
     a two-op expression tree reproducible across engines)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # both endpoints from ONE explode over a single scan: the
+    # union-of-two-selects form re-ran the (typically expensive basket
+    # pair) edge pipeline once per branch — no exchange sits at its
+    # top, so nothing is reused across union branches
     deg = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        e.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -275,7 +280,14 @@ def k_core(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .localCheckpoint(eager=True)
     )
-    prev_n = -1
+    # convergence on the EDGE count (r14): a peeled node had deg >= 1
+    # (nodes exist only via edges), so removing any node strictly
+    # shrinks the edge list — edges unchanged iff no node was dropped,
+    # i.e. fixpoint. Counting the just-checkpointed edge list is nearly
+    # free, where the old per-round survivor-node count ran the degree
+    # aggregation a second time (two jobs per round -> one; measured
+    # 2.54 s -> 2.29 s on the q_kcore graph at sf0.1, same output).
+    prev_m = cur.count()
     converged = False
     for _ in range(max_iters):
         deg = (
@@ -285,20 +297,20 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
-        n_keep = keep.count()
-        if n_keep == prev_n:
-            converged = True
-            break
-        prev_n = n_keep
         cur = (
             cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        m = cur.count()
+        if m == prev_m:
+            converged = True
+            break
+        prev_m = m
     if not converged:
         # The loop observes convergence via an extra confirming round
-        # (n_keep == prev_n), so max_iters == rounds-actually-needed
+        # (m == prev_m), so max_iters == rounds-actually-needed
         # would discard a correct result. One final degree check settles
         # it: if every surviving node already has degree >= k, the peel
         # IS at the fixpoint (round-7 ADVICE).
@@ -312,10 +324,10 @@ def k_core(
     if not converged:
         raise RuntimeError(
             f"k_core: peeling did not reach a fixpoint within "
-            f"max_iters={max_iters} rounds (last survivor count "
-            f"{prev_n}); the result would NOT be a true {k}-core — "
-            f"raise max_iters (each round strictly shrinks the node "
-            f"set plus one confirming round, so node-count + 1 rounds "
+            f"max_iters={max_iters} rounds (last surviving edge count "
+            f"{prev_m}); the result would NOT be a true {k}-core — "
+            f"raise max_iters (each round strictly shrinks the edge "
+            f"set plus one confirming round, so edge-count + 1 rounds "
             f"always suffice)"
         )
     out = (
@@ -353,9 +365,12 @@ def local_clustering(
     coefficient); ``lcc`` is one IEEE division of exact integers, so the
     readout is oracle-hashable."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # single-scan endpoint explode (triangle_stats rationale): the
+    # unionAll form re-ran the upstream edge pipeline per branch
     deg = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        e.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
@@ -384,10 +399,14 @@ def local_clustering(
             F.col("b.hi").alias("z"),
         )
     )
+    # all three corners from one pass over the triangle stream — the
+    # triple unionAll re-ran the two wedge joins once per corner
     tri = (
-        corners.select(F.col("x").alias("node"))
-        .unionAll(corners.select(F.col("y").alias("node")))
-        .unionAll(corners.select(F.col("z").alias("node")))
+        corners.select(
+            F.explode(
+                F.array(F.col("x"), F.col("y"), F.col("z"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
