@@ -131,11 +131,20 @@ def hll_partials(
     100 TB you compute daily/partition-level sketches ONCE, persist the
     kilobyte-sized binaries, and answer any coarser-grained distinct
     question (weekly, monthly, all-time, rolling) by UNIONING sketches —
-    never rescanning the raw data. Union is lossless between same-lgK
-    sketches, so a merged estimate is IDENTICAL to the estimate a direct
-    pass at the coarser grain would produce (asserted in
-    tests/test_sketch.py), and relative error is ~1.04/sqrt(2^lg_k)
-    (~1.6% at the default lg_k=12, ~4 KB per group)."""
+    never rescanning the raw data. A merged estimate agrees with a
+    direct pass at the coarser grain to within the sketch envelope, but
+    is NOT guaranteed bit-identical: Datasketches HLL promotes
+    sparse->dense representations at points that depend on how the
+    input was split into partials, so different partition layouts (or
+    partial-aggregation boundaries) can move an estimate by a count or
+    two (measured: the same 400-distinct set estimated 397-401 across
+    repartition(1..32) layouts — r14, which demoted the old
+    "bit-identical merge" claim this docstring carried and the
+    layout-sensitive assertion in tests/test_sketch.py that rode on
+    it). Relative error is ~1.04/sqrt(2^lg_k) (~1.6% at the default
+    lg_k=12, ~4 KB per group); estimates are deterministic for a FIXED
+    layout, which is why the rows-only HLL catalog entries replay
+    stably on one host."""
     return df.groupBy(*group_cols).agg(
         F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias(
             sketch_col
