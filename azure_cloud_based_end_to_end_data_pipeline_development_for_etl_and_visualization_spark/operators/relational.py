@@ -241,6 +241,67 @@ def with_surrogate_key_fact(
     )
 
 
+def global_middle_rows(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rn_col: str = "rn",
+    n_col: str = "n",
+) -> DataFrame:
+    """The 1–2 MIDDLE rows (global ranks ``(n+1) div 2`` and
+    ``n div 2 + 1``) under a total order, with ``rn_col``/``n_col``
+    attached — the median-by-rank-selection shortcut (r15).
+
+    :func:`with_global_row_number` + a middle filter sorts EVERY range
+    partition just to keep two rows; selection needs only the
+    partition(s) whose rank interval contains a target. Same phase 1
+    (``repartitionByRange`` + per-range counts + cumulative offsets over
+    partition-count-sized data); phase 2 broadcast-joins the 1–2 TARGET
+    ranges back (the join drops every other range before its window
+    runs), so the within-range ``row_number`` sort touches ~1/n_ranges
+    of the relation instead of all of it (measured 1.08–1.09x
+    end-to-end on q_theil_sen's 2.9M pairs at sf0.1; the win is the
+    sorts, which at 100 TB dominate). Ranks, tiebreaks and the returned
+    rows are IDENTICAL to the full-rank form: the range partitioner and
+    per-range ``row_number`` are unchanged, only non-target ranges —
+    whose rows cannot hold a target rank — are skipped. ``order_by``
+    must be a total order (unique tiebreak), as for
+    :func:`with_global_row_number`."""
+    pid = "__gm_pid"
+    cols = [F.col(c) for c in order_by]
+    tagged = df.repartitionByRange(*cols).withColumn(pid, F.spark_partition_id())
+    counts = tagged.groupBy(pid).agg(F.count(F.lit(1)).alias("__gm_n"))
+    w_ofs = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        pid,
+        F.col("__gm_n"),
+        F.coalesce(F.sum("__gm_n").over(w_ofs), F.lit(0)).alias("__gm_offset"),
+    )
+    total = counts.agg(F.sum("__gm_n").cast("long").alias(n_col))
+    in_range = lambda r: (r > F.col("__gm_offset")) & (  # noqa: E731
+        r <= F.col("__gm_offset") + F.col("__gm_n")
+    )
+    targets = (
+        offsets.crossJoin(F.broadcast(total))
+        .withColumn("__gm_r1", F.expr(f"({n_col} + 1) div 2"))
+        .withColumn("__gm_r2", F.expr(f"{n_col} div 2 + 1"))
+        .filter(in_range(F.col("__gm_r1")) | in_range(F.col("__gm_r2")))
+        .select(pid, "__gm_offset", "__gm_r1", "__gm_r2", n_col)
+    )
+    w_rn = Window.partitionBy(pid).orderBy(*cols)
+    return (
+        tagged.join(F.broadcast(targets), pid)
+        .withColumn(
+            rn_col,
+            (F.row_number().over(w_rn) + F.col("__gm_offset")).cast("long"),
+        )
+        .filter(
+            (F.col(rn_col) == F.col("__gm_r1"))
+            | (F.col(rn_col) == F.col("__gm_r2"))
+        )
+        .drop(pid, "__gm_offset", "__gm_r1", "__gm_r2")
+    )
+
+
 def with_global_row_number(
     df: DataFrame,
     order_by: Sequence[str],

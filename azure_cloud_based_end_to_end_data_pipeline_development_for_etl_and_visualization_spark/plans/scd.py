@@ -118,9 +118,8 @@ def merge_scd1_path(
     else:
         os.rename(tmp, target_path)
     # out-of-band swap: drop any stale file listing Spark cached for the
-    # target (plans/compact._invalidate_listing rationale — a reader that
-    # listed the pre-merge directory would otherwise chase renamed files)
-    try:
-        spark.catalog.refreshByPath(target_path)
-    except Exception:
-        pass
+    # target (a reader that listed the pre-merge directory would
+    # otherwise chase renamed files)
+    from .compact import _invalidate_listing
+
+    _invalidate_listing(spark, target_path)

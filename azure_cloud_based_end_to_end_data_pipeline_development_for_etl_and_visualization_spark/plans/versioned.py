@@ -177,8 +177,10 @@ def vacuum(root: str, keep_last: int = 1) -> list[int]:
                 from pyspark.sql import SparkSession
 
                 active = SparkSession.getActiveSession()
-                if active is not None:
-                    active.catalog.refreshByPath(vdir)
             except Exception:
-                pass
+                active = None
+            if active is not None:
+                from .compact import _invalidate_listing
+
+                _invalidate_listing(active, vdir)
     return removed

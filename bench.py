@@ -1376,10 +1376,15 @@ def build_summary(full: dict) -> dict:
         # implied IO reduction on object storage); the time
         # ratio is secondary — at ~70 ms probes it is noise
         # (r7: driver 1.58 vs judge 1.08 on identical code)
+        # emit only labels whose counts exist — when the layout section
+        # failed (err key), an f-string over .get() Nones used to render
+        # the literal "None/None" instead of an absent metric
         "prune_files_kept": {
             lbl: f"{layout.get(f'{lbl}_files_kept')}"
             f"/{layout.get(f'{lbl}_files_total')}"
             for lbl in ("zorder", "linear")
+            if layout.get(f"{lbl}_files_kept") is not None
+            and layout.get(f"{lbl}_files_total") is not None
         },
         "prune_time_ratio_secondary": layout.get("ratio_linear_over_zorder"),
         "ann": {

@@ -72,80 +72,88 @@ def test_rows_only_queries_are_the_documented_set():
     }
 
 
+# The 22 oracle-twinned queries whose bodies ride the r14/r15
+# optimization rewrites but whose newest driver hash predated them — the
+# r15 window head (r14 VERDICT item 1: the touched-query attestation
+# gap). Shared between the two window tests below.
+R15_TOUCHED_HEAD = [
+    "q_dedup_token_savings", "q_dedup_clusters", "q_dup_cluster_size_dist",
+    "q_dedup_survivorship", "q_cross_source_dups", "q_split_neardup_leaks",
+    "q_leakage_safe_split", "q_local_clustering", "q_triangle_count",
+    "q_cosine_topk", "q_cosine_topk_lsh", "q_knn_label_vote",
+    "q_hard_negatives", "q_negative_samples", "q_ivf_recall_eval",
+    "q_mips_topk", "q_ivf_index_append", "q_ivf_index_compact",
+    "q_cosine_topk_ivf_indexed", "q_streaming_ivf_assign",
+    "q_pagerank_exact", "q_mutual_knn_pairs",
+]
+
+
 def test_driver_window_composition():
     """Registry order is load-bearing: the driver's correctness gate
-    checks the FIRST 50 entries of queries(). Pin the round-13 window:
-    slots 1-10 are the round-13 additions/graduations (q_semantic_dedup's
-    first ORACLE-TWINNED driver row — graduated from rows-only via
-    seeded plan-literal centroids — the two PQ literal scoring twins,
-    the full substring rung (detect + scrub + incremental + streaming
-    gate + witness attribution + per-source savings readout), the
-    signature-compaction loop);
-    slots 11-50 are the 40 STALEST oracle-twinned greens by
-    most-recent-attestation round as of round 12 (the 21 remaining
-    round-4-cohort entries + the first 19 of the round-5 cohort, name
+    checks the FIRST 50 entries of queries(). Pin the round-15 window:
+    slots 1-22 are the r14/r15-TOUCHED oracle-twinned queries whose
+    newest driver hash predates the optimization rewrites they ride
+    (the r14 VERDICT's attestation gap: the CC dedup-cluster family,
+    the graph explode rewrites, the cosine norm-hoist family, the IVF
+    write family, and the r15 pagerank/mutual-kNN rewrites);
+    slots 23-50 are the 28 STALEST oracle-twinned greens by
+    most-recent-attestation round as of round 14, minus the head
+    members (the round-5 cohort tail + the round-6 cohort head, name
     order within cohort). The pin guards against an accidental reorder
     silently starving the gate (that is precisely what happened in
-    round 1). Unlike r12 there is NO rows-only slot: every window entry
+    round 1). As in r13 there is NO rows-only slot: every window entry
     hash-checks."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     window = list(qs)[:50]
     assert [n for n in window if n not in oracles] == []
-    round13_head = [
-        "q_semantic_dedup", "q_pq_topk_lit", "q_ivfpq_topk_lit",
-        "q_substring_dup", "q_substring_scrub", "q_substring_incremental",
-        "q_streaming_substring_ingest", "q_substring_dup_witness",
-        "q_substring_savings_by_source", "q_signature_compact",
-    ]
-    assert window[:10] == round13_head
+    assert window[:22] == R15_TOUCHED_HEAD
     stalest_rotation = [
-        # round-4 cohort tail (21, name order)
-        "q_doc_fingerprint_rolling", "q_embed_neardup", "q_json_extract",
-        "q_lag_lead", "q_lang_id", "q_multimodal_digest",
-        "q_multimodal_frames", "q_null_funcs", "q_partitioned_prune",
-        "q_sample_stratified", "q_scan_csv", "q_snapshot_diff",
-        "q_split_assign", "q_string_funcs", "q_text_quality",
-        "q_text_term_freq", "q_text_tokens", "q_token_count_bpe",
-        "q_window_rank", "q_window_sliding", "q_write_roundtrip",
-        # round-5 cohort head (19, name order)
-        "q_asof_join", "q_bigram_counts", "q_bucketed_join",
-        "q_chunk_dedup", "q_cms_heavy_hitters", "q_date_arith",
-        "q_dedup_exact", "q_dedup_minhash", "q_embed_quantize",
-        "q_funnel_steps", "q_incremental_rollup", "q_json_lines_source",
-        "q_minhash_lsh_pairs", "q_multimodal_chunks", "q_orc_roundtrip",
-        "q_pii_redact", "q_profile_table", "q_range_join",
-        "q_regex_extract",
+        # round-5 cohort tail (20, name order)
+        "q_resample_ffill", "q_runtime_filter_join", "q_salted_join",
+        "q_scd2_merge", "q_schema_evolution", "q_sequence_pack",
+        "q_sessionize", "q_streaming_dedup", "q_streaming_enrich",
+        "q_streaming_session", "q_streaming_sliding", "q_streaming_tumbling",
+        "q_string_agg", "q_surrogate_key_fact", "q_tfidf_topk",
+        "q_try_cast", "q_unpivot", "q_window_session",
+        "q_window_tumbling", "q_word_repetition",
+        # round-6 cohort head (8, name order)
+        "q_ab_ttest", "q_basket_rules", "q_bigram_lift",
+        "q_compact_files", "q_domain_cap", "q_drift_chi2",
+        "q_fuzzy_join", "q_gopher_rules",
     ]
-    assert window[10:50] == stalest_rotation
-    # the r12 window head follows the r13 one (the module-order baseline
-    # under the r13 reorder is the r12 ordering, minus the slots the r13
+    assert window[22:50] == stalest_rotation
+    # the r13 window head follows the r15 one (the module-order baseline
+    # under the r15 reorder is the r13 ordering, minus the slots the r15
     # window pulled forward) — every entry there is driver-green and
     # stays addressable
-    assert list(qs)[50:53] == ["q_bm25_topk", "q_dedup_incremental",
-                               "q_multiset_ops"]
+    assert list(qs)[50:53] == ["q_semantic_dedup", "q_pq_topk_lit",
+                               "q_ivfpq_topk_lit"]
 
 
 def test_window_rotation_is_ledger_computed():
-    """The stalest-greens fill (slots 11-50) must be COMPUTED from the
+    """The stalest-greens fill (slots 23-50) must be COMPUTED from the
     ledger, not hand-curated: re-derive it here exactly as the window
     was built — oracle-twinned, attested, sorted by (most recent green
-    round, name) — and require the window tail to be its 40-prefix.
-    The derivation is pinned to the ledger AS OF round-13 composition
-    (rounds <= 12, the cap tools/attestation.py --stalest --as-of 12
-    applies): the driver writes CORRECTNESS_r13.json before the judge's
-    pytest run, and the freshly-attested rows must not shift this
-    round's already-shipped window."""
+    round, name), head members excluded — and require the window tail
+    to be its 28-prefix. The derivation is pinned to the ledger AS OF
+    round-15 composition (rounds <= 14, the cap tools/attestation.py
+    --stalest --as-of 14 applies): the driver writes
+    CORRECTNESS_r15.json before the judge's pytest run, and the
+    freshly-attested rows must not shift this round's already-shipped
+    window."""
     from tools.attestation import load_ledger
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     ledger = load_ledger()
     stalest = sorted(
-        (max(r for r in v["rounds_green"] if r <= 12), n)
+        (max(r for r in v["rounds_green"] if r <= 14), n)
         for n, v in ledger.items()
-        if n in oracles and any(r <= 12 for r in v["rounds_green"])
+        if n in oracles and any(r <= 14 for r in v["rounds_green"])
     )
-    expected = [n for _, n in stalest[:40]]
-    assert list(qs)[10:50] == expected
+    expected = [
+        n for _, n in stalest if n not in set(R15_TOUCHED_HEAD)
+    ][:28]
+    assert list(qs)[22:50] == expected
 
 
 def test_window_head_matches_attestation_ledger():
